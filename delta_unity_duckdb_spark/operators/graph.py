@@ -1,0 +1,105 @@
+"""Property-graph workload as DataFrames (reference load_memgraph.py + the
+3,443-block Cypher corpus, SURVEY.md §2-D).
+
+The reference loads ``(:Mission)-[:IS_PARENT_TO]->(:Mission)`` into Memgraph
+and verifies with node count, edge count, and a 1-hop traversal
+(load_memgraph.py:82-95). Spark-native: a graph is two DataFrames —
+``vertices(id, title, …)`` and ``edges(src, dst)``; traversals are joins;
+multi-hop reachability is an iterative join (no recursive CTE in Spark).
+
+Fixture stand-in (FIXTURES.md §3): orders are parent vertices, lineitem rows
+child vertices, one edge per lineitem.
+
+Scale posture: traversal joins are plain equi-joins on vertex ids —
+shuffle-partitioned, AQE-planned; the BFS loop re-uses a persisted frontier
+and stops at a fixpoint or depth cap (no driver-side row iteration).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_unity_duckdb_spark.sources.tables import load_table
+
+
+def build_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Derive (vertices, edges) from orders→lineitem (FIXTURES.md §3)."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    parent_v = orders.select(
+        F.concat(F.lit("O"), F.col("o_orderkey").cast("string")).alias("id"),
+        F.col("o_orderpriority").alias("title"),
+    )
+    # (l_orderkey, l_linenumber) is not unique in the fixtures; the full
+    # unique line identity includes part+supplier.
+    child_id = F.concat(
+        F.lit("L"),
+        F.col("l_orderkey").cast("string"),
+        F.lit("-"),
+        F.col("l_linenumber").cast("string"),
+        F.lit("-"),
+        F.col("l_partkey").cast("string"),
+        F.lit("-"),
+        F.col("l_suppkey").cast("string"),
+    )
+    child_v = lineitem.select(
+        child_id.alias("id"), F.col("l_returnflag").alias("title")
+    )
+    vertices = parent_v.unionByName(child_v)
+    edges = lineitem.select(
+        F.concat(F.lit("O"), F.col("l_orderkey").cast("string")).alias("src"),
+        child_id.alias("dst"),
+    )
+    return vertices, edges
+
+
+def graph_counts(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+    """Node + edge counts in one row (load_memgraph.py:82-89)."""
+    v = vertices.agg(F.count(F.lit(1)).alias("n_vertices"))
+    e = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return v.crossJoin(e)
+
+
+def one_hop(vertices: DataFrame, edges: DataFrame, limit: int = 10) -> DataFrame:
+    """Parent→child traversal with titles (load_memgraph.py:92-95): two hash
+    joins; the vertex side is pruned to (id, title) before shuffling."""
+    p = vertices.alias("p")
+    c = vertices.alias("c")
+    return (
+        edges.join(p, edges.src == F.col("p.id"))
+        .join(c, edges.dst == F.col("c.id"))
+        .select(
+            F.col("p.id").alias("parent_id"),
+            F.col("p.title").alias("parent_title"),
+            F.col("c.id").alias("child_id"),
+            F.col("c.title").alias("child_title"),
+        )
+        .orderBy("child_id")
+        .limit(limit)
+    )
+
+
+def descendants(
+    edges: DataFrame, roots: DataFrame, max_depth: int = 10
+) -> DataFrame:
+    """Multi-hop reachability via iterative join (SURVEY.md §7.5): Spark has
+    no recursive CTE, so BFS iterates ``frontier ⋈ edges`` until empty or
+    ``max_depth``. Returns (root, node, depth). ``roots`` must have column
+    ``id``."""
+    frontier = roots.select(F.col("id").alias("root"), F.col("id").alias("node"))
+    out = frontier.withColumn("depth", F.lit(0))
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select("root", F.col("dst").alias("node"))
+        )
+        nxt.persist()
+        if nxt.isEmpty():
+            nxt.unpersist()
+            break
+        out = out.unionByName(nxt.withColumn("depth", F.lit(depth)))
+        frontier.unpersist() if depth > 1 else None
+        frontier = nxt
+    return out

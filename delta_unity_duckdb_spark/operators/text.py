@@ -1,0 +1,116 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2-E5/E6).
+
+All pure JVM column expressions (split/regexp/aggregate) — no Python UDFs
+in any hot path, so every operator stays inside whole-stage codegen and
+scales linearly with input bytes.
+
+- tokenization + word counts
+- language ID: character-frequency n-gram heuristic (stopword-profile score)
+- quality scoring: length / punctuation / stopword / repetition ratios
+- token counting: whitespace and BPE-ish subword estimates
+- document fingerprint: rolling (polynomial) hash over normalized text
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"\s+"
+# BPE-ish pre-tokenizer: words, numbers, or single non-space symbols
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "que"),
+    "es": ("el", "la", "los", "y", "es", "un", "una", "que"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "不"),
+}
+
+
+def tokens(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), TOKEN_SPLIT_RE), lambda t: t != "")
+
+
+def whitespace_token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Subword-ish token estimate: regexp pre-tokenize, then charge one
+    token per 4 characters of each word (ceiling) — a deterministic,
+    vectorized stand-in for a real BPE vocabulary."""
+    pieces = F.regexp_extract_all(F.lower(text), F.lit(BPE_ISH_RE), 0)
+    return F.aggregate(
+        pieces,
+        F.lit(0).cast("long"),
+        lambda acc, p: acc + F.ceil(F.length(p) / 4.0).cast("long"),
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """[0,1] heuristic: penalize very short docs, high punctuation density,
+    and low word diversity (repetition)."""
+    n_chars = F.length(text).cast("double")
+    toks = tokens(text)
+    n_tok = F.size(toks).cast("double")
+    n_uniq = F.size(F.array_distinct(toks)).cast("double")
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", "")).cast("double")
+    len_score = F.least(n_chars / 200.0, F.lit(1.0))
+    punct_score = 1.0 - F.least(punct / F.greatest(n_chars, F.lit(1.0)) * 5.0, F.lit(1.0))
+    diversity = F.when(n_tok > 0, n_uniq / n_tok).otherwise(0.0)
+    return F.round((len_score + punct_score + diversity) / 3.0, 4)
+
+
+def lang_scores(text: Column) -> list[tuple[str, Column]]:
+    """Per-language stopword-hit ratio."""
+    toks = tokens(text)
+    out = []
+    for lang, words in LANG_PROFILES.items():
+        hits = F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in words])))
+        out.append((lang, hits.cast("double") / float(len(words))))
+    return out
+
+
+def detect_language(text: Column) -> Column:
+    """argmax over the language profiles; 'und' (undetermined) when no
+    profile scores above zero."""
+    scores = lang_scores(text)
+    arr = F.array(
+        *[
+            F.struct(s.alias("score"), F.lit(lang).alias("lang"))
+            for lang, s in scores
+        ]
+    )
+    best = F.array_max(arr)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Deterministic rolling polynomial hash of the normalized token stream
+    (E: document fingerprinting): h = (h*31 + xxhash(tok) mod 2^31) mod 2^56.
+    The moduli keep every intermediate < 2^61 — no ANSI long overflow."""
+    mod = F.lit(1 << 56)
+    return F.aggregate(
+        tokens(text),
+        F.lit(0).cast("long"),
+        lambda acc, t: F.pmod(
+            acc * F.lit(31).cast("long") + F.pmod(F.xxhash64(t), F.lit(1 << 31)),
+            mod,
+        ),
+    )
+
+
+def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One-pass per-document feature extraction."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        whitespace_token_count(t).alias("n_tokens_ws"),
+        bpe_ish_token_count(t).alias("n_tokens_bpe"),
+        quality_score(t).alias("quality"),
+        detect_language(t).alias("lang_pred"),
+        doc_fingerprint(t).alias("fingerprint"),
+    )

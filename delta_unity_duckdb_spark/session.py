@@ -1,0 +1,67 @@
+"""SparkSession factory (maps reference engine-init, delta-unity-duckdb.js:70-113).
+
+The reference's ``initialize()`` creates an in-memory DuckDB and loads the
+``delta``/``azure``/``httpfs`` extensions. The Spark-native equivalent is a
+SparkSession configured for Delta Lake when ``delta-spark`` is on the
+classpath, falling back to plain Parquet otherwise (this container has no
+delta-spark jar; the fixtures are Parquet).
+
+Scale posture: AQE on (runtime re-plan, skew-join handling, partition
+coalescing), shuffle partitions sized from the env, session timezone pinned
+to UTC so results are reproducible across engines and clusters.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _delta_available() -> bool:
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def get_spark(
+    app_name: str = "delta-unity-duckdb-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Local defaults come from ``SPARK_GRAFT_CPUS``; on a real cluster the
+    master/instances come from spark-submit and these settings are inert.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Parquet TIMESTAMP(NANOS) (events.ts) has no Spark type; read the
+        # raw int64 and convert in sources.tables (floor-div to micros).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if _delta_available():
+        builder = builder.config(
+            "spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension"
+        ).config(
+            "spark.sql.catalog.spark_catalog",
+            "org.apache.spark.sql.delta.catalog.DeltaCatalog",
+        )
+    return builder.getOrCreate()

@@ -1,0 +1,75 @@
+"""Fixture/table loading (maps reference Delta scan, delta-unity-duckdb.js:330).
+
+The reference reads tables via ``delta_scan('<path>')``; the Spark-native
+source is ``spark.read.format("delta").load(path)`` when delta-spark is
+present, else ``spark.read.parquet``. The driver fixtures are one Parquet
+file per table (TESTDATA.md).
+
+Scale posture: schema-on-read from the footer/log only (no data scan);
+column pruning and predicate pushdown flow from whatever the caller
+selects/filters — nothing here forces materialization.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables a planner should broadcast in joins at any scale.
+BROADCAST_TABLES = frozenset({"region", "nation"})
+
+
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """The engine may run inside a caller-owned SparkSession (e.g. the
+    driver harness); these runtime-settable SQL confs are required for
+    correct reads and engine-portable timestamps, so set them defensively."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass  # conf locked down — proceed with session defaults
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table. Delta directory > parquet file > parquet dir."""
+    _ensure_session_confs(spark)
+    delta_dir = os.path.join(sf_dir, name)
+    if os.path.isdir(os.path.join(delta_dir, "_delta_log")):
+        return spark.read.format("delta").load(delta_dir)
+    pq = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(pq if os.path.exists(pq) else delta_dir)
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) read as int64 (see session
+        # config); truncate to micros exactly like a ns→µs timestamp cast.
+        from pyspark.sql import functions as F
+
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view; return the DataFrames."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,135 @@
+"""Event-time window queries over the stream-shaped ``events`` table
+(SURVEY.md §2-E7). Batch semantics here; the same plans run as Structured
+Streaming with ``withWatermark`` (streaming/ module) — window semantics are
+identical, which is the point of testing them in batch against an oracle.
+
+Oracle note: ``events.ts`` is nanosecond-precision parquet; Spark truncates
+to microseconds on read, so every oracle casts ts to TIMESTAMP (µs) first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from delta_unity_duckdb_spark.functions.numeric import dec
+from delta_unity_duckdb_spark.sources.tables import load_table
+from delta_unity_duckdb_spark.workload.registry import query
+
+
+# ---------------------------------------------------------------- tumbling
+@query(
+    "tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tumbling_window(spark, sf_dir):
+    """5-minute tumbling windows per event type — partial agg before the
+    (window, type) shuffle; identical plan under Structured Streaming."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec("value")).cast("decimal(38,6)").alias("sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------- sliding
+@query(
+    "sliding_window",
+    oracle="""
+    WITH phased AS (
+      SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS window_start, value
+      FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP), INTERVAL '5 minutes') AS window_start, value
+      FROM events
+    )
+    SELECT window_start, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_value
+    FROM phased GROUP BY 1
+    """,
+)
+def sliding_window(spark, sf_dir):
+    """10-minute windows sliding by 5 — each event lands in 2 windows; the
+    oracle reproduces this as two phase-shifted tumbling bucketings."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec("value")).cast("decimal(38,6)").alias("sum_value"))
+        .select(F.col("window.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+# ---------------------------------------------------------------- session windows
+@query(
+    "session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                       >= INTERVAL '5 minutes'
+                  OR LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+             THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM marked)
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_value
+    FROM sessions GROUP BY user_id, session_no
+    """,
+)
+def session_window(spark, sf_dir):
+    """Per-user sessionization with a 5-minute gap (F.session_window in
+    batch; gaps-and-islands SQL as the oracle). Spark merges events whose
+    ts is strictly inside [last_ts, last_ts + gap)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "5 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(dec("value")).cast("decimal(38,6)").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------- sessionization via lag (window-function form)
+@query(
+    "event_funnel",
+    oracle="""
+    SELECT event_type, next_type, COUNT(*) AS n FROM (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
+      FROM events) t
+    WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def event_funnel(spark, sf_dir):
+    """Event-transition matrix (funnel analysis): lead() per user, then a
+    pair count — one keyed shuffle for the window, partial agg after."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select("event_type", F.lead("event_type").over(w).alias("next_type"))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,159 @@
+"""LLM-pipeline operator queries (SURVEY.md §2-E) with DuckDB oracles.
+
+Exact-SQL-expressible ops get full oracle twins; LSH-based ops register
+rows-only (driver records the weaker check) but are exercised against exact
+recomputation in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from delta_unity_duckdb_spark.operators import dedup as D
+from delta_unity_duckdb_spark.operators import similarity as S
+from delta_unity_duckdb_spark.operators import text as T
+from delta_unity_duckdb_spark.sources.tables import load_table
+from delta_unity_duckdb_spark.workload.registry import query
+
+
+# ---------------------------------------------------------------- E1: exact dedup
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT doc_id, n_chars FROM (
+      SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM documents) t
+    WHERE rn = 1 ORDER BY doc_id LIMIT 1000
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        D.dedup_exact(d, ["text"], "doc_id")
+        .select("doc_id", "n_chars")
+        .orderBy("doc_id")
+        .limit(1000)
+    )
+
+
+# ---------------------------------------------------------------- E5: word count
+@query(
+    "wordcount",
+    oracle="""
+    SELECT word, COUNT(*) AS n FROM (
+      SELECT UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS word FROM documents) t
+    WHERE word <> ''
+    GROUP BY word ORDER BY n DESC, word LIMIT 50
+    """,
+)
+def wordcount(spark, sf_dir):
+    """Classic explode→groupBy count; partial aggregation collapses the
+    exploded rows map-side before the word shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------- E6: corpus profile
+@query(
+    "lang_profile",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           SUM(n_chars) AS total_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def lang_profile(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# ---------------------------------------------------------------- E5: token counting
+@query(
+    "token_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens_ws
+    FROM documents ORDER BY doc_id LIMIT 500
+    """,
+)
+def token_counts(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", T.whitespace_token_count(F.col("text")).alias("n_tokens_ws"))
+        .orderBy("doc_id")
+        .limit(500)
+    )
+
+
+# ---------------------------------------------------------------- E: quality + lang-id + fingerprint (rows-only)
+@query("text_profile")
+def text_profile(spark, sf_dir):
+    """Language-ID heuristic, quality score, BPE-ish token count, rolling-hash
+    fingerprint — engine-specific expressions, no faithful SQL twin; checked
+    by unit tests instead."""
+    d = load_table(spark, sf_dir, "documents")
+    return T.text_profile(d).orderBy("doc_id").limit(500)
+
+
+# ---------------------------------------------------------------- E3: cosine top-k
+@query(
+    "similarity_topk",
+    oracle="""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           ROUND(
+             list_sum(list_transform(list_zip(e.embedding, q.qvec),
+                                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (SQRT(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * SQRT(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+             4) AS cosine_sim
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> 0
+    ORDER BY cosine_sim DESC, e.vec_id LIMIT 10
+    """,
+)
+def similarity_topk(spark, sf_dir):
+    """Brute-force exact cosine top-k vs the vec_id=0 vector (E3 baseline)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    return S.cosine_topk(e.filter(F.col("vec_id") != 0), q, k=10)
+
+
+# ---------------------------------------------------------------- E2/E4: LSH ops (rows-only)
+@query("minhash_near_dups")
+def minhash_near_dups(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs (E2). Probabilistic blocking —
+    no SQL oracle; recall/precision asserted in tests against exact Jaccard."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_near_dups(d, "doc_id", "text", num_perm=32, bands=8)
+    return pairs.orderBy("id_a", "id_b").limit(1000)
+
+
+@query("simhash_near_dups")
+def simhash_near_dups(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_dups(d, "doc_id", "text").orderBy("id_a", "id_b").limit(1000)
+
+
+@query("embedding_pairs_lsh")
+def embedding_pairs_lsh(spark, sf_dir):
+    """Random-hyperplane LSH similarity join (E4), exact-verified ≥0.95."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        S.cosine_pairs_lsh(e, threshold=0.95, num_planes=16, bands=4)
+        .orderBy("id_a", "id_b")
+        .limit(1000)
+    )

@@ -1,0 +1,817 @@
+"""Relational operator surface (SURVEY.md §2-B exact shapes + §2-C classes).
+
+Each query is the idiomatic declarative Spark plan — Catalyst handles
+pushdown/pruning/join selection; we only add explicit ``broadcast`` hints
+for dimension tables and exact DECIMAL aggregation for cross-engine
+reproducibility (see functions.numeric).
+
+Determinism contract: any query with LIMIT orders by a unique key first;
+queries without LIMIT need no ORDER BY (the driver hash is
+order-insensitive).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from delta_unity_duckdb_spark.functions.numeric import (
+    davg,
+    dec,
+    dmoney,
+    drate,
+    dsum,
+    sql_davg,
+    sql_dsum,
+)
+from delta_unity_duckdb_spark.sources.tables import load_table
+from delta_unity_duckdb_spark.workload.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------- B1: scan+limit
+@query(
+    "scan_limit",
+    oracle="SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey LIMIT 10",
+)
+def scan_limit(spark, sf_dir):
+    """Full scan with bound (reference default query, delta-unity-duckdb.js:327-330)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------- B2: projection
+@query(
+    "projection",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_quantity, l_returnflag
+    FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey LIMIT 100
+    """,
+)
+def projection(spark, sf_dir):
+    """Column-list projection (test_scd_missions.py:29 shape). Column pruning
+    reaches the Parquet scan — ReadSchema carries only 5 columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .limit(100)
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------- B3: count(*)
+@query("count_star", oracle="SELECT COUNT(*) AS count FROM lineitem")
+def count_star(spark, sf_dir):
+    """Scalar row count (getTableStats, delta-unity-duckdb.js:425)."""
+    return _t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("count"))
+
+
+# ---------------------------------------------------------------- B4: top-k group count (flagship)
+@query(
+    "topk_group_count",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS count FROM lineitem
+    GROUP BY l_returnflag ORDER BY count DESC, l_returnflag LIMIT 5
+    """,
+)
+def topk_group_count(spark, sf_dir):
+    """The reference's documented example (README.md:133): group-count top-k.
+    Partial (map-side) aggregation then a 5-row TakeOrderedAndProject —
+    shuffle carries only one row per distinct key."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), "l_returnflag")
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------- B5: conditional agg
+@query(
+    "conditional_agg",
+    oracle="""
+    SELECT COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS r_cnt,
+           COUNT(CASE WHEN l_returnflag <> 'R' THEN 1 END) AS other_cnt
+    FROM lineitem
+    """,
+)
+def conditional_agg(spark, sf_dir):
+    """CASE-inside-COUNT fusion (test_pg_query.py:42-47; README.md:386 advises
+    combining aggregates into one statement — one scan, one partial agg)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("r_cnt"),
+        F.count(F.when(F.col("l_returnflag") != "R", 1)).alias("other_cnt"),
+    )
+
+
+# ---------------------------------------------------------------- B6: equality filter
+@query(
+    "filter_eq",
+    oracle="""
+    SELECT * FROM orders WHERE o_orderstatus = 'F'
+    ORDER BY o_orderkey LIMIT 1000
+    """,
+)
+def filter_eq(spark, sf_dir):
+    """Predicate pushed to the Parquet scan (PushedFilters: EqualTo)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+# ---------------------------------------------------------------- C filters: range/IN/LIKE/null
+@query(
+    "filter_range_in_like_null",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand, p_size FROM part
+    WHERE p_size BETWEEN 10 AND 30
+      AND p_brand IN ('Brand#1', 'Brand#5', 'Brand#12')
+      AND p_name LIKE '%ol%'
+      AND p_type IS NOT NULL
+    ORDER BY p_partkey LIMIT 500
+    """,
+)
+def filter_range_in_like_null(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.filter(
+            F.col("p_size").between(10, 30)
+            & F.col("p_brand").isin("Brand#1", "Brand#5", "Brand#12")
+            & F.col("p_name").like("%ol%")
+            & F.col("p_type").isNotNull()
+        )
+        .orderBy("p_partkey")
+        .limit(500)
+        .select("p_partkey", "p_name", "p_brand", "p_size")
+    )
+
+
+# ---------------------------------------------------------------- B7: sort+limit
+@query(
+    "sort_limit",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    ORDER BY c_acctbal DESC, c_custkey LIMIT 5
+    """,
+)
+def sort_limit(spark, sf_dir):
+    """Top-k sort — planner emits TakeOrderedAndProject (no full sort)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .orderBy(F.desc("c_acctbal"), "c_custkey")
+        .limit(5)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+# ---------------------------------------------------------------- B8: null-safe change detection
+@query(
+    "nullsafe_change",
+    oracle="""
+    SELECT c_custkey, (c_name IS DISTINCT FROM c_mktsegment) AS changed
+    FROM customer ORDER BY c_custkey LIMIT 200
+    """,
+)
+def nullsafe_change(spark, sf_dir):
+    """Null-safe inequality (reference change guard delta_to_postgres_scd.py:252,
+    expressed null-correctly via <=> — see functions.predicates)."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.select(
+            "c_custkey",
+            (~F.col("c_name").eqNullSafe(F.col("c_mktsegment"))).alias("changed"),
+        )
+        .orderBy("c_custkey")
+        .limit(200)
+    )
+
+
+# ---------------------------------------------------------------- C aggs: multi-agg group by
+@query(
+    "group_aggs",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           MIN(l_extendedprice) AS min_price,
+           MAX(l_extendedprice) AS max_price,
+           COUNT(DISTINCT l_partkey) AS distinct_parts,
+           {sql_davg('l_extendedprice', 'avg_price')}
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def group_aggs(spark, sf_dir):
+    """One-pass multi-aggregate (sum/min/max/count-distinct/avg). DECIMAL
+    accumulation keeps the result bit-identical at any partition count."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity", "sum_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        davg("l_extendedprice", "avg_price"),
+    )
+
+
+# ---------------------------------------------------------------- C aggs: rollup
+@query(
+    "rollup_agg",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {sql_dsum('l_quantity', 'sum_qty')}
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty")
+    )
+
+
+# ---------------------------------------------------------------- C aggs: cube
+@query(
+    "cube_agg",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {sql_dsum('l_extendedprice', 'sum_price')}
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_extendedprice", "sum_price")
+    )
+
+
+# ---------------------------------------------------------------- C joins: inner + agg
+@query(
+    "join_inner",
+    oracle=f"""
+    SELECT c_mktsegment, COUNT(*) AS n_orders, {sql_dsum('o_totalprice', 'sum_total')}
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_inner(spark, sf_dir):
+    """Fact⋈dim with aggregation. At 100 TB the dim side is broadcast when it
+    fits (hint below); the agg is partial before the segment shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "sum_total"))
+    )
+
+
+# ---------------------------------------------------------------- C joins: left outer
+@query(
+    "join_left",
+    oracle="""
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey ORDER BY c_custkey LIMIT 500
+    """,
+)
+def join_left(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+        .limit(500)
+    )
+
+
+# ---------------------------------------------------------------- C joins: left semi (EXISTS)
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 4000)
+    ORDER BY c_custkey LIMIT 500
+    """,
+)
+def join_semi(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 4000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+        .limit(500)
+    )
+
+
+# ---------------------------------------------------------------- C joins: left anti (NOT EXISTS)
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 4000)
+    ORDER BY c_custkey LIMIT 500
+    """,
+)
+def join_anti(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 4000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+        .limit(500)
+    )
+
+
+# ---------------------------------------------------------------- B14: self-join ($TABLE/g semantics)
+@query(
+    "self_join",
+    oracle="""
+    SELECT COUNT(*) AS pairs
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+    """,
+)
+def self_join(spark, sf_dir):
+    """Self-join pair count — the capability the reference's global $TABLE
+    substitution preserves (delta-unity-duckdb.js:334)."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    a, b = o.alias("a"), o.alias("b")
+    return a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+    ).agg(F.count(F.lit(1)).alias("pairs"))
+
+
+# ---------------------------------------------------------------- C windows: ranking
+@query(
+    "window_rank",
+    oracle="""
+    SELECT o_custkey, o_orderkey, rn FROM (
+      SELECT o_custkey, o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t
+    WHERE rn <= 2 ORDER BY o_custkey, rn LIMIT 500
+    """,
+)
+def window_rank(spark, sf_dir):
+    """Top-N per group — the canonical window pattern; one shuffle on the
+    partition key, no self-join."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", "rn")
+        .orderBy("o_custkey", "rn")
+        .limit(500)
+    )
+
+
+# ---------------------------------------------------------------- C windows: frame aggregate
+@query(
+    "window_frame_sum",
+    oracle="""
+    SELECT event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS rolling_sum
+    FROM events ORDER BY event_id LIMIT 1000
+    """,
+)
+def window_frame_sum(spark, sf_dir):
+    """Sliding-frame sum in DECIMAL: engines may reassociate frame sums
+    (segment trees), so exact arithmetic is required for reproducibility."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        e.select(
+            "event_id",
+            F.sum(dec("value")).over(w).cast("decimal(38,6)").alias("rolling_sum"),
+        )
+        .orderBy("event_id")
+        .limit(1000)
+    )
+
+
+# ---------------------------------------------------------------- C windows: lag/lead
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT event_id,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+    FROM events ORDER BY event_id LIMIT 1000
+    """,
+)
+def window_lag_lead(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .orderBy("event_id")
+        .limit(1000)
+    )
+
+
+# ---------------------------------------------------------------- C set ops
+@query(
+    "set_ops",
+    oracle="""
+    SELECT 'u' AS tag, c_custkey AS key FROM customer WHERE c_custkey <= 100
+    UNION ALL
+    SELECT 'u' AS tag, o_custkey AS key FROM orders WHERE o_custkey <= 50
+    UNION ALL
+    SELECT 'i' AS tag, key FROM (
+      SELECT c_custkey AS key FROM customer WHERE c_custkey <= 100
+      INTERSECT SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'e' AS tag, key FROM (
+      SELECT c_custkey AS key FROM customer WHERE c_custkey <= 100
+      EXCEPT SELECT o_custkey FROM orders)
+    """,
+)
+def set_ops(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    c100 = c.filter(F.col("c_custkey") <= 100).select(F.col("c_custkey").alias("key"))
+    o50 = o.filter(F.col("o_custkey") <= 50).select(F.col("o_custkey").alias("key"))
+    okeys = o.select(F.col("o_custkey").alias("key"))
+    union = c100.unionAll(o50).select(F.lit("u").alias("tag"), "key")
+    inter = c100.intersect(okeys).select(F.lit("i").alias("tag"), "key")
+    exc = c100.exceptAll(okeys).distinct().select(F.lit("e").alias("tag"), "key")
+    return union.unionAll(inter).unionAll(exc)
+
+
+# ---------------------------------------------------------------- C distinct
+@query(
+    "distinct_pairs",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_pairs(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# ---------------------------------------------------------------- C scalar: strings
+@query(
+    "string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           LOWER(p_name) AS name_lower,
+           UPPER(p_brand) AS brand_upper,
+           SUBSTR(p_name, 1, 5) AS name_pfx,
+           REPLACE(p_type, 'O', '0') AS type_repl,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+           TRIM(CONCAT(' ', p_name, ' ')) AS name_trim
+    FROM part ORDER BY p_partkey LIMIT 300
+    """,
+)
+def string_funcs(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.lower("p_name").alias("name_lower"),
+            F.upper("p_brand").alias("brand_upper"),
+            F.substring("p_name", 1, 5).alias("name_pfx"),
+            F.replace(F.col("p_type"), F.lit("O"), F.lit("0")).alias("type_repl"),
+            F.concat("p_brand", F.lit(":"), "p_type").alias("brand_type"),
+            F.length("p_name").cast("long").alias("name_len"),
+            F.trim(F.concat(F.lit(" "), "p_name", F.lit(" "))).alias("name_trim"),
+        )
+        .orderBy("p_partkey")
+        .limit(300)
+    )
+
+
+# ---------------------------------------------------------------- C scalar: regex
+@query(
+    "regex_funcs",
+    oracle="""
+    SELECT p_partkey,
+           REGEXP_EXTRACT(p_brand, '([0-9]+)', 1) AS brand_num,
+           REGEXP_REPLACE(p_name, '[aeiou]', '_', 'g') AS name_devowel,
+           REGEXP_MATCHES(p_name, '^[a-z]+ ') AS starts_word
+    FROM part ORDER BY p_partkey LIMIT 300
+    """,
+)
+def regex_funcs(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.regexp_extract("p_brand", "([0-9]+)", 1).alias("brand_num"),
+            F.regexp_replace("p_name", "[aeiou]", "_").alias("name_devowel"),
+            F.col("p_name").rlike("^[a-z]+ ").alias("starts_word"),
+        )
+        .orderBy("p_partkey")
+        .limit(300)
+    )
+
+
+# ---------------------------------------------------------------- C scalar: dates
+@query(
+    "date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS order_mon,
+           CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS order_day,
+           CAST(o_orderdate AS DATE) AS order_date
+    FROM orders ORDER BY o_orderkey LIMIT 300
+    """,
+)
+def date_funcs(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.date_trunc("month", "o_orderdate").alias("order_month"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.month("o_orderdate").cast("long").alias("order_mon"),
+            F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+        )
+        .orderBy("o_orderkey")
+        .limit(300)
+    )
+
+
+# ---------------------------------------------------------------- C scalar: math
+@query(
+    "math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice, 2) AS price_r2,
+           ABS(l_discount - 0.05) AS disc_dev,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+           CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+           SQRT(l_quantity) AS qty_sqrt,
+           l_orderkey % 7 AS key_mod
+    FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey LIMIT 300
+    """,
+)
+def math_funcs(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round("l_extendedprice", 2).alias("price_r2"),
+            F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+            F.floor("l_quantity").cast("long").alias("qty_floor"),
+            F.ceil("l_quantity").cast("long").alias("qty_ceil"),
+            F.sqrt("l_quantity").alias("qty_sqrt"),
+            (F.col("l_orderkey") % 7).alias("key_mod"),
+        )
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+        .limit(300)
+    )
+
+
+# ---------------------------------------------------------------- C scalar: arrays
+@query(
+    "array_funcs",
+    oracle="""
+    SELECT doc_id,
+           CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+           STRING_SPLIT(text, ' ')[1] AS first_tok,
+           LIST_CONTAINS(STRING_SPLIT(text, ' '), 'data') AS has_data
+    FROM documents ORDER BY doc_id LIMIT 200
+    """,
+)
+def array_funcs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return (
+        d.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.element_at(toks, 1).alias("first_tok"),
+            F.array_contains(toks, "data").alias("has_data"),
+        )
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+# ---------------------------------------------------------------- C json
+@query(
+    "json_extract",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events ORDER BY event_id LIMIT 1000
+    """,
+)
+def json_extract(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return (
+        e.select("event_id", k.alias("k_str"), k.cast("long").alias("k_val"))
+        .orderBy("event_id")
+        .limit(1000)
+    )
+
+
+# ---------------------------------------------------------------- C CTE + subquery
+_CTE_SQL = """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spent,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c_custkey, total_spent, n_orders
+    FROM customer JOIN spend ON c_custkey = o_custkey
+    WHERE total_spent > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                                / COUNT(*) FROM orders)
+"""
+
+
+@query("cte_subquery", oracle=_CTE_SQL)
+def cte_subquery(spark, sf_dir):
+    """CTE + scalar subquery (REPL accepts WITH, query_sync_table.py:113).
+    One shared ANSI-SQL text runs on both engines."""
+    from delta_unity_duckdb_spark.sources.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_CTE_SQL)
+
+
+# ---------------------------------------------------------------- B15: CASE expression
+@query(
+    "case_expr",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 1000 THEN 'low'
+                WHEN o_totalprice < 5000 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def case_expr(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 1000, "low")
+        .when(F.col("o_totalprice") < 5000, "mid")
+        .otherwise("high")
+        .alias("bucket")
+    )
+    return o.groupBy(bucket).agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------- B9/B10: schema introspection
+_SPARK_TO_DUCK = {
+    "timestamp_ntz": "TIMESTAMP",
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "double": "DOUBLE",
+    "float": "FLOAT",
+    "string": "VARCHAR",
+    "timestamp": "TIMESTAMP",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+}
+
+
+@query(
+    "describe_schema",
+    oracle="SELECT column_name, column_type FROM (DESCRIBE lineitem)",
+)
+def describe_schema(spark, sf_dir):
+    """Schema-as-rows (reference LIMIT-0 view + DESCRIBE trick,
+    delta-unity-duckdb.js:496-501). Reads only Parquet footers — no data scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    rows = [
+        (f.name, _SPARK_TO_DUCK.get(f.dataType.simpleString(), f.dataType.simpleString().upper()))
+        for f in li.schema.fields
+    ]
+    return spark.createDataFrame(rows, "column_name string, column_type string")
+
+
+# ---------------------------------------------------------------- deterministic sample
+@query(
+    "sample_mod",
+    oracle=f"""
+    SELECT COUNT(*) AS n, {sql_dsum('l_quantity', 'sum_qty')}
+    FROM lineitem WHERE l_orderkey % 97 = 0
+    """,
+)
+def sample_mod(spark, sf_dir):
+    """Deterministic systematic sample via key modulus (engine-portable,
+    unlike USING SAMPLE / df.sample which are RNG-dependent)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") % 97 == 0).agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty")
+    )
+
+
+# ---------------------------------------------------------------- TPC-H Q1 shape (pricing summary)
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4))
+                    * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4))
+                    * (1 - CAST(l_discount AS DECIMAL(6,4)))
+                    * (1 + CAST(l_tax AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity), 6) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_extendedprice), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape — the classic wide-aggregate scan; one partial+final
+    hash aggregate, fully codegen'd, 8 measures in one pass. Products are
+    computed IN decimal from decimal-cast raw columns: the fixture data is
+    ≤4-decimal so input casts are exact, and decimal arithmetic is
+    associative — bit-identical at any partition count or engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = dmoney("l_extendedprice") * (1 - drate("l_discount"))
+    charge = disc_price * (1 + drate("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            F.sum(disc_price).cast("decimal(38,6)").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(38,6)").alias("sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- multi-way join (Q3 shape)
+@query(
+    "multiway_join_topk",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4))
+                    * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS revenue,
+           o_orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def multiway_join_topk(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join, filtered dim broadcast, top-k by revenue."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(dmoney("l_extendedprice") * (1 - drate("l_discount")))
+            .cast("decimal(38,6)")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )

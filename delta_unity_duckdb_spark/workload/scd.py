@@ -1,0 +1,74 @@
+"""SCD2 workload query: two-batch sync on the customer dimension
+(FIXTURES.md §2), with a FULL value-level DuckDB oracle.
+
+Batch 1 = customer snapshot at t1. Batch 2 = same snapshot with
+``c_mktsegment`` mutated to 'ALTERED' for every 10th key. The reference
+semantics (delta_to_postgres_scd.py:242-261) yield exactly:
+
+- unchanged keys: one current row effective t1;
+- mutated keys: a closed t1 row (end_date=t2) + a current t2 row.
+
+That final state is closed-form SQL, so the flagship operator gets a real
+hash-checked oracle rather than a rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from delta_unity_duckdb_spark.operators.scd2 import scd2_apply
+from delta_unity_duckdb_spark.sources.tables import load_table
+from delta_unity_duckdb_spark.workload.registry import query
+
+T1 = "2024-06-01 00:00:00"
+T2 = "2024-06-02 00:00:00"
+
+
+@query(
+    "scd2_sync",
+    oracle=f"""
+    WITH state AS (
+      SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
+             TIMESTAMP '{T1}' AS effective_date,
+             CASE WHEN c_custkey % 10 = 0 THEN TIMESTAMP '{T2}' END AS end_date,
+             (c_custkey % 10 <> 0) AS is_current
+      FROM customer
+      UNION ALL
+      SELECT c_custkey, c_name, 'ALTERED', c_acctbal,
+             TIMESTAMP '{T2}', NULL, TRUE
+      FROM customer WHERE c_custkey % 10 = 0
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_custkey, effective_date) AS BIGINT) AS scd_id,
+           c_custkey, c_name, c_mktsegment, c_acctbal,
+           effective_date, end_date, is_current
+    FROM state
+    """,
+)
+def scd2_sync(spark, sf_dir):
+    """Flagship SCD2 merge (A21): apply two batches, emit the final state
+    with the deterministic surrogate key."""
+    cust = load_table(spark, sf_dir, "customer")
+    keys = ["c_custkey"]
+    tracked = ["c_name", "c_mktsegment", "c_acctbal"]
+
+    state1 = scd2_apply(None, cust, keys, tracked, F.lit(T1).cast("timestamp"))
+    batch2 = cust.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") % 10 == 0, F.lit("ALTERED")).otherwise(
+            F.col("c_mktsegment")
+        ),
+    )
+    state2 = scd2_apply(state1, batch2, keys, tracked, F.lit(T2).cast("timestamp"))
+
+    w = Window.orderBy("c_custkey", "effective_date")
+    return state2.select(
+        F.row_number().over(w).cast("long").alias("scd_id"),
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        "c_acctbal",
+        "effective_date",
+        "end_date",
+        "is_current",
+    )
