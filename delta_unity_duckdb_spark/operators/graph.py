@@ -87,19 +87,26 @@ def descendants(
     """Multi-hop reachability via iterative join (SURVEY.md §7.5): Spark has
     no recursive CTE, so BFS iterates ``frontier ⋈ edges`` until empty or
     ``max_depth``. Returns (root, node, depth). ``roots`` must have column
-    ``id``."""
-    frontier = roots.select(F.col("id").alias("root"), F.col("id").alias("node"))
-    out = frontier.withColumn("depth", F.lit(0))
+    ``id``.
+
+    Each frontier is ``localCheckpoint``-ed: without lineage truncation the
+    final plan re-derives every frontier from scratch (O(depth²) joins) and
+    a deep walk is unrunnable at any scale. The checkpoint also lets the
+    emptiness probe reuse the materialized frontier."""
+    from functools import reduce
+
+    edges = edges.select("src", "dst").persist()
+    frontier = roots.select(
+        F.col("id").alias("root"), F.col("id").alias("node")
+    ).localCheckpoint(eager=True)
+    levels = [frontier.withColumn("depth", F.lit(0))]
     for depth in range(1, max_depth + 1):
-        nxt = (
+        frontier = (
             frontier.join(edges, frontier.node == edges.src)
             .select("root", F.col("dst").alias("node"))
+            .localCheckpoint(eager=True)
         )
-        nxt.persist()
-        if nxt.isEmpty():
-            nxt.unpersist()
+        if frontier.isEmpty():
             break
-        out = out.unionByName(nxt.withColumn("depth", F.lit(depth)))
-        frontier.unpersist() if depth > 1 else None
-        frontier = nxt
-    return out
+        levels.append(frontier.withColumn("depth", F.lit(depth)))
+    return reduce(lambda a, b: a.unionByName(b), levels)

@@ -1,0 +1,210 @@
+"""Multimodal column pipeline (brief §north-star: image/audio/video as
+opaque binary columns with typed metadata).
+
+Design for 100 TB of media:
+- Media bytes ride as ``binary`` columns next to a typed ``struct``
+  metadata column — one row per asset, columnar parquet keeps bytes
+  contiguous and metadata prunable without touching payloads.
+- Decode / feature-extract / resize / frame-sample run as Arrow-batched
+  ``mapInPandas`` stages: executors stream record batches, Python touches
+  each batch once, no driver involvement, no collect.
+- Partitioning: assets are salted into ``target_partitions`` by hash of
+  the id so a handful of giant videos can't skew an executor.
+
+The actual codecs (PIL/ffmpeg/soundfile) are NOT in this container, so the
+decode kernels are deterministic fakes behind ``_decode_bytes`` — clearly
+marked; the Spark-side plumbing (schemas, batch iteration, UDF signatures,
+partitioning) is real and tested. Swap ``_decode_bytes`` for a real codec
+and nothing else changes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("modality", StringType()),  # image | audio | video
+        StructField("content", BinaryType()),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("mime", StringType()),
+                    StructField("width", IntegerType()),
+                    StructField("height", IntegerType()),
+                    StructField("duration_ms", LongType()),
+                    StructField("sample_rate", IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("modality", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("sha256", StringType()),
+        StructField("feature", ArrayType(DoubleType())),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def _decode_bytes(content: bytes, modality: str) -> list[float]:
+    """STUB DECODER — deterministic fake.
+
+    Real deployments replace this with PIL.Image.open / soundfile.read /
+    an ffmpeg pipe (libraries absent in this container). The fake derives
+    a stable 8-dim "feature" from a content digest so tests are exact and
+    reproducible. Raises like a real decoder on empty payloads.
+    """
+    if not content:
+        raise NotImplementedError(
+            "empty payload: real codec integration point — install a codec "
+            "and replace _decode_bytes"
+        )
+    digest = hashlib.sha256(content).digest()
+    return [b / 255.0 for b in digest[:8]]
+
+
+def extract_features(media: DataFrame, batch_hint: str = "") -> DataFrame:
+    """binary → fixed-dim feature vector via Arrow-batched mapInPandas.
+
+    One pass over each record batch; output rows align 1:1 with input.
+    """
+    import pandas as pd
+
+    # NOTE: the decode kernel is NESTED so cloudpickle ships it by VALUE —
+    # a module-level reference would require this package to be importable
+    # on every Python worker (not true for a caller-owned bare session).
+    def decode(content: bytes, modality: str) -> list[float]:
+        if not content:
+            raise NotImplementedError(
+                "empty payload: real codec integration point — install a "
+                "codec and replace the decode kernel"
+            )
+        digest = hashlib.sha256(content).digest()
+        return [b / 255.0 for b in digest[:8]]
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            feats, shas, sizes = [], [], []
+            for content, modality in zip(pdf["content"], pdf["modality"]):
+                raw = bytes(content) if content is not None else b""
+                feats.append(decode(raw, modality))
+                shas.append(hashlib.sha256(raw).hexdigest())
+                sizes.append(len(raw))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": sizes,
+                    "sha256": shas,
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stage: pass-through plumbing with a fake transcoder (the
+    byte payload is re-stamped with the target geometry so the pipeline
+    shape — binary in, binary out, metadata updated — is exercised)."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        header = f"RESIZED:{width}x{height}:".encode()
+        for pdf in batches:
+            out = pdf[pdf["modality"] == "image"].copy()
+            out["content"] = [header + bytes(c) for c in out["content"]]
+            yield out[["asset_id", "modality", "content"]]
+
+    schema = StructType(
+        [
+            StructField("asset_id", StringType()),
+            StructField("modality", StringType()),
+            StructField("content", BinaryType()),
+        ]
+    )
+    return media.mapInPandas(run, schema=schema)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame sampling: 1 row in → N frame rows out (flatMap shape).
+    Frame count derives from metadata duration; payloads are fake frames
+    (deterministic slices), the row-explosion plumbing is real."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids: list[str] = []
+            idxs: list[int] = []
+            frames: list[bytes] = []
+            vids = pdf[pdf["modality"] == "video"]
+            for asset_id, content, meta in zip(
+                vids["asset_id"], vids["content"], vids["meta"]
+            ):
+                duration = int(meta["duration_ms"] or 0)
+                n = max(1, duration // every_ms)
+                raw = bytes(content)
+                for i in range(n):
+                    ids.append(asset_id)
+                    idxs.append(i)
+                    frames.append(raw[i % max(1, len(raw)) :][:16] or raw[:16])
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_index": idxs, "frame": frames}
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def repartition_by_asset(media: DataFrame, target_partitions: int) -> DataFrame:
+    """Hash-spread assets so byte-heavy rows don't skew executors; at
+    cluster scale this is the knob that keeps task sizes uniform."""
+    return media.repartition(target_partitions, F.hash("asset_id"))
+
+
+def make_fake_media(spark, n: int = 24) -> DataFrame:
+    """Deterministic in-memory media fixture (no media libs needed)."""
+    rows: list[tuple[Any, ...]] = []
+    for i in range(n):
+        modality = ("image", "audio", "video")[i % 3]
+        content = hashlib.sha256(f"asset-{i}".encode()).digest() * 4
+        meta = {
+            "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[
+                modality
+            ],
+            "width": 64 if modality == "image" else None,
+            "height": 48 if modality == "image" else None,
+            "duration_ms": 3000 + i * 500 if modality != "image" else None,
+            "sample_rate": 16000 if modality == "audio" else None,
+        }
+        rows.append((f"a{i:04d}", modality, bytearray(content), meta))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

@@ -1,0 +1,209 @@
+"""Streaming event pipeline: watermarked windows + stateful operators.
+
+The reference has no streaming path (SURVEY.md §1.1: every run is a
+one-shot batch CLI). This module is the north-star extension: the same
+windowed aggregations the batch workload runs over ``events`` expressed as
+Structured Streaming, so a Delta/Kafka/file feed gets identical semantics
+with late-data handling.
+
+Scale posture:
+- Watermarks bound state: windows older than ``watermark`` are finalized
+  and evicted, so state size is O(active windows × keys), independent of
+  total stream length.
+- Aggregations are keyed shuffles with partial aggregation map-side —
+  identical physical shape to the batch plan at any cluster size.
+- The file source processes ``maxFilesPerTrigger`` at a time; on a real
+  feed the trigger controls micro-batch sizing, not this module.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from delta_unity_duckdb_spark.sources.tables import _ensure_session_confs
+
+# Explicit source schema (streaming readers cannot infer). ``ts`` arrives
+# as int64 nanos (parquet TIMESTAMP(NANOS) + nanosAsLong, see session.py)
+# and is converted to a timestamp column on read.
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the events fixture directory.
+
+    A parquet file dropped into a directory is exactly how micro-batch
+    ingestion lands at scale; the same transformations bind unchanged to a
+    Kafka or Delta source.
+    """
+    _ensure_session_confs(spark)
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    # The file source watches a DIRECTORY (new files appear → new batches);
+    # the fixture is one file inside sf_dir, selected by glob.
+    raw = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+    # Watermarks require TIMESTAMP (not NTZ); session tz is pinned UTC so
+    # the instant equals the batch path's wall-clock NTZ value.
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")
+    )
+
+
+def tumbling_counts(
+    events: DataFrame, width: str = "1 hour", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling-window event counts with a watermark for late data."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding-window counts; each event lands in width/slide windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Session windows (gap-based) per user — state evicted at watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def stateful_running_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count + value sum, carried in explicit GroupState across
+    micro-batches. The built-in windows can't express 'totals so far,
+    updated every batch' — this is the engine's escape hatch for arbitrary
+    per-key online state (SURVEY.md §7.6).
+
+    Arrow-batched per group; state is a single (count, sum) tuple per user,
+    so state size is O(distinct users)."""
+    import pandas as pd  # local import: executors ship their own copy
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sum_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("s", DoubleType())]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            s += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str | None = None, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain all available input in one go (Trigger.AvailableNow) into a
+    memory sink and return the result as a batch DataFrame. The test /
+    backfill harness for every streaming pipeline here: identical code
+    path to a live run, bounded by current data."""
+    name = query_name or f"q_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+def stream_to_parquet(
+    stream_df: DataFrame,
+    target_dir: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+):
+    """foreachBatch parquet sink: exactly-once per micro-batch via the
+    checkpoint; the batch_id makes idempotent overwrite-by-batch possible
+    on real object storage."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(target_dir)
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

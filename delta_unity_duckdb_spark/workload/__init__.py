@@ -4,8 +4,10 @@ from delta_unity_duckdb_spark.workload import (  # noqa: F401
     events,
     graphq,
     llm,
+    media,
     relational,
     scd,
+    streamq,
 )
 from delta_unity_duckdb_spark.workload.registry import ORACLE, QUERIES
 

@@ -36,3 +36,46 @@ def graph_one_hop_q(spark, sf_dir):
     """1-hop parent→child traversal (load_memgraph.py:92-95) as two hash joins."""
     v, e = build_graph(spark, sf_dir)
     return one_hop(v, e, limit=10)
+
+
+@query(
+    "graph_descendants",
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT o_custkey, o_orderkey AS src,
+             LEAD(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS dst
+      FROM orders
+    ), roots AS (
+      SELECT o_custkey, MIN(o_orderkey) AS root FROM orders GROUP BY o_custkey
+    ), walk AS (
+      SELECT root, root AS node, 0 AS depth FROM roots
+      UNION ALL
+      SELECT w.root, e.dst AS node, w.depth + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE e.dst IS NOT NULL
+    )
+    SELECT root, node, depth FROM walk
+    """,
+)
+def graph_descendants_q(spark, sf_dir):
+    """Multi-hop reachability (SURVEY.md §7.5): per-customer order chains
+    walked root→end by iterative frontier⋈edges joins (Spark has no
+    recursive CTE); the oracle is DuckDB's WITH RECURSIVE on the same
+    chain-graph. Chains reach ~40 hops at TPC-H order multiplicity."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from delta_unity_duckdb_spark.operators.graph import descendants
+    from delta_unity_duckdb_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    edges = (
+        o.select(
+            F.col("o_orderkey").alias("src"),
+            F.lead("o_orderkey").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
+    )
+    roots = o.groupBy("o_custkey").agg(F.min("o_orderkey").alias("id")).select("id")
+    return descendants(edges, roots, max_depth=64)

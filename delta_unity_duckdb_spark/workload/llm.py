@@ -150,10 +150,78 @@ def simhash_near_dups(spark, sf_dir):
 
 @query("embedding_pairs_lsh")
 def embedding_pairs_lsh(spark, sf_dir):
-    """Random-hyperplane LSH similarity join (E4), exact-verified ≥0.95."""
+    """Random-hyperplane LSH similarity join (E4), exact-verified ≥0.35.
+
+    The fixture embeddings are near-orthogonal random vectors (max pairwise
+    cosine ≈ 0.46), so the threshold sits below that to make the check
+    non-vacuous; production near-dup thresholds (0.9+) just change the
+    constant."""
     e = load_table(spark, sf_dir, "embeddings")
     return (
-        S.cosine_pairs_lsh(e, threshold=0.95, num_planes=16, bands=4)
+        S.cosine_pairs_lsh(e, threshold=0.35, num_planes=24, bands=6)
         .orderBy("id_a", "id_b")
         .limit(1000)
+    )
+
+
+@query("similarity_topk_ivf")
+def similarity_topk_ivf(spark, sf_dir):
+    """IVF-style approximate top-k (E3 scale path): probe the nprobe
+    nearest of nlist centroid partitions instead of scanning everything.
+    Deterministic (hash-sampled centroids) but approximate — rows-only;
+    recall vs brute force is asserted in tests."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    return S.ivf_topk(e.filter(F.col("vec_id") != 0), q, k=10, nlist=16, nprobe=4)
+
+
+@query(
+    "ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, CAST(n_chars // 100 AS INTEGER) AS band,
+             list_distinct(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS ts
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.ts, b.ts))), 4) AS jaccard
+    FROM toks a JOIN toks b
+      ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
+    ORDER BY jaccard DESC, id_a, id_b LIMIT 100
+    """,
+)
+def ngram_jaccard(spark, sf_dir):
+    """Exact token-set Jaccard over blocked candidate pairs (E: n-gram
+    Jaccard dedup). Blocking on (lang, length-band) keeps the self-join
+    near-linear — the full cross join never materializes; at 100 TB the
+    block key would be an LSH band instead."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 100).cast("int").alias("band"),
+        F.array_distinct(
+            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+        ).alias("ts"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(
+                F.size(F.array_intersect("a.ts", "b.ts")).cast("double")
+                / F.size(F.array_union("a.ts", "b.ts")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "id_a", "id_b")
+        .limit(100)
     )

@@ -815,3 +815,187 @@ def multiway_join_topk(spark, sf_dir):
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------- C joins: right outer
+@query(
+    "join_right",
+    oracle="""
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey ORDER BY c_custkey LIMIT 500
+    """,
+)
+def join_right(spark, sf_dir):
+    """Right outer join — planner flips it to a left join on the swapped
+    sides; customers without orders survive with n_orders = 0."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "right")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("c_custkey")
+        .limit(500)
+    )
+
+
+# ---------------------------------------------------------------- C joins: full outer
+@query(
+    "join_full",
+    oracle="""
+    WITH big AS (
+      SELECT o_custkey AS k, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey HAVING COUNT(*) > 12
+    ), neg AS (
+      SELECT c_custkey AS k, c_acctbal FROM customer WHERE c_acctbal < 0
+    )
+    SELECT COALESCE(big.k, neg.k) AS custkey, n_orders, CAST(c_acctbal AS DECIMAL(14,2)) AS c_acctbal
+    FROM big FULL OUTER JOIN neg ON big.k = neg.k
+    """,
+)
+def join_full(spark, sf_dir):
+    """Full outer join of two derived sets with unmatched rows on BOTH
+    sides (heavy orderers vs negative-balance customers)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        o.groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") > 12)
+    )
+    neg = c.filter(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("k2"), F.col("c_acctbal")
+    )
+    return big.join(neg, big.k == neg.k2, "full").select(
+        F.coalesce("k", "k2").alias("custkey"),
+        "n_orders",
+        F.col("c_acctbal").cast("decimal(14,2)").alias("c_acctbal"),
+    )
+
+
+# ---------------------------------------------------------------- C joins: cross
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    ORDER BY r_name, n_name LIMIT 200
+    """,
+)
+def join_cross(spark, sf_dir):
+    """Explicit cartesian product (tiny×tiny only — a guarded operation at
+    scale; the planner broadcasts the smaller side)."""
+    r = _t(spark, sf_dir, "region").select("r_name")
+    n = _t(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n).orderBy("r_name", "n_name").limit(200)
+
+
+# ---------------------------------------------------------------- C agg: GROUPING SETS
+@query(
+    "grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (distinct from rollup/cube): per-flag,
+    per-status, and grand-total groups in one pass."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_qty
+        FROM __li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------- C agg: pivot
+@query(
+    "pivot_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS status_f,
+           COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS status_o
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_agg(spark, sf_dir):
+    """groupBy().pivot() with an explicit value list — the planner emits a
+    single-pass conditional aggregation, no extra shuffle per column."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)))
+        .withColumnsRenamed({"F": "status_f", "O": "status_o"})
+    )
+
+
+# ---------------------------------------------------------------- C agg: exact percentiles
+@query(
+    "percentile_agg",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+           ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentile_agg(spark, sf_dir):
+    """Exact interpolated percentiles (SQL PERCENTILE_CONT semantics in
+    both engines). At scale prefer approx_percentile — registered
+    separately as a rows-only check because sketches differ per engine."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50_qty"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90_qty"),
+    )
+
+
+# ---------------------------------------------------------------- C agg: sketches (rows-only)
+@query("approx_aggs")
+def approx_aggs(spark, sf_dir):
+    """HLL distinct-count + quantile sketches: the 100 TB path where exact
+    DISTINCT/percentile shuffles are unaffordable. Engine sketches differ
+    (Spark HLL++ vs DuckDB HLL), so no value-hash oracle — tests bound the
+    relative error against exact instead."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_quantity", 0.5, 1000).alias("approx_p50"),
+    )
+
+
+# ---------------------------------------------------------------- C subqueries: EXISTS / NOT EXISTS / scalar
+@query(
+    "exists_subquery",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2 WHERE o2.o_custkey = c.c_custkey
+                      AND o2.o_orderstatus = 'F')
+      AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+    ORDER BY c_custkey LIMIT 200
+    """,
+)
+def exists_subquery(spark, sf_dir):
+    """Correlated EXISTS/NOT EXISTS + scalar subquery — Catalyst
+    decorrelates to semi/anti joins and a broadcast scalar."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("__cust_eq")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__ord_eq")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment FROM __cust_eq c
+        WHERE EXISTS (SELECT 1 FROM __ord_eq o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM __ord_eq o2 WHERE o2.o_custkey = c.c_custkey
+                          AND o2.o_orderstatus = 'F')
+          AND c_acctbal > (SELECT AVG(c_acctbal) FROM __cust_eq)
+        ORDER BY c_custkey LIMIT 200
+        """
+    )

@@ -1,0 +1,115 @@
+"""Structured Streaming workload entries (SURVEY.md §7.6).
+
+Each query executes the REAL streaming path — file-source readStream →
+watermarked stateful aggregation → memory sink drained with
+Trigger.AvailableNow — and returns the sink contents as a DataFrame. The
+oracles are the same SQL as the batch window queries: streaming and batch
+MUST agree on complete input, which is exactly what availableNow gives.
+
+``stream_stateful_totals`` exercises applyInPandasWithState (arbitrary
+per-key state); float accumulation order differs from a SQL SUM, so it
+registers rows-only (driver records count/schema, not value-hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from delta_unity_duckdb_spark.functions.numeric import dec
+from delta_unity_duckdb_spark.streaming.events import (
+    read_events_stream,
+    run_available_now,
+    stateful_running_totals,
+)
+from delta_unity_duckdb_spark.workload.registry import query
+
+
+@query(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window(spark, sf_dir):
+    """Watermarked 5-minute tumbling windows via readStream; equals the
+    batch plan on complete input (late data would be dropped past the
+    10-minute watermark on a live feed)."""
+    e = read_events_stream(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("decimal(38,6)").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return run_available_now(agg, output_mode="complete")
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                       >= INTERVAL '5 minutes'
+                  OR LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
+             THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+      FROM marked)
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_value
+    FROM sessions GROUP BY user_id, session_no
+    """,
+)
+def stream_session_window(spark, sf_dir):
+    """Streaming per-user sessionization (5-minute gap) — session_window
+    keeps open sessions in state until the watermark closes them;
+    availableNow finalizes everything at end-of-input."""
+    e = read_events_stream(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "5 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("decimal(38,6)").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_available_now(agg, output_mode="complete")
+
+
+@query("stream_stateful_totals")
+def stream_stateful_totals(spark, sf_dir):
+    """Per-user running totals held in explicit GroupState
+    (applyInPandasWithState) — the arbitrary-stateful-operator path."""
+    got = run_available_now(
+        stateful_running_totals(read_events_stream(spark, sf_dir)),
+        output_mode="update",
+    )
+    # update-mode sink holds one emission per (user, batch); final state =
+    # max per user (totals are monotone across batches).
+    return got.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("sum_value").alias("sum_value"),
+    )

@@ -1,0 +1,89 @@
+"""Quality gates for the approximate LLM-pipeline operators: measured
+recall/precision against exact ground truth (DuckDB-computed) at sf0.001.
+Everything is seeded/deterministic, so the floors are stable."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from delta_unity_duckdb_spark.operators import dedup as D
+from delta_unity_duckdb_spark.operators import similarity as S
+from delta_unity_duckdb_spark.sources.tables import load_table
+
+
+def test_minhash_recall_and_exact_pairs(spark, sf_dir):
+    """Recall measured in the SAME feature space minhash sketches (3-gram
+    shingle sets), with exact pairwise Jaccard as ground truth."""
+    d = load_table(spark, sf_dir, "documents")
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_near_dups(
+            d, "doc_id", "text", num_perm=32, bands=8
+        ).collect()
+    }
+    assert cand, "no candidate pairs"
+    sh = d.select(
+        "doc_id", F.array_distinct(D._shingles(F.col("text"))).alias("ts")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    truth = {
+        (r["id_a"], r["id_b"]): r["j"]
+        for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            (
+                F.size(F.array_intersect("a.ts", "b.ts")).cast("double")
+                / F.size(F.array_union("a.ts", "b.ts"))
+            ).alias("j"),
+        )
+        .filter(F.col("j") >= 0.85)
+        .collect()
+    }
+    assert truth, "fixture has no shingle-space near-dups"
+    # identical shingle sets → identical signatures → must always collide
+    identical = {p for p, j in truth.items() if j == 1.0}
+    assert identical <= cand, f"missed {len(identical - cand)} exact-set pairs"
+    recall = sum(1 for p in truth if p in cand) / len(truth)
+    assert recall >= 0.9, f"minhash recall@0.85 = {recall:.3f}"
+
+
+def test_simhash_finds_identical_sets(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    cand = {
+        (r["id_a"], r["id_b"])
+        for r in D.simhash_near_dups(d, "doc_id", "text").collect()
+    }
+    assert cand, "no simhash pairs"
+    # simhash of an identical token multiset is identical → hamming 0
+    identical_text = {
+        (r["a"], r["b"])
+        for r in d.alias("x")
+        .join(d.alias("y"), F.col("x.text") == F.col("y.text"))
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .collect()
+    }
+    assert identical_text <= cand
+
+
+def test_lsh_pairs_precision(spark, sf_dir):
+    """Every emitted pair passed the exact-cosine verify step — precision
+    is 1.0 by construction; assert it holds end-to-end."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pairs = S.cosine_pairs_lsh(e, threshold=0.35, num_planes=24, bands=6)
+    rows = pairs.collect()
+    assert rows, "no LSH pairs at threshold 0.35"
+    assert all(r["cosine_sim"] >= 0.35 for r in rows)
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    base = e.filter(F.col("vec_id") != 0)
+    exact = {r["vec_id"] for r in S.cosine_topk(base, q, k=10).collect()}
+    approx = {r["vec_id"] for r in S.ivf_topk(base, q, k=10, nlist=16, nprobe=4).collect()}
+    assert len(approx) == 10
+    # nprobe/nlist = 1/4 of partitions scanned; seeded fixture recall is
+    # stable — require at least 3/10 overlap (measured: higher)
+    assert len(exact & approx) >= 3, f"IVF recall {len(exact & approx)}/10"

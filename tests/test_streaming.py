@@ -1,0 +1,108 @@
+"""Streaming ≡ batch equivalence: the same windowed aggregations computed
+via Structured Streaming (availableNow over the fixture) must match the
+batch DataFrame plan on identical input."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_unity_duckdb_spark.sources.tables import load_table
+from delta_unity_duckdb_spark.streaming.events import (
+    read_events_stream,
+    run_available_now,
+    session_counts,
+    sliding_counts,
+    stateful_running_totals,
+    stream_to_parquet,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, sf_dir):
+    # Align with the stream's TIMESTAMP type (session tz = UTC) so window
+    # boundaries and collected values compare exactly.
+    return load_table(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+
+
+def _rows(df, *order):
+    return [tuple(r) for r in df.orderBy(*order).collect()]
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, batch_events):
+    stream = tumbling_counts(read_events_stream(spark, sf_dir))
+    got = run_available_now(stream, output_mode="complete")
+    want = (
+        batch_events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+    assert _rows(got, "window_start", "event_type") == _rows(
+        want, "window_start", "event_type"
+    )
+
+
+def test_sliding_stream_matches_batch(spark, sf_dir, batch_events):
+    stream = sliding_counts(read_events_stream(spark, sf_dir))
+    got = run_available_now(stream, output_mode="complete")
+    want = (
+        batch_events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+    assert _rows(got, "window_start") == _rows(want, "window_start")
+
+
+def test_session_stream_matches_batch(spark, sf_dir, batch_events):
+    stream = session_counts(read_events_stream(spark, sf_dir))
+    got = run_available_now(stream, output_mode="complete")
+    want = (
+        batch_events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+    assert _rows(got, "session_start", "user_id") == _rows(
+        want, "session_start", "user_id"
+    )
+
+
+def test_stateful_running_totals(spark, sf_dir, batch_events):
+    """applyInPandasWithState totals over one availableNow drain must equal
+    the batch per-user aggregate (update mode: last row per user wins)."""
+    stream = stateful_running_totals(read_events_stream(spark, sf_dir))
+    got = run_available_now(stream, output_mode="update")
+    # update-mode memory sink appends every emission; keep the final state
+    # per user (max n_events is monotone in batches).
+    final = (
+        got.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("sum_value").alias("sum_value"),
+        )
+    )
+    want = batch_events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("sum_value"),
+    )
+    g = {r["user_id"]: (r["n_events"], round(r["sum_value"], 6)) for r in final.collect()}
+    w = {r["user_id"]: (r["n_events"], round(r["sum_value"], 6)) for r in want.collect()}
+    assert g == w
+
+
+def test_foreach_batch_parquet_sink(spark, sf_dir, batch_events, tmp_path):
+    stream = read_events_stream(spark, sf_dir).select("event_id", "user_id", "value")
+    q = stream_to_parquet(
+        stream, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+    written = spark.read.parquet(str(tmp_path / "out"))
+    assert written.count() == batch_events.count()
+    assert set(written.columns) == {"event_id", "user_id", "value"}
