@@ -62,14 +62,35 @@ def graph_counts(vertices: DataFrame, edges: DataFrame) -> DataFrame:
     return v.crossJoin(e)
 
 
-def one_hop(vertices: DataFrame, edges: DataFrame, limit: int = 10) -> DataFrame:
-    """Parent→child traversal with titles (load_memgraph.py:92-95): two hash
-    joins; the vertex side is pruned to (id, title) before shuffling."""
-    p = vertices.alias("p")
-    c = vertices.alias("c")
-    return (
-        edges.join(p, edges.src == F.col("p.id"))
-        .join(c, edges.dst == F.col("c.id"))
+def one_hop(
+    vertices: DataFrame, edges: DataFrame, limit: int | None = 10
+) -> DataFrame:
+    """Parent→child traversal with titles (load_memgraph.py:92-95).
+
+    With a limit, the top-k by child id is taken on the EDGE list first
+    (a TakeOrdered, no shuffle), then only k rows are broadcast into the
+    two vertex lookups. Safe because the graph maintains referential
+    integrity (build_graph derives both sides from the same rows), so the
+    joins never drop an edge — the planner can't know that, we do."""
+    if limit is not None:
+        # Materialize the k edges (tiny), resolve BOTH endpoints with ONE
+        # pass over the vertex table, then join the (≤2k)-row vertex
+        # subset — instead of streaming the full vertex table through two
+        # separate lookup joins.
+        e = edges.orderBy("dst").limit(limit).localCheckpoint(eager=True)
+        needed = (
+            e.select(F.col("src").alias("id"))
+            .union(e.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        v = vertices.join(F.broadcast(needed), "id").localCheckpoint(eager=True)
+    else:
+        e, v = edges, vertices
+    p = v.alias("p")
+    c = v.alias("c")
+    joined = (
+        e.join(p, e.src == F.col("p.id"))
+        .join(c, e.dst == F.col("c.id"))
         .select(
             F.col("p.id").alias("parent_id"),
             F.col("p.title").alias("parent_title"),
@@ -77,8 +98,8 @@ def one_hop(vertices: DataFrame, edges: DataFrame, limit: int = 10) -> DataFrame
             F.col("c.title").alias("child_title"),
         )
         .orderBy("child_id")
-        .limit(limit)
     )
+    return joined.limit(limit) if limit is not None else joined
 
 
 def descendants(

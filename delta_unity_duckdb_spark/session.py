@@ -46,9 +46,25 @@ def get_spark(
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config(
+            "spark.sql.adaptive.enabled",
+            os.environ.get("SPARK_GRAFT_AQE", "true"),
+        )
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Scan split sizing. Spark's default open-cost floor (4 MiB) caps a
+        # 10 MiB fixture file at ~3 splits — 3-way parallelism on a 32-core
+        # box. A small open cost lets tiny local files split out to all
+        # cores; on a real cluster (100 TB, 128 MiB+ files) bytes-per-core
+        # dominates the split formula and these floors are inert.
+        .config(
+            "spark.sql.files.openCostInBytes",
+            os.environ.get("SPARK_GRAFT_OPEN_COST", "262144"),
+        )
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "134217728"),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # Parquet TIMESTAMP(NANOS) (events.ts) has no Spark type; read the
         # raw int64 and convert in sources.tables (floor-div to micros).
