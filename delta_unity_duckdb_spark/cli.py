@@ -23,7 +23,13 @@ def build_parser() -> argparse.ArgumentParser:
         description="Query fixture tables / parquet / Delta paths with "
         "$TABLE-templated SQL (reference CLI parity).",
     )
-    p.add_argument("--table", required=True, help="table name or path")
+    p.add_argument("--table", default=None, help="table name or path")
+    p.add_argument(
+        "-i",
+        "--interactive",
+        action="store_true",
+        help="SQL REPL over the fixture tables (query_sync_table.py parity)",
+    )
     p.add_argument("--query", default=None, help="SQL with $TABLE placeholder")
     p.add_argument("--limit", type=int, default=10, help="bare-scan limit")
     p.add_argument("--format", choices=("table", "json"), default="table")
@@ -41,6 +47,16 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app_name="duds-cli")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if args.interactive:
+        from delta_unity_duckdb_spark.repl import SQLRepl
+
+        sf_dir = args.sf_dir or "/root/testdata/sf0.1"
+        SQLRepl(spark, sf_dir).interactive_mode()
+        return 0
+
+    if not args.table:
+        build_parser().error("--table is required unless --interactive")
     sc = Scanner(spark, sf_dir=args.sf_dir)
 
     if args.schema:

@@ -79,3 +79,19 @@ def graph_descendants_q(spark, sf_dir):
     )
     roots = o.groupBy("o_custkey").agg(F.min("o_orderkey").alias("id")).select("id")
     return descendants(edges, roots, max_depth=64)
+
+
+@query("graph_cypher_load")
+def graph_cypher_load(spark, sf_dir):
+    """D1-D3: parse a Cypher MERGE corpus (same shape as the reference's
+    cypher_queries_clean.json) into vertices/edges and verify counts —
+    the reference's post-load verification (load_memgraph.py:78-95) as one
+    DataFrame. Rows-only: corpus parsing has no SQL twin."""
+    from delta_unity_duckdb_spark.operators.cypher import (
+        corpus_to_graph,
+        synthetic_corpus,
+    )
+
+    corpus = synthetic_corpus(spark, n_chains=40, chain_len=4)
+    vertices, edges = corpus_to_graph(corpus)
+    return graph_counts(vertices, edges)
