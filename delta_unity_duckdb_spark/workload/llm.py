@@ -225,3 +225,65 @@ def ngram_jaccard(spark, sf_dir):
         .orderBy(F.desc("jaccard"), "id_a", "id_b")
         .limit(100)
     )
+
+
+@query(
+    "quality_scores",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             LENGTH(text) AS n_chars,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
+             LENGTH(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct
+      FROM documents)
+    SELECT doc_id,
+           ROUND((LEAST(n_chars / 200.0, 1.0)
+                  + (1.0 - LEAST(punct / GREATEST(n_chars, 1) * 5.0, 1.0))
+                  + CASE WHEN len(toks) > 0
+                         THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                         ELSE 0.0 END) / 3.0, 4) AS quality
+    FROM t ORDER BY doc_id LIMIT 500
+    """,
+)
+def quality_scores(spark, sf_dir):
+    """Document quality heuristic (length / punctuation-density / word
+    diversity), all JVM column expressions — hash-checked against the same
+    formula in DuckDB SQL."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+        .orderBy("doc_id")
+        .limit(500)
+    )
+
+
+@query(
+    "udf_pandas_scalar",
+    oracle="""
+    SELECT o_orderkey,
+           ROUND(LN(1.0 + o_totalprice) * 100.0, 4) AS scaled
+    FROM orders ORDER BY o_orderkey LIMIT 500
+    """,
+)
+def udf_pandas_scalar(spark, sf_dir):
+    """The engine's UDF surface (SURVEY.md §2-C note): an Arrow-vectorized
+    scalar pandas_udf — numpy over columnar batches, ~10-100x faster than
+    row-at-a-time Python UDFs, and the ONLY sanctioned way to run custom
+    Python in a hot path. Oracle-checked because the transform is pure."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # No type hints: `from __future__ import annotations` stringifies them,
+    # and pyspark can't resolve 'pd.Series' against a function-local import.
+    @pandas_udf("double")
+    def log_scale(v):
+        import numpy as np
+
+        return pd.Series(np.round(np.log1p(v.to_numpy()) * 100.0, 4))
+
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", log_scale("o_totalprice").alias("scaled"))
+        .orderBy("o_orderkey")
+        .limit(500)
+    )
