@@ -124,3 +124,30 @@ def write_jdbc(
         .mode(mode)
         .save()
     )
+
+
+# ---------------------------------------------------------------- bucketed tables
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int,
+    sort_cols: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Persist a table bucketed (and optionally sorted) on the join key.
+
+    The 100 TB join strategy for fact⋈fact: two tables bucketed the same
+    way co-locate matching keys at WRITE time, so every subsequent join or
+    aggregation on the bucket key runs with ZERO shuffle — the dominant
+    cost of large joins disappears from every downstream query. Bucket
+    metadata lives in the session catalog (``saveAsTable``).
+    """
+    writer = (
+        df.write.mode(mode)
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)

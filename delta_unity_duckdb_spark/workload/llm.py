@@ -287,3 +287,43 @@ def udf_pandas_scalar(spark, sf_dir):
         .orderBy("o_orderkey")
         .limit(500)
     )
+
+
+@query(
+    "lang_id",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang AS lang_true,
+             list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+                                       x -> x <> '')) AS toks
+      FROM documents),
+    scored AS (
+      SELECT doc_id, lang_true,
+             list_max([
+               struct_pack(score := CAST(len(list_intersect(toks, ['the','and','of','to','in','is','that','it'])) AS DOUBLE) / 8.0, lang := 'en'),
+               struct_pack(score := CAST(len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','zu'])) AS DOUBLE) / 8.0, lang := 'de'),
+               struct_pack(score := CAST(len(list_intersect(toks, ['le','la','les','et','est','un','une','que'])) AS DOUBLE) / 8.0, lang := 'fr'),
+               struct_pack(score := CAST(len(list_intersect(toks, ['el','la','los','y','es','un','una','que'])) AS DOUBLE) / 8.0, lang := 'es'),
+               struct_pack(score := CAST(len(list_intersect(toks, ['的','是','了','在','我','有','和','不'])) AS DOUBLE) / 8.0, lang := 'zh')
+             ]) AS best
+      FROM t)
+    SELECT doc_id, lang_true,
+           CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred
+    FROM scored ORDER BY doc_id LIMIT 1000
+    """,
+)
+def lang_id(spark, sf_dir):
+    """n-gram/stopword language ID (E5): per-language profile hit ratio,
+    argmax via array_max over (score, lang) structs — lexicographic struct
+    comparison ties out identically in both engines, hash-checked against
+    the true lang column riding along."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.col("lang").alias("lang_true"),
+            T.detect_language(F.col("text")).alias("lang_pred"),
+        )
+        .orderBy("doc_id")
+        .limit(1000)
+    )

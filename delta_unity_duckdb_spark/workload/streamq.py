@@ -113,3 +113,39 @@ def stream_stateful_totals(spark, sf_dir):
         F.max("n_events").alias("n_events"),
         F.max("sum_value").alias("sum_value"),
     )
+
+
+@query(
+    "stream_sliding_window",
+    oracle="""
+    WITH phased AS (
+      SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS window_start, value
+      FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP), INTERVAL '5 minutes') AS window_start, value
+      FROM events
+    )
+    SELECT window_start, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_value
+    FROM phased GROUP BY 1
+    """,
+)
+def stream_sliding_window(spark, sf_dir):
+    """Watermarked sliding windows (10-minute width, 5-minute slide) via
+    readStream — every event lands in 2 windows; same oracle as the batch
+    sliding_window query."""
+    e = read_events_stream(spark, sf_dir)
+    agg = (
+        e.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("decimal(38,6)").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+    return run_available_now(agg, output_mode="complete")
