@@ -65,9 +65,9 @@ class Scanner:
             return load_table(self.spark, self.sf_dir, table)
         if re.fullmatch(r"\w+(\.\w+){1,2}", table) and not os.path.exists(table):
             return self.spark.table(table)
-        if os.path.isdir(os.path.join(table, "_delta_log")):
-            return self.spark.read.format("delta").load(table)
-        return self.spark.read.parquet(table)
+        from delta_unity_duckdb_spark.sources.tables import read_any
+
+        return read_any(self.spark, table)
 
     # -- query -----------------------------------------------------------
     def query(

@@ -73,3 +73,29 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def read_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
+    """Read a data file/directory by format (reference passthrough surface:
+    DuckDB's read_parquet/read_csv/read_json reachable through $TABLE SQL,
+    SURVEY.md §2-C scans). Format inferred from the extension when not
+    given; CSV gets header+schema inference (sampling read — acceptable at
+    setup time, not in a query path)."""
+    _ensure_session_confs(spark)
+    if fmt is None:
+        low = path.lower().rstrip("/")
+        if low.endswith((".csv", ".csv.gz")):
+            fmt = "csv"
+        elif low.endswith((".json", ".jsonl", ".ndjson", ".json.gz")):
+            fmt = "json"
+        elif os.path.isdir(os.path.join(path, "_delta_log")):
+            fmt = "delta"
+        else:
+            fmt = "parquet"
+    if fmt == "csv":
+        return spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    if fmt == "json":
+        return spark.read.json(path)
+    if fmt == "delta":
+        return spark.read.format("delta").load(path)
+    return spark.read.parquet(path)

@@ -207,3 +207,16 @@ def stream_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_events_stream(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exact dedup (E1's streaming arm): drop re-deliveries of
+    the same event id within the watermark horizon. State holds one entry
+    per key and is evicted once the watermark passes — bounded memory on
+    an unbounded stream, the property batch dropDuplicates can't give."""
+    keys = keys or ["event_id"]
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys + ["ts"] if "ts" not in keys else keys
+    )

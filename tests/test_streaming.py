@@ -106,3 +106,17 @@ def test_foreach_batch_parquet_sink(spark, sf_dir, batch_events, tmp_path):
     written = spark.read.parquet(str(tmp_path / "out"))
     assert written.count() == batch_events.count()
     assert set(written.columns) == {"event_id", "user_id", "value"}
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir, batch_events):
+    """Re-delivered events (union of the stream source with itself via two
+    reads) collapse back to the distinct id set."""
+    from delta_unity_duckdb_spark.streaming.events import dedup_events_stream
+
+    s1 = read_events_stream(spark, sf_dir)
+    s2 = read_events_stream(spark, sf_dir)
+    doubled = s1.union(s2)  # every event delivered twice
+    deduped = dedup_events_stream(doubled).select("event_id")
+    got = run_available_now(deduped, output_mode="append")
+    assert got.count() == batch_events.count()
+    assert got.distinct().count() == batch_events.count()
