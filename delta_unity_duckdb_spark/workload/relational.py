@@ -999,3 +999,78 @@ def exists_subquery(spark, sf_dir):
         ORDER BY c_custkey LIMIT 200
         """
     )
+
+
+# ---------------------------------------------------------------- C multi-join chain (Q5 shape)
+@query(
+    "regional_revenue",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4))
+                    * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(38,6)) AS revenue
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey   = c_custkey
+    JOIN lineitem ON l_orderkey  = o_orderkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+)
+def regional_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: a 5-table join chain. The dimension chain
+    (region→nation→customer) collapses into broadcast lookups against the
+    fact tables; only the orders⋈lineitem join shuffles. Catalyst reorders
+    the filtered region scan to the front (one region → 1/5 of nations)."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    dims = F.broadcast(
+        c.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+               c.c_nationkey == F.col("n_nationkey"))
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(dims, o.o_custkey == F.col("c_custkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(dmoney("l_extendedprice") * (1 - drate("l_discount")))
+            .cast("decimal(38,6)")
+            .alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------- C map functions
+@query(
+    "map_funcs",
+    oracle="""
+    SELECT event_id,
+           (element_at(map(['type'], [event_type]), 'type'))[1] AS type_val,
+           CAST(cardinality(map(['type','uid'], [event_type, CAST(user_id AS VARCHAR)])) AS INTEGER) AS map_size
+    FROM events ORDER BY event_id LIMIT 500
+    """,
+)
+def map_funcs(spark, sf_dir):
+    """MapType construction + element_at + cardinality (§2-C array/map
+    class). Maps never appear in the reference's own data but ride the
+    passthrough surface; Spark's MapType covers them natively."""
+    e = _t(spark, sf_dir, "events")
+    m2 = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    return (
+        e.select(
+            "event_id",
+            F.element_at(F.create_map(F.lit("type"), F.col("event_type")), "type").alias("type_val"),
+            F.size(m2).cast("int").alias("map_size"),
+        )
+        .orderBy("event_id")
+        .limit(500)
+    )

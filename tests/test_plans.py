@@ -86,3 +86,10 @@ def test_scan_limit_short_circuits(plans):
     """Deterministic ordered limit → per-partition top-k merge (no global
     sort, no full materialization)."""
     assert "TakeOrderedAndProject" in plans["scan_limit"]
+
+
+def test_q5_chain_broadcasts_dims(plans):
+    """The region→nation→customer dim chain must broadcast; the only
+    shuffle join is the fact⋈fact orders⋈lineitem."""
+    p = plans["regional_revenue"]
+    assert p.count("BroadcastHashJoin") >= 2

@@ -95,3 +95,22 @@ def test_cli_schema_and_count(spark, sf_dir, capsys):
     assert "r_regionkey" in capsys.readouterr().out
     assert cli.main(["--table", "region", "--count", "--sf-dir", sf_dir]) == 0
     assert capsys.readouterr().out.strip() == "5"
+
+
+def test_missing_table_errors_cleanly(spark, sf_dir):
+    sc = Scanner(spark, sf_dir)
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(Exception):
+        sc.count("/no/such/path.parquet")
+    with pytest.raises(AnalysisException):
+        sc.query("region", "SELECT nope FROM $TABLE").collect()
+
+
+def test_bad_sql_raises(spark, sf_dir):
+    import pytest
+
+    sc = Scanner(spark, sf_dir)
+    with pytest.raises(Exception):
+        sc.query("region", "SELEC broken")
