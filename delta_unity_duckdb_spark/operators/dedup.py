@@ -227,3 +227,67 @@ def ngram_jaccard(
             (inter.cast("double") / union.cast("double")).alias("jaccard"),
         )
     )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """Exact (id_a < id_b) pairs with cosine similarity >= threshold.
+
+    This is the brute-force verification kernel: an all-pairs theta join.
+    Use it directly only on small / pre-blocked inputs; at scale, feed it
+    the candidate pairs from ``similarity.cosine_pairs_lsh`` (random-
+    hyperplane LSH blocking) instead of the full table — the blocked path
+    is near-linear, this one is quadratic by construction.
+    """
+    from delta_unity_duckdb_spark.operators.similarity import cosine_sim
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    sim = cosine_sim(F.col("va"), F.col("vb"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def dedup_embedding_cosine(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate removal (E2, embedding flavor).
+
+    Semantics: a row is DROPPED iff some row with a smaller id is within
+    ``threshold`` cosine similarity of it — the greedy smallest-id-wins
+    rule (chain drops included), which is deterministic and engine-
+    independent, unlike connected-component canonicalization which would
+    need an iterative fixpoint.
+
+    ``candidates``: optional pre-blocked (id_a, id_b) pair DataFrame (from
+    LSH); when given, only those pairs are similarity-checked — the 100 TB
+    path. When None, exact all-pairs (small inputs / oracle checks only).
+    """
+    if candidates is None:
+        dups = embedding_cosine_pairs(df, id_col, vec_col, threshold)
+    else:
+        v = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        from delta_unity_duckdb_spark.operators.similarity import cosine_sim
+
+        dups = (
+            candidates.join(v.withColumnsRenamed({"__id": "id_a", "__v": "va"}), "id_a")
+            .join(v.withColumnsRenamed({"__id": "id_b", "__v": "vb"}), "id_b")
+            .select("id_a", "id_b", F.round(cosine_sim(F.col("va"), F.col("vb")), 4).alias("cosine_sim"))
+            .filter(F.col("cosine_sim") >= threshold)
+        )
+    drop_ids = dups.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(drop_ids, id_col, "left_anti")

@@ -133,3 +133,40 @@ def event_funnel(spark, sf_dir):
         .groupBy("event_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------- as-of join
+@query(
+    "asof_join_events",
+    oracle="""
+    SELECT p.user_id,
+           CAST(p.ts AS TIMESTAMP) AS ts,
+           p.event_id,
+           p.value,
+           v.event_id AS view_event_id,
+           CAST(v.ts AS TIMESTAMP) AS view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+    """,
+)
+def asof_join_events(spark, sf_dir):
+    """As-of join: each purchase matched to the user's most recent view at
+    or before it (attribution shape). Implemented union+LOCF — one keyed
+    shuffle, no range-join explosion (operators/asof.py); oracle is
+    DuckDB's native ASOF LEFT JOIN."""
+    from delta_unity_duckdb_spark.operators.asof import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    v = e.filter(F.col("event_type") == "view").select("user_id", "ts", "event_id")
+    return asof_join(
+        p,
+        v,
+        on=["user_id"],
+        ts_col="ts",
+        right_cols={"event_id": "view_event_id", "ts": "view_ts"},
+        right_id_col="event_id",
+    )

@@ -327,3 +327,60 @@ def lang_id(spark, sf_dir):
         .orderBy("doc_id")
         .limit(1000)
     )
+
+
+@query(
+    "token_counts_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(COALESCE(list_sum(list_transform(
+                  regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'),
+                  p -> CAST(CEIL(LENGTH(p) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_tokens_bpe
+    FROM documents ORDER BY doc_id LIMIT 500
+    """,
+)
+def token_counts_bpe(spark, sf_dir):
+    """Subword-ish (BPE-style) token estimate: regexp pre-tokenize, one
+    token per started 4 characters — deterministic stand-in for a real BPE
+    vocab, hash-checked against the identical formula in DuckDB."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", T.bpe_ish_token_count(F.col("text")).alias("n_tokens_bpe"))
+        .orderBy("doc_id")
+        .limit(500)
+    )
+
+
+@query(
+    "embedding_dedup_cosine",
+    oracle="""
+    WITH sims AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ROUND(
+               list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (SQRT(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * SQRT(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+               4) AS cosine_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ),
+    drops AS (SELECT DISTINCT id_b FROM sims WHERE cosine_sim >= 0.42)
+    SELECT e.vec_id, e.label
+    FROM embeddings e LEFT JOIN drops d ON e.vec_id = d.id_b
+    WHERE d.id_b IS NULL
+    ORDER BY e.vec_id
+    """,
+)
+def embedding_dedup_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup dedup (E2, embedding flavor): drop every
+    vector with a smaller-id neighbor at cosine >= 0.42 (greedy smallest-
+    id-wins; 0.42 is a demo threshold — the fixture corpus has no true
+    dups, max pairwise cosine ~0.51). Exact all-pairs here for the oracle;
+    at scale the same operator takes LSH candidates (``cosine_pairs_lsh``)
+    instead of the quadratic join — see dedup.dedup_embedding_cosine."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        D.dedup_embedding_cosine(e, "vec_id", "embedding", 0.42)
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )

@@ -99,10 +99,21 @@ def stream_session_window(spark, sf_dir):
     return run_available_now(agg, output_mode="complete")
 
 
-@query("stream_stateful_totals")
+@query(
+    "stream_stateful_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value
+    FROM events GROUP BY user_id
+    """,
+)
 def stream_stateful_totals(spark, sf_dir):
     """Per-user running totals held in explicit GroupState
-    (applyInPandasWithState) — the arbitrary-stateful-operator path."""
+    (applyInPandasWithState) — the arbitrary-stateful-operator path.
+
+    Hash-checkable against plain SQL: the fixture values carry exactly two
+    decimals, so the Python float accumulation rounds back to the exact
+    decimal sum (error ~1e-10 << 0.005, and no .xx5 tie cases exist)."""
     got = run_available_now(
         stateful_running_totals(read_events_stream(spark, sf_dir)),
         output_mode="update",
@@ -111,7 +122,7 @@ def stream_stateful_totals(spark, sf_dir):
     # max per user (totals are monotone across batches).
     return got.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
-        F.max("sum_value").alias("sum_value"),
+        F.round(F.max("sum_value"), 2).alias("sum_value"),
     )
 
 

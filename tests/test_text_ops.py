@@ -1,0 +1,67 @@
+"""Text-operator unit tests for the pieces without SQL oracles
+(fingerprint: xxhash64-based; language scores)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from delta_unity_duckdb_spark.operators import text as T
+
+
+def _one(spark, text):
+    return spark.createDataFrame([(text,)], "text string")
+
+
+def test_fingerprint_deterministic_and_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, "the quick brown foxes")],
+        "id long, text string",
+    )
+    rows = {
+        r["id"]: r["fp"]
+        for r in df.select("id", T.doc_fingerprint(F.col("text")).alias("fp")).collect()
+    }
+    assert rows[1] == rows[2]          # same text → same fingerprint
+    assert rows[1] != rows[3]          # one token differs → different
+    assert 0 <= rows[1] < (1 << 56)    # bounded by the modulus
+    again = {
+        r["id"]: r["fp"]
+        for r in df.select("id", T.doc_fingerprint(F.col("text")).alias("fp")).collect()
+    }
+    assert rows == again               # re-execution stable
+
+
+def test_detect_language_obvious_cases(spark):
+    cases = [
+        ("the cat is in the house and it is warm", "en"),
+        ("der Hund ist nicht zu Hause und das ist gut", "de"),
+        ("le chat est dans la maison et il est content", "fr"),
+        ("xyzzy plugh 12345", "und"),
+    ]
+    df = spark.createDataFrame(cases, "text string, want string")
+    out = df.select("want", T.detect_language(F.col("text")).alias("got")).collect()
+    for r in out:
+        assert r["got"] == r["want"], f"{r['want']} misdetected as {r['got']}"
+
+
+def test_quality_score_orders_sensibly(spark):
+    good = "A reasonably long, well formed document with many distinct words " * 4
+    bad = "!!! ??? *** !!! ??? ***"
+    df = spark.createDataFrame([(1, good), (2, bad)], "id long, text string")
+    rows = {
+        r["id"]: r["q"]
+        for r in df.select("id", T.quality_score(F.col("text")).alias("q")).collect()
+    }
+    assert rows[1] > rows[2]
+    assert 0.0 <= rows[2] <= rows[1] <= 1.0
+
+
+def test_token_counts_agree_on_simple_text(spark):
+    df = _one(spark, "hello world 123")
+    r = df.select(
+        T.whitespace_token_count(F.col("text")).alias("ws"),
+        T.bpe_ish_token_count(F.col("text")).alias("bpe"),
+    ).collect()[0]
+    assert r["ws"] == 3
+    # hello(2) + world(2) + 123(1) started-4-char chunks
+    assert r["bpe"] == 2 + 2 + 1
