@@ -170,3 +170,40 @@ def asof_join_events(spark, sf_dir):
         right_cols={"event_id": "view_event_id", "ts": "view_ts"},
         right_id_col="event_id",
     )
+
+
+# ---------------------------------------------------------------- hypertable rollup
+@query(
+    "hypertable_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+           date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+           time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS bucket_5m,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_value
+    FROM events
+    GROUP BY GROUPING SETS ((1), (1, 2), (1, 2, 3))
+    """,
+)
+def hypertable_rollup(spark, sf_dir):
+    """Hypertable-style continuous-aggregate rollup: one pass producing
+    day, day+hour, and day+hour+5-minute aggregates via ROLLUP over the
+    time hierarchy (equivalent to the three grouping sets since each level
+    nests in the previous). Spark plans a single Expand + partial/final
+    hash agg — one shuffle for all three granularities; at scale each
+    level is also the natural incremental-materialization unit."""
+    e = load_table(spark, sf_dir, "events")
+    bucketed = e.select(
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.window("ts", "5 minutes")["start"].alias("bucket_5m"),
+        "value",
+    )
+    return (
+        bucketed.rollup("day", "hour", "bucket_5m")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("decimal(38,6)").alias("sum_value"),
+        )
+        .filter(F.col("day").isNotNull())
+    )

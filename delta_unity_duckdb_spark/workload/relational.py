@@ -1074,3 +1074,30 @@ def map_funcs(spark, sf_dir):
         .orderBy("event_id")
         .limit(500)
     )
+
+
+@query(
+    "string_agg_group",
+    oracle="""
+    SELECT r.r_name,
+           STRING_AGG(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name ORDER BY r.r_name
+    """,
+)
+def string_agg_group(spark, sf_dir):
+    """Ordered string aggregation (STRING_AGG / LISTAGG): collect_list is
+    partition-order-nondeterministic, so sort the array before joining —
+    the only reproducible formulation at scale. Region side broadcasts."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )

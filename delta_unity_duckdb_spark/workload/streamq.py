@@ -160,3 +160,61 @@ def stream_sliding_window(spark, sf_dir):
         )
     )
     return run_available_now(agg, output_mode="complete")
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_event_id,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           v.event_id AS view_event_id,
+           CAST(v.ts AS TIMESTAMP) AS view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id
+     AND CAST(v.ts AS TIMESTAMP) >= CAST(p.ts AS TIMESTAMP) - INTERVAL 6 HOUR
+     AND CAST(v.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP)
+    """,
+)
+def stream_stream_join(spark, sf_dir):
+    """Stream-stream inner join: purchases matched to same-user views in
+    the preceding 6 hours. Both sides are watermarked and the join
+    condition bounds event-time on both ends, so Spark can expire join
+    state — the only formulation that runs unbounded at scale. availableNow
+    over the fixture = one micro-batch, so the result equals the batch
+    interval join the oracle computes."""
+    e = read_events_stream(spark, sf_dir)
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("ts").alias("view_ts"),
+            F.col("event_id").alias("view_event_id"),
+        )
+        .withWatermark("view_ts", "10 minutes")
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_event_id"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = p.join(
+        v,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("view_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 6 HOURS"))
+        & (F.col("view_ts") <= F.col("purchase_ts")),
+        "inner",
+    )
+    out = joined.select(
+        F.col("p_user_id").alias("user_id"),
+        "purchase_event_id",
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        "view_event_id",
+        F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+    )
+    return run_available_now(out, output_mode="append")

@@ -93,3 +93,27 @@ def test_q5_chain_broadcasts_dims(plans):
     shuffle join is the fact⋈fact orders⋈lineitem."""
     p = plans["regional_revenue"]
     assert p.count("BroadcastHashJoin") >= 2
+
+
+def test_asof_join_is_single_shuffle_no_range_join(plans):
+    """The as-of join must plan as union -> one hash Exchange on the key ->
+    window, never a (broadcast) nested-loop range join."""
+    p = plans["asof_join_events"]
+    assert "Exchange hashpartitioning(user_id" in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+    assert "Window" in p
+    # both union branches push their event_type filter into the scan
+    assert p.count("EqualTo(event_type,") == 2
+
+
+def test_hypertable_rollup_one_expand_one_shuffle(plans):
+    """All three time granularities come from one Expand + one partial/final
+    agg pair — a single shuffle, not three separate aggregations."""
+    p = plans["hypertable_rollup"]
+    assert "Expand" in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in p  # map-side combine before the shuffle
+    # scan is pruned to exactly the needed columns
+    read = p.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "ts" in read and "value" in read and "props" not in read and "user_id" not in read
