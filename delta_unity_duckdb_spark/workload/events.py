@@ -207,3 +207,71 @@ def hypertable_rollup(spark, sf_dir):
         )
         .filter(F.col("day").isNotNull())
     )
+
+
+# ---------------------------------------------------------------- gap-fill
+@query(
+    "timeseries_gapfill",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS bucket,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_value
+      FROM events GROUP BY 1, 2),
+    bounds AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM b),
+    spine AS (
+      SELECT t.event_type, g.bucket
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (SELECT UNNEST(generate_series(lo, hi, INTERVAL 5 MINUTE)) AS bucket
+                  FROM bounds) g)
+    SELECT s.event_type, s.bucket,
+           COALESCE(b.n, 0) AS n,
+           last_value(b.sum_value IGNORE NULLS)
+             OVER (PARTITION BY s.event_type ORDER BY s.bucket) AS filled_value
+    FROM spine s
+    LEFT JOIN b ON s.event_type = b.event_type AND s.bucket = b.bucket
+    """,
+)
+def timeseries_gapfill(spark, sf_dir):
+    """Time-series gap filling with last-observation-carried-forward
+    (timescale `time_bucket_gapfill`+`locf` semantics): aggregate to 5-min
+    buckets, build the dense (event_type x bucket) spine with
+    ``sequence``+``explode``, left-join, then LOCF via
+    ``last(ignorenulls)`` over an event-type window. The spine is bounded
+    by #types x #buckets — independent of row count, so at 100 TB the
+    expensive part stays the one partial-agg shuffle over the raw events;
+    the spine join and LOCF window act on the already-aggregated series."""
+    e = load_table(spark, sf_dir, "events")
+    buckets = (
+        e.groupBy(
+            "event_type",
+            F.window("ts", "5 minutes").getField("start").alias("bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("decimal(38,6)").alias("sum_value"),
+        )
+    )
+    bounds = buckets.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    spine = (
+        buckets.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 5 MINUTES"))
+            ).alias("bucket"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    return (
+        spine.join(buckets, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.last("sum_value", ignorenulls=True).over(w).alias("filled_value"),
+        )
+    )

@@ -7,6 +7,7 @@ recomputation in tests/.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from delta_unity_duckdb_spark.operators import dedup as D
@@ -383,4 +384,41 @@ def embedding_dedup_cosine(spark, sf_dir):
         D.dedup_embedding_cosine(e, "vec_id", "embedding", 0.42)
         .select("vec_id", "label")
         .orderBy("vec_id")
+    )
+
+
+@query(
+    "udf_pandas_grouped_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100.0) AS BIGINT)
+                    * CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE)
+           / (100.0 * CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE))
+           AS weighted_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udf_pandas_grouped_agg(spark, sf_dir):
+    """Grouped-aggregate pandas_udf — the second half of the engine's UDF
+    surface (scalar half: ``udf_pandas_scalar``): a custom Python aggregate
+    that Spark runs as partial Arrow batches per group, here a
+    quantity-weighted mean price. Floats sum in nondeterministic partition
+    order, so the UDF does the arithmetic in exact int64 cents — the only
+    formulation that hash-matches an oracle (and reproduces run-to-run on a
+    real cluster) regardless of partitioning."""
+    from pyspark.sql.functions import pandas_udf
+
+    # pd.Series/float hints (resolved against the module-level pandas
+    # import) are what tell pandas_udf this is a GROUPED_AGG, not SCALAR.
+    def weighted_price(price: pd.Series, qty: pd.Series) -> float:
+        import numpy as np
+
+        cents = np.rint(price.to_numpy() * 100.0).astype(np.int64)
+        q = np.rint(qty.to_numpy()).astype(np.int64)
+        return float((cents * q).sum()) / (100.0 * float(q.sum()))
+
+    wp = pandas_udf(weighted_price, "double")
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        wp("l_extendedprice", "l_quantity").alias("weighted_price")
     )

@@ -1101,3 +1101,26 @@ def string_agg_group(spark, sf_dir):
         )
         .orderBy("r_name")
     )
+
+
+@query(
+    "unpivot_melt",
+    oracle="""
+    SELECT p_partkey, 'p_retailprice' AS measure,
+           CAST(p_retailprice AS DOUBLE) AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value
+    FROM part
+    """,
+)
+def unpivot_melt(spark, sf_dir):
+    """UNPIVOT / melt (wide -> long): the inverse of ``pivot_agg``. Spark
+    plans Expand over the scan — no shuffle, no join; output is 2x the
+    input rows regardless of scale."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+        F.col("p_size").cast("double").alias("p_size"),
+    ).unpivot("p_partkey", ["p_retailprice", "p_size"], "measure", "value")

@@ -117,3 +117,20 @@ def test_hypertable_rollup_one_expand_one_shuffle(plans):
     # scan is pruned to exactly the needed columns
     read = p.split("ReadSchema:", 1)[1].splitlines()[0]
     assert "ts" in read and "value" in read and "props" not in read and "user_id" not in read
+
+
+def test_unpivot_is_expand_no_shuffle(plans):
+    """UNPIVOT must plan as Expand directly over the pruned scan — melting
+    is row-local, so any Exchange here would be a scale bug."""
+    p = plans["unpivot_melt"]
+    assert "Expand" in p
+    assert "Exchange" not in p
+
+
+def test_gapfill_broadcasts_spine_bounds(plans):
+    """The gap-fill spine derives from a 1-row bounds aggregate — it must
+    broadcast; the raw-event shuffle is the only data-proportional one."""
+    p = plans["timeseries_gapfill"]
+    assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
+    assert "CartesianProduct" not in p
+    assert "Window" in p
