@@ -88,6 +88,8 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
             fmt = "csv"
         elif low.endswith((".json", ".jsonl", ".ndjson", ".json.gz")):
             fmt = "json"
+        elif low.endswith(".orc"):
+            fmt = "orc"
         elif os.path.isdir(os.path.join(path, "_delta_log")):
             fmt = "delta"
         else:
@@ -96,6 +98,8 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
         return spark.read.option("header", "true").option("inferSchema", "true").csv(path)
     if fmt == "json":
         return spark.read.json(path)
+    if fmt == "orc":
+        return spark.read.orc(path)
     if fmt == "delta":
         return spark.read.format("delta").load(path)
     return spark.read.parquet(path)

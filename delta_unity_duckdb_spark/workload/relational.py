@@ -1124,3 +1124,41 @@ def unpivot_melt(spark, sf_dir):
         F.col("p_retailprice").cast("double").alias("p_retailprice"),
         F.col("p_size").cast("double").alias("p_size"),
     ).unpivot("p_partkey", ["p_retailprice", "p_size"], "measure", "value")
+
+
+@query(
+    "correlated_scalar_agg",
+    oracle="""
+    SELECT l.l_partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_small,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,6))
+             AS sum_price
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size <= 5
+      AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    GROUP BY l.l_partkey
+    """,
+)
+def correlated_scalar_agg(spark, sf_dir):
+    """TPC-H Q17 shape: a correlated scalar *aggregate* subquery
+    (below-20%%-of-part-average quantity). Catalyst decorrelates it into a
+    per-partkey aggregate joined back to the fact — one extra keyed
+    shuffle instead of a per-row subquery execution, which is the only
+    formulation that scales. (AVG over integer-valued quantities is exact
+    in double, so the predicate is reproducible across engines.)"""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__li_csa")
+    _t(spark, sf_dir, "part").createOrReplaceTempView("__pt_csa")
+    return spark.sql(
+        """
+        SELECT l.l_partkey,
+               COUNT(*) AS n_small,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,6))
+                 AS sum_price
+        FROM __li_csa l JOIN __pt_csa p ON p.p_partkey = l.l_partkey
+        WHERE p.p_size <= 5
+          AND l.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+                              FROM __li_csa l2 WHERE l2.l_partkey = l.l_partkey)
+        GROUP BY l.l_partkey
+        """
+    )

@@ -45,6 +45,19 @@ def test_format_inference_by_extension(spark, sf_dir, tmp_path):
     assert read_any(spark, f"{sf_dir}/region.parquet").count() == 5  # parquet default
 
 
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    """ORC is a first-class columnar source in Spark (vectorized reader,
+    predicate pushdown) — same read_any surface as parquet."""
+    n = load_table(spark, sf_dir, "nation")
+    p = str(tmp_path / "nation.orc")
+    n.write.orc(p)
+    back = read_any(spark, p)  # inferred from the .orc extension
+    assert back.count() == n.count()
+    assert set(back.columns) == set(n.columns)
+    explicit = read_any(spark, p, fmt="orc")
+    assert explicit.count() == n.count()
+
+
 def test_repl_dml_insert(spark, sf_dir, tmp_path):
     """B16: DML through the REPL with a rowcount-style report."""
     from delta_unity_duckdb_spark.repl import SQLRepl
