@@ -8,6 +8,7 @@ from delta_unity_duckdb_spark.workload import (  # noqa: F401
     relational,
     scd,
     streamq,
+    tpch_shapes,
 )
 from delta_unity_duckdb_spark.workload.registry import ORACLE, QUERIES
 

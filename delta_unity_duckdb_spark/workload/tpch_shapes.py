@@ -1,0 +1,413 @@
+"""Deeper TPC-H-shaped query coverage (SURVEY.md §2-C passthrough surface).
+
+The reference delegates arbitrary SQL to DuckDB (delta-unity-duckdb.js:331-339,
+README.md:132-141); these queries exercise the decision-support shapes a user
+of that passthrough would realistically run — correlated EXISTS, left-join
+count distributions, HAVING over grouped sums, scalar-subquery filters,
+multi-dimension 6-table joins, full analytic-window inventory, and an
+interval (range) join — each with a DuckDB oracle twin.
+
+Scale notes per query are inline; the shared principles: dimensions are
+broadcast, facts shuffle at most once on their natural key, and every
+LIMIT is preceded by a total order on a unique key (hash determinism).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from delta_unity_duckdb_spark.functions.numeric import (
+    DEC38,
+    dmoney,
+    drate,
+    dsum,
+    sql_dsum,
+)
+from delta_unity_duckdb_spark.operators.rangejoin import interval_join
+from delta_unity_duckdb_spark.sources.tables import load_table
+from delta_unity_duckdb_spark.workload.registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+_SQL_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(14,4)) * (1 - CAST(l_discount AS DECIMAL(6,4)))"
+)
+
+
+def _disc_price() -> F.Column:
+    return dmoney("l_extendedprice") * (F.lit(1) - drate("l_discount"))
+
+
+# ---------------------------------------------------------------- Q4 shape: correlated EXISTS + agg
+@query(
+    "order_priority_check",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def order_priority_check(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS with an extra inequality.
+
+    Spark plan: LEFT SEMI join on l_orderkey with the non-equi conjunct as
+    join condition — one shuffle on the order key, semi-join short-circuits
+    per-key (no row multiplication), then a partial+final hash agg on the
+    low-cardinality priority column.
+    """
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate)
+    return (
+        o.join(li, on=cond, how="left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ---------------------------------------------------------------- Q13 shape: outer-join count distribution
+@query(
+    "customer_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) GROUP BY c_count
+    """,
+)
+def customer_order_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: left outer join with a pushed non-key predicate,
+    then a two-level aggregation (count per customer → histogram of counts).
+
+    Scale: the orders-side filter prunes before the shuffle; first agg
+    shuffles on c_custkey (same key as the join — AQE coalesces), second
+    agg is over tiny cardinality (distinct counts). COUNT(o_orderkey)
+    counts non-null keys only, preserving zero-order customers.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    cond = (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT")
+    per_cust = (
+        c.join(o, on=cond, how="left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------- Q15 shape: scalar-max subquery over a CTE
+@query(
+    "top_supplier_revenue",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM({_SQL_DISC_PRICE}) AS DECIMAL(38,6)) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def top_supplier_revenue(spark, sf_dir):
+    """TPC-H Q15 shape: per-supplier revenue CTE reused twice (join input +
+    scalar MAX subquery).
+
+    Spark: compute the CTE once as a DataFrame; the MAX side collapses to a
+    single row and is broadcast into an equality filter — no second scan of
+    lineitem, no sort. Revenue is exact DECIMAL so the MAX-equality
+    predicate is engine-portable (a double sum here could disagree in the
+    last ulp and select a different supplier).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(_disc_price()).cast(DEC38).alias("total_revenue"))
+    )
+    best = revenue.agg(F.max("total_revenue").alias("best_revenue"))
+    return (
+        revenue.join(F.broadcast(best), revenue.total_revenue == best.best_revenue)
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------- Q18 shape: HAVING over grouped sum + 3-way join
+@query(
+    "large_volume_orders",
+    oracle=f"""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+    FROM (
+      SELECT l_orderkey, {sql_dsum("l_quantity", "sum_qty")}
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300
+    ) big
+    JOIN orders ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def large_volume_orders(spark, sf_dir):
+    """TPC-H Q18 shape: aggregate-then-filter (HAVING) drives a selective
+    3-way join.
+
+    Scale: the HAVING collapses lineitem to a handful of hot orders BEFORE
+    any join — the surviving set is small enough to broadcast into orders,
+    and the orders→customer join is dimension-broadcast too, so the only
+    shuffle is the initial groupBy(l_orderkey). TakeOrderedAndProject caps
+    the result without a global sort.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------- Q22 shape: scalar-avg filter + NOT EXISTS
+@query(
+    "idle_rich_customers",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+                                    / COUNT(*), 6)
+                       FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22 shape: above-average account balance (scalar subquery) and
+    no orders (anti join), grouped by nation.
+
+    Spark: the scalar average collapses to one broadcast row; NOT EXISTS is
+    a LEFT ANTI join shuffling on the customer key. The average is computed
+    decimal-exact then rounded (functions/numeric.py) so the `>` boundary
+    is identical in both engines.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_bal")
+        )
+    )
+    rich = c.join(F.broadcast(avg_bal), c.c_acctbal > F.col("avg_bal")).drop("avg_bal")
+    return (
+        rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- Q7 shape: 6-table volume shipping
+@query(
+    "nation_volume_shipping",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume) AS DECIMAL(38,6)) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             EXTRACT(year FROM l_shipdate) AS l_year,
+             {_SQL_DISC_PRICE} AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def nation_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between two nations by year —
+    the widest join tree in the suite (lineitem ⋈ orders ⋈ customer ⋈
+    supplier ⋈ nation ⋈ nation).
+
+    Scale: supplier/customer/nation are broadcast (no shuffle); the nation
+    filters prune suppliers and customers BEFORE touching the facts, so
+    lineitem and orders are each reduced by the filter's selectivity
+    (~2/25² of pairs) ahead of the one fact-fact shuffle on the order key.
+    The final agg has ~2·years groups.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+
+    n1 = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    n2 = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+
+    supp = s.join(F.broadcast(n1), s.s_nationkey == F.col("s_nkey"))
+    cust = c.join(F.broadcast(n2), c.c_nationkey == F.col("c_nkey"))
+
+    joined = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+            _disc_price().alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("volume").cast(DEC38).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------- analytic windows: ntile / percent_rank / cume_dist
+@query(
+    "window_ntile_stats",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           NTILE(4)      OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST()    OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_ntile_stats(spark, sf_dir):
+    """Distribution-analytic windows (NTILE/PERCENT_RANK/CUME_DIST) —
+    passthrough-surface parity. The window order includes the unique
+    c_custkey so tie rows get a deterministic total order (NTILE assigns
+    by position, so ties would otherwise be engine-dependent). One shuffle
+    on c_nationkey; per-partition sort only.
+    """
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+# ---------------------------------------------------------------- analytic windows: first/last/nth over full frame
+@query(
+    "window_first_last",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           LAST_VALUE(o_totalprice)  OVER w AS last_price,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last(spark, sf_dir):
+    """FIRST_VALUE/LAST_VALUE/NTH_VALUE over an explicit unbounded frame.
+
+    The frame spec matters: the SQL-default frame (UNBOUNDED PRECEDING →
+    CURRENT ROW) makes LAST_VALUE degenerate; pinning both ends gives the
+    per-customer first/last/second order price. Deterministic via the
+    unique o_orderkey tiebreak.
+    """
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
+# ---------------------------------------------------------------- interval (range) join
+@query(
+    "interval_join_events",
+    oracle="""
+    SELECT a.event_id,
+           COUNT(*) AS n_clicks,
+           CAST(SUM(CAST(b.value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS click_value
+    FROM events a JOIN events b
+      ON b.ts >= a.ts AND b.ts < a.ts + INTERVAL 5 MINUTE
+    WHERE a.event_type = 'purchase' AND b.event_type = 'click'
+    GROUP BY a.event_id
+    """,
+)
+def interval_join_events(spark, sf_dir):
+    """Range join: clicks landing in the 5 minutes after each purchase.
+
+    DuckDB plans the BETWEEN predicate as an IEJoin; Spark would fall back
+    to an O(n²) nested-loop broadcast. operators/rangejoin.py instead
+    discretizes time into 5-minute buckets: intervals explode to ≤2
+    buckets, points map to exactly one, and the join becomes a plain hash
+    equi-join plus an exact refinement filter — linear shuffle, AQE-
+    partitionable, no duplicate pairs by construction.
+    """
+    e = _t(spark, sf_dir, "events")
+    anchors = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("w_end"),
+        )
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("c_ts"), F.col("value").alias("c_value")
+    )
+    pairs = interval_join(
+        anchors, clicks, start="w_start", end="w_end", ts="c_ts", bucket_width_seconds=300
+    )
+    return pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        dsum("c_value", "click_value"),
+    )
