@@ -44,8 +44,33 @@ def _ensure_session_confs(spark: SparkSession) -> None:
         pass  # conf locked down — proceed with session defaults
 
 
+# Resolved-relation cache, keyed per SparkSession. A real engine's catalog
+# resolves a table name to a relation once and reuses it; without this,
+# every query pays file listing + parquet footer schema inference again
+# (~50-150ms per table reference — pure per-query latency, no effect on
+# executed plans: downstream operators still build fresh lineage).
+_RELATION_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:
+        return str(id(spark))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table. Delta directory > parquet file > parquet dir."""
+    key = (_session_key(spark), os.path.abspath(sf_dir), name)
+    cached = _RELATION_CACHE.get(key)
+    if cached is not None:
+        return cached
+    df = _load_table_uncached(spark, sf_dir, name)
+    _RELATION_CACHE[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
     delta_dir = os.path.join(sf_dir, name)
     if os.path.isdir(os.path.join(delta_dir, "_delta_log")):
