@@ -183,3 +183,39 @@ def cosine_pairs_lsh(
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
+
+
+def knn_join(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """k-NN join: for EVERY query vector, its top-k candidates by cosine.
+
+    The query batch is broadcast (one scan of the candidate side serves
+    all queries); per-query ranking is a window keyed on the query id, so
+    the shuffle carries |candidates|·|queries| scored rows hashed by qid.
+    That product is the operator's scale bound — for query batches too
+    large to broadcast, switch to ``ivf_topk`` per centroid block (the
+    IVF route prunes candidates before scoring instead of after).
+
+    Result: (qid, id, cosine_sim), ≤ k rows per qid, deterministic
+    tie-break on id.
+    """
+    sim = cosine_sim(F.col(vec_col), F.col(qvec_col))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = embeddings.join(F.broadcast(queries)).select(
+        F.col(qid_col), F.col(id_col), sim.alias("cosine_sim")
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("cosine_sim"), id_col)
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

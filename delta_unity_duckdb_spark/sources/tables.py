@@ -125,6 +125,10 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
         return spark.read.json(path)
     if fmt == "orc":
         return spark.read.orc(path)
+    if fmt == "binaryFile":
+        # Opaque-blob ingest (images/audio/video → multimodal operators):
+        # (path, modificationTime, length, content binary), one row per file.
+        return spark.read.format("binaryFile").load(path)
     if fmt == "delta":
         return spark.read.format("delta").load(path)
     return spark.read.parquet(path)

@@ -422,3 +422,36 @@ def udf_pandas_grouped_agg(spark, sf_dir):
     return l.groupBy("l_returnflag").agg(
         wp("l_extendedprice", "l_quantity").alias("weighted_price")
     )
+
+
+# ---------------------------------------------------------------- E3: k-NN join (batch of queries)
+@query(
+    "knn_join",
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+         c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+         sims AS (
+           SELECT q.qid, c.vec_id,
+                  ROUND(
+                    list_sum(list_transform(list_zip(c.embedding, q.qvec),
+                                            p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                    / (SQRT(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                       * SQRT(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                    4) AS cosine_sim
+           FROM c CROSS JOIN q),
+         ranked AS (
+           SELECT qid, vec_id, cosine_sim,
+                  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine_sim DESC, vec_id) AS rn
+           FROM sims)
+    SELECT qid, vec_id, cosine_sim FROM ranked WHERE rn <= 3
+    """,
+)
+def knn_join_q(spark, sf_dir):
+    """Batch k-NN: top-3 neighbors for each of 5 query vectors in one scan
+    of the candidate side (E3 batch form — the shape of embedding-based
+    retrieval/labeling jobs). Broadcast queries, window-ranked per qid."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return S.knn_join(e.filter(F.col("vec_id") >= 5), q, k=3)

@@ -411,3 +411,129 @@ def interval_join_events(spark, sf_dir):
         F.count(F.lit(1)).alias("n_clicks"),
         dsum("c_value", "click_value"),
     )
+
+
+# ---------------------------------------------------------------- moment statistics from exact sums
+# Casts are asymmetric-widened (19,4)/(13,4) so DuckDB's multiply picks its
+# int128 path (its int64 fast path overflows on price²); values are exact
+# either way, so Spark may keep narrower widths.
+_MOMENT_SUMS_SQL = """
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(9,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(13,4)) * CAST(l_quantity AS DECIMAL(13,4))) AS DOUBLE) AS sx2,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(13,4)) * CAST(l_quantity AS DECIMAL(13,4))
+                      * CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sx3,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sy2,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(13,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query(
+    "stats_moments",
+    oracle=f"""
+    SELECT l_returnflag, n,
+           ROUND((sx2 - sx * sx / n) / (n - 1), 6) AS var_qty,
+           ROUND(SQRT((sx2 - sx * sx / n) / (n - 1)), 6) AS stddev_qty,
+           ROUND((sx3 / n - 3 * (sx / n) * (sx2 / n) + 2 * (sx / n) * (sx / n) * (sx / n))
+                 / POW(sx2 / n - (sx / n) * (sx / n), 1.5), 6) AS skew_qty,
+           ROUND((sxy - sx * sy / n)
+                 / SQRT((sx2 - sx * sx / n) * (sy2 - sy * sy / n)), 6) AS corr_qty_price
+    FROM ({_MOMENT_SUMS_SQL})
+    """,
+)
+def stats_moments(spark, sf_dir):
+    """Distribution statistics (variance/stddev/skewness/correlation) via
+    the single-pass moment-sketch pattern: accumulate exact DECIMAL power
+    sums (associative — safe under any partitioning), then evaluate the
+    closed-form moments on the tiny grouped result.
+
+    Built-in stddev/skewness/corr aggregate in floating point, which is
+    partition-order-dependent AND definition-divergent across engines;
+    exact sums make the same formula text produce bit-identical doubles
+    in both. One shuffle of 8 decimal accumulators per group.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(9,4)")
+    y = F.col("l_extendedprice").cast("decimal(12,4)")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sx2"),
+        F.sum(x * x * x).cast("double").alias("sx3"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(y * y).cast("double").alias("sy2"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sx2, sx3 = F.col("n"), F.col("sx"), F.col("sx2"), F.col("sx3")
+    sy, sy2, sxy = F.col("sy"), F.col("sy2"), F.col("sxy")
+    m = sx / n
+    return sums.select(
+        "l_returnflag",
+        "n",
+        F.round((sx2 - sx * sx / n) / (n - 1), 6).alias("var_qty"),
+        F.round(F.sqrt((sx2 - sx * sx / n) / (n - 1)), 6).alias("stddev_qty"),
+        F.round(
+            (sx3 / n - 3 * m * (sx2 / n) + 2 * m * m * m)
+            / F.pow(sx2 / n - m * m, 1.5),
+            6,
+        ).alias("skew_qty"),
+        F.round(
+            (sxy - sx * sy / n) / F.sqrt((sx2 - sx * sx / n) * (sy2 - sy * sy / n)), 6
+        ).alias("corr_qty_price"),
+    )
+
+
+# ---------------------------------------------------------------- bitwise aggregates
+@query(
+    "bitwise_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           BIT_AND(l_linenumber) AS lines_and,
+           BIT_OR(l_linenumber)  AS lines_or,
+           BIT_XOR(l_linenumber) AS lines_xor,
+           BOOL_AND(l_quantity > 0) AS all_positive,
+           BOOL_OR(l_discount > 0.09) AS any_high_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def bitwise_aggs(spark, sf_dir):
+    """Bitwise/boolean aggregates (passthrough surface) — associative and
+    exact, so they distribute with plain partial aggregation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and("l_linenumber").alias("lines_and"),
+        F.bit_or("l_linenumber").alias("lines_or"),
+        F.bit_xor("l_linenumber").alias("lines_xor"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_discount") > 0.09).alias("any_high_disc"),
+    )
+
+
+# ---------------------------------------------------------------- series generator (table function)
+@query(
+    "series_generate",
+    oracle="""
+    SELECT CAST(i % 7 AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM((i * i) % 97) AS BIGINT) AS checksum
+    FROM generate_series(0, 999999) t(i)
+    GROUP BY 1
+    """,
+)
+def series_generate(spark, sf_dir):
+    """Synthetic-range table function (DuckDB generate_series ≡
+    spark.range) — the engine can originate data, not only scan it.
+    spark.range parallelizes the range across the cluster with no input
+    IO; exact integer arithmetic end-to-end."""
+    i = F.col("id")
+    return (
+        spark.range(0, 1_000_000)
+        .groupBy((i % 7).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((i * i) % 97).alias("checksum"),
+        )
+    )
