@@ -131,3 +131,68 @@ def descendants(
             break
         levels.append(frontier.withColumn("depth", F.lit(depth)))
     return reduce(lambda a, b: a.unionByName(b), levels)
+
+
+def connected_components(edges: DataFrame, max_iter: int = 32) -> DataFrame:
+    """Undirected connected components: every node labeled with the
+    minimum node id reachable from it. Returns (node, component).
+
+    Label propagation with pointer jumping: each round takes the min over
+    (own label, neighbors' labels) — one hop of spread — THEN shortcuts
+    ``label ← label(label)`` — doubling the effective distance covered.
+    Convergence in O(log diameter) rounds instead of O(diameter); a
+    40-hop chain settles in ~6 rounds. This is the DataFrame rendition of
+    the map-reduce CC algorithms (hash-to-min family, Rastogi et al.) —
+    no vertex-centric framework needed.
+
+    Each round is two shuffles (neighbor agg + jump join) over (node,
+    component) pairs — linear state, AQE-coalescible. Labels are
+    ``localCheckpoint``-ed per round to truncate lineage (else round N
+    replays rounds 1..N-1).
+    """
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sym = sym.persist()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .select(F.col("src").alias("node"), "component")
+            .unionByName(labels)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        jump = (
+            nbr_min.alias("a")
+            .join(
+                nbr_min.select(
+                    F.col("node").alias("jn"), F.col("component").alias("jc")
+                ),
+                F.col("a.component") == F.col("jn"),
+                "left",
+            )
+            .select(
+                F.col("a.node").alias("node"),
+                F.least(F.col("a.component"), F.coalesce("jc", "a.component")).alias(
+                    "component"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            jump.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .isEmpty()
+        )
+        labels = jump
+        if converged:
+            break
+    sym.unpersist()
+    return labels

@@ -95,3 +95,41 @@ def graph_cypher_load(spark, sf_dir):
     corpus = synthetic_corpus(spark, n_chains=40, chain_len=4)
     vertices, edges = corpus_to_graph(corpus)
     return graph_counts(vertices, edges)
+
+
+@query(
+    "graph_components",
+    oracle="""
+    SELECT o_orderkey AS node,
+           MIN(o_orderkey) OVER (PARTITION BY o_custkey) AS component
+    FROM orders
+    """,
+)
+def graph_components_q(spark, sf_dir):
+    """Undirected connected components over the per-customer order chains
+    (operators/graph.py connected_components — min-label propagation with
+    pointer jumping, O(log diameter) rounds). The Spark side sees ONLY the
+    edge list; the oracle exploits the fixture's known chain structure
+    (component of an order = min orderkey of its customer's chain), so a
+    wrong merge or a missed hop hash-mismatches."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from delta_unity_duckdb_spark.operators.graph import connected_components
+    from delta_unity_duckdb_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    edges = o.select(
+        F.col("o_orderkey").alias("src"),
+        F.lead("o_orderkey").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    cc = connected_components(edges)
+    # single-order customers have no edges — they are their own component
+    isolated = (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("o_orderkey").alias("node"))
+        .filter(F.col("n") == 1)
+        .select("node", F.col("node").alias("component"))
+    )
+    return cc.unionByName(isolated)

@@ -218,3 +218,28 @@ def stream_stream_join(spark, sf_dir):
         F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
     )
     return run_available_now(out, output_mode="append")
+
+
+@query(
+    "stream_dedup",
+    oracle="SELECT event_id, event_type FROM events",
+)
+def stream_dedup(spark, sf_dir):
+    """Streaming exact dedup (E1 streaming arm): the input stream is
+    unioned with itself — every event delivered twice, the at-least-once
+    profile of real feeds — and dropDuplicatesWithinWatermark must emit
+    each exactly once. State holds one key per event inside the watermark
+    horizon and is evicted as the watermark advances (bounded memory on an
+    unbounded stream — the property batch dropDuplicates can't give).
+    Oracle: the original events, un-duplicated."""
+    from delta_unity_duckdb_spark.streaming.events import (
+        dedup_events_stream,
+        read_events_stream,
+    )
+
+    e = read_events_stream(spark, sf_dir).select("event_id", "event_type", "ts")
+    doubled = e.unionByName(e)
+    deduped = dedup_events_stream(doubled, keys=["event_id"]).select(
+        "event_id", "event_type"
+    )
+    return run_available_now(deduped, output_mode="append")
