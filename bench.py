@@ -34,6 +34,11 @@ HEADLINE = [
     "scd2_sync",
     "graph_one_hop",
     "cte_subquery",
+    "large_volume_orders",
+    "nation_volume_shipping",
+    "stats_moments",
+    "interval_join_events",
+    "knn_join",
 ]
 
 

@@ -537,3 +537,57 @@ def series_generate(spark, sf_dir):
             F.sum((i * i) % 97).alias("checksum"),
         )
     )
+
+
+# ---------------------------------------------------------------- QUALIFY shape: top-n per group
+@query(
+    "topn_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) <= 2
+    """,
+)
+def topn_per_group(spark, sf_dir):
+    """Top-2 orders per customer — DuckDB's QUALIFY sugar, Spark's
+    window+filter. One shuffle on the group key; the rank filter prunes
+    before anything downstream."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------- mode aggregate (deterministic)
+@query(
+    "mode_agg",
+    oracle="""
+    SELECT o_orderstatus, priority_mode, n FROM (
+      SELECT o_orderstatus, o_orderpriority AS priority_mode, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                ORDER BY COUNT(*) DESC, o_orderpriority) AS rn
+      FROM orders GROUP BY o_orderstatus, o_orderpriority)
+    WHERE rn = 1
+    """,
+)
+def mode_agg(spark, sf_dir):
+    """Most-frequent value per group. Built-in MODE() leaves ties
+    engine-defined; count + rank with an explicit tie-break is
+    deterministic everywhere. Two-level: count shuffle on the pair key,
+    then a window over the (tiny) grouped result."""
+    o = _t(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("n"), "o_orderpriority")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderstatus", F.col("o_orderpriority").alias("priority_mode"), "n"
+        )
+    )

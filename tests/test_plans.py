@@ -134,3 +134,35 @@ def test_gapfill_broadcasts_spine_bounds(plans):
     assert "BroadcastExchange" in p or "BroadcastNestedLoopJoin" in p
     assert "CartesianProduct" not in p
     assert "Window" in p
+
+
+def test_q4_exists_plans_as_semi_join(plans):
+    p = plans["order_priority_check"]
+    assert "LeftSemi" in p
+
+
+def test_q18_having_side_broadcasts(plans):
+    # the HAVING-filtered aggregate must broadcast into orders, leaving
+    # groupBy(l_orderkey) as the only fact shuffle
+    p = plans["large_volume_orders"]
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q7_dims_broadcast_single_fact_shuffle(plans):
+    p = plans["nation_volume_shipping"]
+    assert p.count("BroadcastHashJoin") >= 3  # supplier, customer, 2×nation folded
+    assert "CartesianProduct" not in p
+
+
+def test_topn_per_group_single_window_shuffle(plans):
+    p = plans["topn_per_group"]
+    assert "Window" in p
+    # rank filter applies right after the window — no second shuffle
+    assert p.count("Exchange") <= 1
+
+
+def test_knn_join_broadcasts_queries(plans):
+    p = plans["knn_join"]
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
