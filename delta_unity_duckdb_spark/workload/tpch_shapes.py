@@ -591,3 +591,62 @@ def mode_agg(spark, sf_dir):
             "o_orderstatus", F.col("o_orderpriority").alias("priority_mode"), "n"
         )
     )
+
+
+# ---------------------------------------------------------------- edit distance
+@query(
+    "string_distance",
+    oracle="""
+    SELECT p_partkey,
+           levenshtein(p_brand, p_type) AS brand_type_dist,
+           levenshtein(p_name, p_brand) AS name_brand_dist
+    FROM part ORDER BY p_partkey LIMIT 500
+    """,
+)
+def string_distance(spark, sf_dir):
+    """Levenshtein edit distance (fuzzy matching surface). Per-row scalar —
+    whole-stage codegen, embarrassingly parallel, no shuffle."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(
+            "p_partkey",
+            F.levenshtein("p_brand", "p_type").alias("brand_type_dist"),
+            F.levenshtein("p_name", "p_brand").alias("name_brand_dist"),
+        )
+        .orderBy("p_partkey")
+        .limit(500)
+    )
+
+
+# ---------------------------------------------------------------- calendar breakdown
+@query(
+    "calendar_breakdown",
+    oracle="""
+    SELECT EXTRACT(year FROM o_orderdate) AS yr,
+           EXTRACT(quarter FROM o_orderdate) AS qtr,
+           EXTRACT(month FROM o_orderdate) AS mth,
+           EXTRACT(week FROM o_orderdate) AS iso_week,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total
+    FROM orders
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def calendar_breakdown(spark, sf_dir):
+    """Calendar-hierarchy rollup (year/quarter/month/ISO week). Extraction
+    is codegen'd scalar work; one shuffle on the composite calendar key.
+    ISO week is the one field both engines define identically (dayofweek
+    origins differ — deliberately excluded)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.quarter("o_orderdate").cast("long").alias("qtr"),
+            F.month("o_orderdate").cast("long").alias("mth"),
+            F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum("o_totalprice", "total"),
+        )
+    )

@@ -125,3 +125,46 @@ def test_plan_is_equi_join_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+# ---------------------------------------------------------------- property test
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_BASE = dt.datetime(2024, 1, 1)
+
+# offsets in seconds over a ~2h span; widths up to 40 min so intervals
+# cover 0..9 buckets at the 300s default width
+_iv = st.tuples(st.integers(0, 7200), st.integers(0, 2400))
+_pt = st.integers(0, 9600)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    ivs=st.lists(_iv, min_size=0, max_size=12),
+    pts=st.lists(_pt, min_size=0, max_size=30),
+)
+def test_interval_join_equals_naive_for_any_input(spark, ivs, pts):
+    intervals = [
+        (i, _BASE + dt.timedelta(seconds=a), _BASE + dt.timedelta(seconds=a + w))
+        for i, (a, w) in enumerate(ivs)
+        if w > 0
+    ]
+    points = [(j, _BASE + dt.timedelta(seconds=s)) for j, s in enumerate(pts)]
+    idf = spark.createDataFrame(
+        intervals or [], "iv_id int, w_start timestamp, w_end timestamp"
+    )
+    pdf = spark.createDataFrame(points or [], "pt_id int, c_ts timestamp")
+    got = sorted(
+        (r.iv_id, r.pt_id)
+        for r in interval_join(
+            idf, pdf, start="w_start", end="w_end", ts="c_ts"
+        ).collect()
+    )
+    expected = sorted(
+        (i, j)
+        for i, a, b in intervals
+        for j, t in points
+        if a <= t < b
+    )
+    assert got == expected
