@@ -151,3 +151,53 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table_name)
+
+
+def compact_table(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_within_by: Sequence[str] = (),
+) -> dict:
+    """Small-file compaction (lakehouse OPTIMIZE): rewrite a parquet
+    directory into ~target-sized files.
+
+    Streaming appends and fine-grained partitions accumulate small files;
+    at 100 TB a scan's task count — and the NameNode/object-store listing
+    load — is proportional to file count, so compaction is routine
+    maintenance. File count = ceil(bytes / target); rows are
+    range-redistributed (repartition) and optionally sorted within files
+    so column min/max stats stay tight for data skipping.
+
+    Writes to a temp sibling then swaps, so a failed compaction never
+    destroys the source. Returns {files_before, files_after, bytes}.
+    """
+    import glob
+    import os
+    import shutil
+
+    files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, -(-total_bytes // target_file_bytes))
+
+    df = spark.read.parquet(path)
+    if sort_within_by:
+        out = df.repartitionByRange(n_out, *sort_within_by).sortWithinPartitions(
+            *sort_within_by
+        )
+    else:
+        out = df.repartition(n_out)
+
+    tmp = path.rstrip("/") + "__compact_tmp"
+    out.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "__compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return {
+        "files_before": len(files),
+        "files_after": len(
+            glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        ),
+        "bytes": total_bytes,
+    }
