@@ -650,3 +650,73 @@ def calendar_breakdown(spark, sf_dir):
             dsum("o_totalprice", "total"),
         )
     )
+
+
+# ---------------------------------------------------------------- RANGE frame over event time
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                      RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+                AS DECIMAL(38,6)) AS trailing_30d_spend
+    FROM orders
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    """Trailing 30-day spend per customer — a RANGE (value-based) frame,
+    the time-series staple ROWS frames can't express (peers with equal
+    order keys must aggregate together; gaps must count as time).
+
+    Spark's rangeBetween is numeric-only, so the order key is the epoch
+    second and the frame is ±seconds — semantically identical to DuckDB's
+    INTERVAL frame over the timestamp. Exact DECIMAL sums keep the frame
+    aggregation order-independent. One shuffle on o_custkey.
+    """
+    o = _t(spark, sf_dir, "orders")
+    epoch = F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(epoch)
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(w)
+        .cast(DEC38)
+        .alias("trailing_30d_spend"),
+    )
+
+
+# ---------------------------------------------------------------- equi-width histogram
+@query(
+    "histogram_bins",
+    oracle="""
+    SELECT CAST(LEAST(GREATEST(FLOOR((o_totalprice - 0.0) / 2500.0), 0), 19) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def histogram_bins(spark, sf_dir):
+    """Equi-width histogram (20 bins of 2500 over order totals) — the
+    profile/EDA shape. The bin expression is written identically in both
+    engines (no width_bucket in DuckDB): floor((v-lo)/w) clamped to
+    [0, n-1]. Codegen scalar + one low-cardinality shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    bin_col = (
+        F.least(
+            F.greatest(F.floor((F.col("o_totalprice") - 0.0) / 2500.0), F.lit(0)),
+            F.lit(19),
+        )
+        .cast("long")
+        .alias("bin")
+    )
+    return o.groupBy(bin_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("o_totalprice", "total"),
+    )
