@@ -208,3 +208,45 @@ def make_fake_media(spark, n: int = 24) -> DataFrame:
         }
         rows.append((f"a{i:04d}", modality, bytearray(content), meta))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+_EXT_MODALITY = {
+    ".png": ("image", "image/png"),
+    ".jpg": ("image", "image/jpeg"),
+    ".jpeg": ("image", "image/jpeg"),
+    ".wav": ("audio", "audio/wav"),
+    ".mp3": ("audio", "audio/mpeg"),
+    ".mp4": ("video", "video/mp4"),
+    ".mkv": ("video", "video/x-matroska"),
+}
+
+
+def ingest_binary_dir(spark, path: str) -> DataFrame:
+    """Bridge raw files → the typed media table: Spark's binaryFile source
+    (one row per file, payload + length, distributed listing) mapped into
+    MEDIA_SCHEMA. Modality/mime come from the extension; codec-level
+    metadata (dimensions, duration) stays NULL until a real decode stage
+    fills it — at 100 TB you ingest first and decode as a separate
+    mapInPandas pass over the stored table, not inline in the copy job.
+    """
+    from delta_unity_duckdb_spark.sources.tables import read_any
+
+    raw = read_any(spark, path, fmt="binaryFile")
+    ext = F.lower(F.regexp_extract(F.col("path"), r"(\.[A-Za-z0-9]+)$", 1))
+    modality = F.lit(None).cast("string")
+    mime = F.lit(None).cast("string")
+    for e, (mod, mi) in _EXT_MODALITY.items():
+        modality = F.when(ext == e, mod).otherwise(modality)
+        mime = F.when(ext == e, mi).otherwise(mime)
+    return raw.select(
+        F.regexp_extract(F.col("path"), r"([^/]+)$", 1).alias("asset_id"),
+        modality.alias("modality"),
+        F.col("content"),
+        F.struct(
+            mime.alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )

@@ -64,3 +64,60 @@ def test_repartition_spreads_assets(spark, media):
     parts = repartition_by_asset(media, 6)
     assert parts.rdd.getNumPartitions() == 6
     assert parts.count() == 24
+
+
+def test_ingest_binary_dir_maps_to_media_schema(spark, tmp_path):
+    from delta_unity_duckdb_spark.operators.multimodal import (
+        ingest_binary_dir,
+        extract_features,
+    )
+
+    (tmp_path / "cat.png").write_bytes(b"\x89PNG fake" * 8)
+    (tmp_path / "talk.wav").write_bytes(b"RIFF fake" * 8)
+    (tmp_path / "clip.mp4").write_bytes(b"\x00\x00ftyp fake" * 8)
+    (tmp_path / "notes.txt").write_bytes(b"not media")
+
+    media = ingest_binary_dir(spark, str(tmp_path))
+    rows = {r.asset_id: r for r in media.collect()}
+    assert rows["cat.png"].modality == "image"
+    assert rows["cat.png"].meta.mime == "image/png"
+    assert rows["talk.wav"].modality == "audio"
+    assert rows["clip.mp4"].modality == "video"
+    assert rows["notes.txt"].modality is None  # unknown kept, untyped
+    assert bytes(rows["cat.png"].content) == b"\x89PNG fake" * 8
+
+    # ingested rows flow straight into the feature stage
+    feats = extract_features(media.filter("modality IS NOT NULL"))
+    assert feats.count() == 3
+
+
+def test_media_similarity_end_to_end(spark):
+    """Ingest → features → k-NN: the retrieval-over-media pipeline shape.
+    Features are deterministic fakes; the plumbing (schemas, array cols,
+    broadcast knn) is the real thing."""
+    from pyspark.sql import functions as F
+
+    from delta_unity_duckdb_spark.operators.multimodal import (
+        extract_features,
+        make_fake_media,
+    )
+    from delta_unity_duckdb_spark.operators.similarity import knn_join
+
+    media = make_fake_media(spark, n=18)
+    feats = extract_features(media)  # (asset_id, modality, feature, ...)
+    emb = feats.select("asset_id", F.col("feature").alias("embedding"))
+    q = emb.limit(2).select(
+        F.col("asset_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    got = knn_join(
+        emb.join(q.select(F.col("qid").alias("asset_id")), "asset_id", "left_anti"),
+        q,
+        k=3,
+        id_col="asset_id",
+    )
+    rows = got.collect()
+    assert len(rows) == 6  # 2 queries × 3 neighbors
+    per_q = {r.qid for r in rows}
+    assert len(per_q) == 2
+    for r in rows:
+        assert -1.0001 <= r.cosine_sim <= 1.0001
