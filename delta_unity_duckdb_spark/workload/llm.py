@@ -455,3 +455,67 @@ def knn_join_q(spark, sf_dir):
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     return S.knn_join(e.filter(F.col("vec_id") >= 5), q, k=3)
+
+
+# ---------------------------------------------------------------- E5+E1 composed: corpus curation
+@query(
+    "corpus_curation",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             LENGTH(text) AS len_chars,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
+             LENGTH(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct
+      FROM documents),
+    scored AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             ROUND((LEAST(len_chars / 200.0, 1.0)
+                    + (1.0 - LEAST(punct / GREATEST(len_chars, 1) * 5.0, 1.0))
+                    + CASE WHEN len(toks) > 0
+                           THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                           ELSE 0.0 END) / 3.0, 4) AS quality
+      FROM t),
+    filtered AS (SELECT * FROM scored WHERE quality > 0.5),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM filtered) WHERE rn = 1)
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(CAST(SUM(CAST(quality AS DECIMAL(8,4))) AS DOUBLE) / COUNT(*), 6) AS avg_quality
+    FROM deduped GROUP BY lang, source
+    """,
+)
+def corpus_curation(spark, sf_dir):
+    """The training-data curation pipeline END-TO-END, fully oracle-checked:
+    quality-score every document (JVM column expressions) → drop low
+    quality (> 0.5) → exact-dedup on text (deterministic survivor) → per
+    (lang, source) corpus stats.
+
+    This is the composition the individual operators exist for; one
+    registered query proves the stages agree with a reference engine when
+    chained, not just in isolation. Plan: scan → scalar scoring (codegen,
+    no shuffle) → dedup shuffle on text hash → stats shuffle on the tiny
+    (lang, source) key; the quality filter prunes before the first
+    shuffle. avg quality aggregates exact (decimal) then rounds."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+        T.quality_score(F.col("text")).alias("quality"),
+    )
+    filtered = scored.filter(F.col("quality") > 0.5)
+    deduped = D.dedup_exact(filtered, ["text"], "doc_id")
+    return deduped.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(
+            F.sum(F.col("quality").cast("decimal(8,4)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_quality"),
+    )
