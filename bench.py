@@ -39,6 +39,7 @@ HEADLINE = [
     "stats_moments",
     "interval_join_events",
     "knn_join",
+    "corpus_curation",
 ]
 
 
