@@ -97,32 +97,35 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        materialize(df)
-        cold[name] = round(time.perf_counter() - t0, 3)
-        best = float("inf")
-        for _ in range(3):
+        try:
             t0 = time.perf_counter()
+            df = QUERIES[name](spark, sf_dir)
             materialize(df)
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            cold[name] = round(time.perf_counter() - t0, 3)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                materialize(df)
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # one broken query must not lose the round's artifact
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_cold": cold,
-                "cold_total": round(sum(cold.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_cold": cold,
+        "cold_total": round(sum(cold.values()), 3),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

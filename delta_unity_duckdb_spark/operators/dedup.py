@@ -291,3 +291,37 @@ def dedup_embedding_cosine(
         )
     drop_ids = dups.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drop_ids, id_col, "left_anti")
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Near-dup CLUSTERING: pairwise candidates alone under-remove —
+    if A~B and B~C but A≁C, pair-based removal can keep two of the three.
+    Cluster by connected components over the MinHash candidate graph and
+    keep one survivor (min id) per component: transitive closure, exactly
+    one representative per duplicate family.
+
+    Returns (id, cluster, is_survivor). Pipeline: MinHash+LSH pairs
+    (banded, no cross join) → connected_components (pointer jumping,
+    O(log diameter) rounds) → left join back so non-duplicate docs stay
+    their own singleton cluster.
+    """
+    from delta_unity_duckdb_spark.operators.graph import connected_components
+
+    pairs = minhash_near_dups(df, id_col, text_col, num_perm=num_perm, bands=bands)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    comp = connected_components(edges)  # (node, component) for dup members only
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(comp, F.col("id") == comp.node, "left")
+        .select(
+            "id",
+            F.coalesce("component", F.col("id")).alias("cluster"),
+        )
+        .withColumn("is_survivor", F.col("id") == F.col("cluster"))
+    )

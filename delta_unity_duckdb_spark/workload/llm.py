@@ -519,3 +519,18 @@ def corpus_curation(spark, sf_dir):
             6,
         ).alias("avg_quality"),
     )
+
+
+@query("near_dup_clusters")
+def near_dup_clusters_q(spark, sf_dir):
+    """Near-dup clustering (E2 capstone): MinHash candidate pairs →
+    connected components → one survivor per duplicate family. Transitive
+    closure fixes the under-removal of pair-based dedup (A~B~C chains).
+    Probabilistic blocking — rows-only; transitivity and survivor
+    uniqueness are asserted in unit tests."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        D.near_dup_clusters(d, "doc_id", "text")
+        .orderBy("id")
+        .limit(2000)
+    )

@@ -720,3 +720,26 @@ def histogram_bins(spark, sf_dir):
         F.count(F.lit(1)).alias("n"),
         dsum("o_totalprice", "total"),
     )
+
+
+# ---------------------------------------------------------------- stratified deterministic sample
+@query(
+    "stratified_sample",
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS n, {sql_dsum("l_extendedprice", "sum_price")}
+    FROM lineitem
+    WHERE l_orderkey % 13 = 0
+    GROUP BY l_returnflag
+    """,
+)
+def stratified_sample(spark, sf_dir):
+    """Per-stratum systematic sample (1-in-13 by key modulus) with
+    per-group verification aggregates. Deterministic and engine-portable
+    where RNG-based sampleBy is not; at 100 TB the modulus filter pushes
+    into the scan and the sample never materializes centrally."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") % 13 == 0)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice", "sum_price"))
+    )

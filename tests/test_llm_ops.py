@@ -87,3 +87,32 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     # nprobe/nlist = 1/4 of partitions scanned; seeded fixture recall is
     # stable — require at least 3/10 overlap (measured: higher)
     assert len(exact & approx) >= 3, f"IVF recall {len(exact & approx)}/10"
+
+
+def test_near_dup_clusters_transitive_single_survivor(spark):
+    from delta_unity_duckdb_spark.operators.dedup import near_dup_clusters
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away home "
+        "while the sun sets slowly behind distant mountains in golden light"
+    )
+    rows = [
+        (1, base),
+        (2, base + " extra"),          # ~dup of 1
+        (3, base + " extra tail"),     # ~dup of 2 (chain A~B~C)
+        (10, "completely different text about database engines and columnar "
+             "storage formats with vectorized execution and query planning"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.id: (r.cluster, r.is_survivor) for r in
+           near_dup_clusters(df, "doc_id", "text", num_perm=64, bands=16).collect()}
+    # the chain 1~2~3 collapses into ONE cluster with survivor 1
+    assert out[1] == (1, True)
+    assert out[2][0] == 1 and out[2][1] is False
+    assert out[3][0] == 1 and out[3][1] is False
+    # unrelated doc is its own singleton survivor
+    assert out[10] == (10, True)
+    # exactly one survivor per cluster
+    from collections import Counter
+    surv = Counter(c for c, s in out.values() if s)
+    assert all(v == 1 for v in surv.values())
