@@ -10,6 +10,15 @@ bit-identical double.
 
 ``sql_*`` helpers emit the equivalent ANSI/DuckDB SQL so Spark queries and
 their oracle twins share one definition.
+
+ROUND-on-double hazard (learned at sf0.1): two engines computing the SAME
+IEEE-754 double can still disagree after ROUND — Spark rounds the shortest
+decimal rendering HALF_UP, DuckDB rounds the binary value — so a result
+landing exactly on a .5 boundary flips per engine. For oracle-checked
+fractional outputs derived from doubles, FLOOR-quantize instead
+(``FLOOR(x * 10^k)`` as int64): floor has no tie-break, identical doubles
+floor identically. ROUND stays safe only when its input is already exact
+(a DECIMAL cast to double, integer ratios off boundaries).
 """
 
 from __future__ import annotations

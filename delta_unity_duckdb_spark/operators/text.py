@@ -50,9 +50,13 @@ def bpe_ish_token_count(text: Column) -> Column:
     )
 
 
-def quality_score(text: Column) -> Column:
+def quality_score_raw(text: Column) -> Column:
     """[0,1] heuristic: penalize very short docs, high punctuation density,
-    and low word diversity (repetition)."""
+    and low word diversity (repetition). Unrounded: the expression tree is
+    pure IEEE-754 arithmetic evaluated in the same order as its SQL twin,
+    so the double is bit-identical across engines. Quantize with FLOOR
+    (engine-stable) — never ROUND, whose half-way tie-breaking differs
+    between engines on boundary values."""
     n_chars = F.length(text).cast("double")
     toks = tokens(text)
     n_tok = F.size(toks).cast("double")
@@ -61,7 +65,11 @@ def quality_score(text: Column) -> Column:
     len_score = F.least(n_chars / 200.0, F.lit(1.0))
     punct_score = 1.0 - F.least(punct / F.greatest(n_chars, F.lit(1.0)) * 5.0, F.lit(1.0))
     diversity = F.when(n_tok > 0, n_uniq / n_tok).otherwise(0.0)
-    return F.round((len_score + punct_score + diversity) / 3.0, 4)
+    return (len_score + punct_score + diversity) / 3.0
+
+
+def quality_score(text: Column) -> Column:
+    return F.round(quality_score_raw(text), 4)
 
 
 def lang_scores(text: Column) -> list[tuple[str, Column]]:

@@ -238,21 +238,27 @@ def ngram_jaccard(spark, sf_dir):
              LENGTH(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct
       FROM documents)
     SELECT doc_id,
-           ROUND((LEAST(n_chars / 200.0, 1.0)
+           CAST(FLOOR((LEAST(n_chars / 200.0, 1.0)
                   + (1.0 - LEAST(punct / GREATEST(n_chars, 1) * 5.0, 1.0))
                   + CASE WHEN len(toks) > 0
                          THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
-                         ELSE 0.0 END) / 3.0, 4) AS quality
+                         ELSE 0.0 END) / 3.0 * 10000) AS BIGINT) AS quality_e4
     FROM t ORDER BY doc_id LIMIT 500
     """,
 )
 def quality_scores(spark, sf_dir):
     """Document quality heuristic (length / punctuation-density / word
     diversity), all JVM column expressions — hash-checked against the same
-    formula in DuckDB SQL."""
+    formula in DuckDB SQL. Exported FLOOR-quantized (engine-stable on the
+    bit-identical raw double; ROUND's half-way tie-break is not)."""
     d = load_table(spark, sf_dir, "documents")
     return (
-        d.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+        d.select(
+            "doc_id",
+            F.floor(T.quality_score_raw(F.col("text")) * 10000)
+            .cast("long")
+            .alias("quality_e4"),
+        )
         .orderBy("doc_id")
         .limit(500)
     )
@@ -469,11 +475,11 @@ def knn_join_q(spark, sf_dir):
       FROM documents),
     scored AS (
       SELECT doc_id, text, lang, source, n_chars,
-             ROUND((LEAST(len_chars / 200.0, 1.0)
-                    + (1.0 - LEAST(punct / GREATEST(len_chars, 1) * 5.0, 1.0))
-                    + CASE WHEN len(toks) > 0
-                           THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
-                           ELSE 0.0 END) / 3.0, 4) AS quality
+             (LEAST(len_chars / 200.0, 1.0)
+              + (1.0 - LEAST(punct / GREATEST(len_chars, 1) * 5.0, 1.0))
+              + CASE WHEN len(toks) > 0
+                     THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                     ELSE 0.0 END) / 3.0 AS quality
       FROM t),
     filtered AS (SELECT * FROM scored WHERE quality > 0.5),
     deduped AS (
@@ -483,7 +489,7 @@ def knn_join_q(spark, sf_dir):
     SELECT lang, source,
            COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-           ROUND(CAST(SUM(CAST(quality AS DECIMAL(8,4))) AS DOUBLE) / COUNT(*), 6) AS avg_quality
+           CAST(SUM(CAST(FLOOR(quality * 10000) AS BIGINT)) AS BIGINT) AS sum_quality_e4
     FROM deduped GROUP BY lang, source
     """,
 )
@@ -498,7 +504,13 @@ def corpus_curation(spark, sf_dir):
     chained, not just in isolation. Plan: scan → scalar scoring (codegen,
     no shuffle) → dedup shuffle on text hash → stats shuffle on the tiny
     (lang, source) key; the quality filter prunes before the first
-    shuffle. avg quality aggregates exact (decimal) then rounds."""
+    shuffle.
+
+    Cross-engine numerics: the raw quality double is bit-identical in
+    both engines (same IEEE ops, same order), so the > 0.5 threshold is
+    safe unrounded; the aggregate ships FLOOR-quantized int64 quality
+    (sum_quality_e4) because integer sums are partition-order-free and
+    FLOOR — unlike ROUND — has no engine-divergent tie-break."""
     d = load_table(spark, sf_dir, "documents")
     scored = d.select(
         "doc_id",
@@ -506,18 +518,14 @@ def corpus_curation(spark, sf_dir):
         "lang",
         "source",
         "n_chars",
-        T.quality_score(F.col("text")).alias("quality"),
+        T.quality_score_raw(F.col("text")).alias("quality"),
     )
     filtered = scored.filter(F.col("quality") > 0.5)
     deduped = D.dedup_exact(filtered, ["text"], "doc_id")
     return deduped.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
-        F.round(
-            F.sum(F.col("quality").cast("decimal(8,4)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("avg_quality"),
+        F.sum(F.floor(F.col("quality") * 10000).cast("long")).alias("sum_quality_e4"),
     )
 
 

@@ -309,8 +309,8 @@ def nation_volume_shipping(spark, sf_dir):
     oracle="""
     SELECT c_custkey, c_nationkey,
            NTILE(4)      OVER w AS quartile,
-           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-           ROUND(CUME_DIST()    OVER w, 6) AS cume
+           CAST(FLOOR(PERCENT_RANK() OVER w * 1000000) AS BIGINT) AS pct_rank_e6,
+           CAST(FLOOR(CUME_DIST()    OVER w * 1000000) AS BIGINT) AS cume_e6
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
     """,
@@ -321,6 +321,11 @@ def window_ntile_stats(spark, sf_dir):
     c_custkey so tie rows get a deterministic total order (NTILE assigns
     by position, so ties would otherwise be engine-dependent). One shuffle
     on c_nationkey; per-partition sort only.
+
+    Fractions are exported FLOOR-quantized to 1e-6 (not ROUNDed): the
+    underlying doubles are bit-identical across engines, but ROUND's
+    half-way tie-break is not — at sf0.1 a rank fraction landed exactly on
+    a .5 boundary and the engines rounded opposite ways.
     """
     c = _t(spark, sf_dir, "customer")
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
@@ -328,8 +333,8 @@ def window_ntile_stats(spark, sf_dir):
         "c_custkey",
         "c_nationkey",
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.floor(F.percent_rank().over(w) * 1000000).cast("long").alias("pct_rank_e6"),
+        F.floor(F.cume_dist().over(w) * 1000000).cast("long").alias("cume_e6"),
     )
 
 
