@@ -748,3 +748,147 @@ def stratified_sample(spark, sf_dir):
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice", "sum_price"))
     )
+
+
+# ---------------------------------------------------------------- Q6 shape: predicate-band revenue
+@query(
+    "forecast_revenue_change",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4))
+                    * CAST(l_discount AS DECIMAL(6,4))) AS DECIMAL(38,6)) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_change(spark, sf_dir):
+    """TPC-H Q6 shape: tight multi-predicate scan + two-column product
+    aggregate. No joins, no groups — the whole query is one codegen'd
+    scan stage whose date/discount/quantity predicates all push into the
+    parquet reader (PushedFilters), then a single-row exact-decimal agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(dmoney("l_extendedprice") * drate("l_discount"))
+            .cast(DEC38)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- Q10 shape: returned-item top customers
+@query(
+    "returned_item_customers",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM({_SQL_DISC_PRICE}) AS DECIMAL(38,6)) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-07-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def returned_item_customers(spark, sf_dir):
+    """TPC-H Q10 shape: who returned the most revenue last half-year.
+
+    Scale: the date filter prunes orders BEFORE the fact-fact join; the
+    returnflag filter prunes lineitem at the scan; customer and nation
+    broadcast. One shuffle on the order key, agg on the customer key,
+    TakeOrdered for the top 20 (exact DECIMAL revenue makes the ranking
+    engine-stable)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    o_f = o.filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    li_f = li.filter(F.col("l_returnflag") == "R")
+    return (
+        li_f.join(o_f, li_f.l_orderkey == o_f.o_orderkey)
+        .join(F.broadcast(c), o_f.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_disc_price()).cast(DEC38).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------- Q14 shape: promo revenue share
+@query(
+    "promo_revenue_share",
+    oracle=f"""
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_SQL_DISC_PRICE} END) AS DECIMAL(38,6)) AS promo_revenue,
+           CAST(SUM({_SQL_DISC_PRICE}) AS DECIMAL(38,6)) AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-02-01'
+    """,
+)
+def promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape: conditional vs total revenue over a dim join.
+    Exports numerator and denominator as exact DECIMALs instead of the
+    textbook percentage — the division would re-introduce double rounding
+    (see functions/numeric.py); consumers divide at display time. Part is
+    broadcast; single scan, single agg row."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    dp = _disc_price()
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-02-01")
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", dp)).cast(DEC38).alias("promo_revenue"),
+            F.sum(dp).cast(DEC38).alias("total_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- Q19 shape: disjunctive join predicate
+@query(
+    "disjunctive_band_revenue",
+    oracle=f"""
+    SELECT CAST(SUM({_SQL_DISC_PRICE}) AS DECIMAL(38,6)) AS revenue, COUNT(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 1  AND l_quantity <= 11)
+       OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 35 AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def disjunctive_band_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: an OR of conjunctive bands spanning both join
+    sides. Catalyst extracts the common constraints (p_brand IN (...),
+    l_quantity range) as pushable pre-join filters and keeps the full
+    disjunction as the post-join residual — the filter-extraction test
+    every optimizer must pass. Part broadcasts; one scan each side."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), p.p_partkey == li.l_partkey)
+    band = (
+        ((F.col("p_brand") == "Brand#11") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#22") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#33") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(band).agg(
+        F.sum(_disc_price()).cast(DEC38).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
