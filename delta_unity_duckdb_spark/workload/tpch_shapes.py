@@ -892,3 +892,119 @@ def disjunctive_band_revenue(spark, sf_dir):
         F.sum(_disc_price()).cast(DEC38).alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------- Q21 shape: EXISTS + NOT EXISTS on the same fact
+@query(
+    "sole_late_supplier",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+    SELECT a.l_suppkey AS s_suppkey, COUNT(DISTINCT a.l_orderkey) AS numwait
+    FROM li a
+    WHERE a.l_shipdate > a.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM li b
+                  WHERE b.l_orderkey = a.l_orderkey AND b.l_suppkey <> a.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM li c
+                      WHERE c.l_orderkey = a.l_orderkey AND c.l_suppkey <> a.l_suppkey
+                        AND c.l_shipdate > c.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY a.l_suppkey
+    """,
+)
+def sole_late_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper on a
+    multi-supplier order — EXISTS and NOT EXISTS correlated on the same
+    fact table (lateness = shipped >90 days after order date).
+
+    Spark plan: one shared li⋈orders projection, then a LEFT SEMI join
+    (other-supplier exists) and a LEFT ANTI join (no other LATE supplier)
+    both keyed on l_orderkey — three shuffles on the same key, which AQE
+    coalesces; no row explosion because semi/anti short-circuit per key.
+    COUNT(DISTINCT orderkey) guards against multi-line orders counting
+    twice.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias(
+            "is_late"
+        ),
+    )
+    late = joined.filter(F.col("is_late"))
+    other = joined.select(
+        F.col("l_orderkey").alias("b_orderkey"), F.col("l_suppkey").alias("b_suppkey")
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("c_orderkey"), F.col("l_suppkey").alias("c_suppkey")
+    )
+    return (
+        late.join(
+            other,
+            (F.col("l_orderkey") == F.col("b_orderkey"))
+            & (F.col("l_suppkey") != F.col("b_suppkey")),
+            "left_semi",
+        )
+        .join(
+            other_late,
+            (F.col("l_orderkey") == F.col("c_orderkey"))
+            & (F.col("l_suppkey") != F.col("c_suppkey")),
+            "left_anti",
+        )
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------- Q8 shape: market share
+@query(
+    "nation_market_share",
+    oracle=f"""
+    SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+           CAST(SUM(CASE WHEN n2.n_name = 'NATION_3' THEN {_SQL_DISC_PRICE} END) AS DECIMAL(38,6)) AS nation_volume,
+           CAST(SUM({_SQL_DISC_PRICE}) AS DECIMAL(38,6)) AS total_volume
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN supplier  ON l_suppkey = s_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE n1.n_regionkey = 1
+    GROUP BY 1
+    """,
+)
+def nation_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of supply volume into a region,
+    by year. The share is exported as exact numerator/denominator decimals
+    (dividing would reintroduce the ROUND-on-double hazard). Customers are
+    pre-filtered to the region via a broadcast nation join BEFORE touching
+    facts; supplier nation rides a broadcast too — one fact-fact shuffle.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+
+    cust_region = c.join(
+        F.broadcast(n.filter(F.col("n_regionkey") == 1).select("n_nationkey")),
+        c.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey")
+    supp_nation = s.join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))),
+        s.s_nationkey == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+
+    dp = _disc_price()
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust_region), o.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", dp)).cast(DEC38).alias("nation_volume"),
+            F.sum(dp).cast(DEC38).alias("total_volume"),
+        )
+    )
