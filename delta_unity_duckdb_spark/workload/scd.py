@@ -72,3 +72,47 @@ def scd2_sync(spark, sf_dir):
         "end_date",
         "is_current",
     )
+
+
+@query(
+    "snapshot_diff_orders",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey AS k, o_orderpriority AS prio, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 3 <> 0),
+    new AS (
+      SELECT o_orderkey AS k, o_orderpriority AS prio,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0 ELSE o_totalprice END AS price
+      FROM orders WHERE o_orderkey % 5 <> 0)
+    SELECT k,
+           CASE WHEN o.k IS NULL THEN n.prio  WHEN n.k IS NULL THEN o.prio  ELSE n.prio  END AS prio,
+           CASE WHEN o.k IS NULL THEN n.price WHEN n.k IS NULL THEN o.price ELSE n.price END AS price,
+           CASE WHEN o.k IS NULL THEN 'insert'
+                WHEN n.k IS NULL THEN 'delete'
+                WHEN n.price IS DISTINCT FROM o.price OR n.prio IS DISTINCT FROM o.prio THEN 'update'
+           END AS change_type
+    FROM new n FULL OUTER JOIN old o USING (k)
+    WHERE (o.k IS NULL) OR (n.k IS NULL)
+       OR n.price IS DISTINCT FROM o.price OR n.prio IS DISTINCT FROM o.prio
+    """,
+)
+def snapshot_diff_orders(spark, sf_dir):
+    """CDC snapshot diff (operators/cdc.py) over two deterministic order
+    snapshots — rows only in old (deletes), only in new (inserts), and
+    price-bumped rows (updates) — hash-checked against DuckDB's
+    IS DISTINCT FROM full-outer formulation. One co-partitioned shuffle."""
+    from delta_unity_duckdb_spark.operators.cdc import snapshot_diff
+    from delta_unity_duckdb_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_totalprice").alias("price"),
+    )
+    old = o.filter(F.col("k") % 3 != 0)
+    new = o.filter(F.col("k") % 5 != 0).withColumn(
+        "price",
+        F.when(F.col("k") % 7 == 0, F.col("price") + 1.0).otherwise(F.col("price")),
+    )
+    return snapshot_diff(old, new, ["k"])
