@@ -1008,3 +1008,50 @@ def nation_market_share(spark, sf_dir):
             F.sum(dp).cast(DEC38).alias("total_volume"),
         )
     )
+
+
+# ---------------------------------------------------------------- Q2 shape: argmin per group
+@query(
+    "min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey)
+    SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey, cost
+    FROM (
+      SELECT *, MIN(cost) OVER (PARTITION BY l_partkey) AS best
+      FROM ps)
+    WHERE cost = best
+    ORDER BY p_partkey, s_suppkey LIMIT 1000
+    """,
+)
+def min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: the cheapest supplier for every part (argmin per
+    group, TPC-H's correlated `= (SELECT MIN ...)` pattern).
+
+    Spark: window MIN over the part key + equality filter — ONE extra
+    pass over the grouped result instead of a per-part correlated
+    subquery (which would decorrelate into a self-join of the aggregate
+    anyway). Both levels share the (partkey, suppkey) shuffle key; ties
+    keep every minimal supplier, deterministically ordered for the LIMIT.
+    Exact DECIMAL cost makes the equality engine-portable.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice").cast("decimal(18,4)"))
+        .cast(DEC38)
+        .alias("cost")
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        ps.withColumn("best", F.min("cost").over(w))
+        .filter(F.col("cost") == F.col("best"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("l_suppkey").alias("s_suppkey"),
+            "cost",
+        )
+        .orderBy("p_partkey", "s_suppkey")
+        .limit(1000)
+    )
