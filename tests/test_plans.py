@@ -166,3 +166,23 @@ def test_knn_join_broadcasts_queries(plans):
     p = plans["knn_join"]
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_q21_semi_and_anti_share_order_key(plans):
+    p = plans["sole_late_supplier"]
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q2_argmin_single_window_no_self_join(plans):
+    # window MIN formulation: no join operator at all, one agg + one window
+    p = plans["min_cost_supplier"]
+    assert "Window" in p
+    assert "Join" not in p
+
+
+def test_snapshot_diff_single_outer_join(plans):
+    p = plans["snapshot_diff_orders"]
+    assert "FullOuter" in p
+    assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") == 1
