@@ -1055,3 +1055,248 @@ def min_cost_supplier(spark, sf_dir):
         .orderBy("p_partkey", "s_suppkey")
         .limit(1000)
     )
+
+
+# ---------------------------------------------------------------- Q12 shape: dual conditional count by class
+@query(
+    "late_shipment_priority",
+    oracle="""
+    SELECT l_returnflag AS ship_class,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+    GROUP BY l_returnflag
+    """,
+)
+def late_shipment_priority(spark, sf_dir):
+    """TPC-H Q12 shape (shipping modes and order priority): one pass over
+    the order⋈lineitem join, splitting counts by priority class with
+    conditional aggregation. The fixtures lack l_shipmode/l_receiptdate
+    (TESTDATA.md), so class = l_returnflag and "late" = shipped >30 days
+    after order date (same non-equi residual as the original's
+    receipt/commit comparison; cf. reference README.md:386 CASE-fusion
+    guidance).
+
+    Spark plan: both fact tables project only join keys + the two small
+    columns before the one shuffle on the order key; conditional SUMs
+    fuse into a single partial+final hash agg over a 3-row group space —
+    at 100 TB the reduce side is a handful of rows per class regardless
+    of input size.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- Q9 shape: product-type profit by nation/year
+@query(
+    "product_profit_by_nation",
+    oracle=f"""
+    SELECT n_name AS supp_nation,
+           EXTRACT(year FROM o_orderdate) AS o_year,
+           CAST(SUM({_SQL_DISC_PRICE}) AS DECIMAL(38,6)) AS profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, 2
+    """,
+)
+def product_profit_by_nation(spark, sf_dir):
+    """TPC-H Q9 shape (product type profit): profit for one product family
+    grouped by supplier nation and order year. The fixtures carry no
+    partsupp/ps_supplycost (TESTDATA.md), so profit = discounted revenue —
+    the join topology (part-name filter fanned across 4 joins) is the
+    shape under test.
+
+    Spark plan: the p_name LIKE filter cuts part to ~1/6 BEFORE any fact
+    is touched; part and supplier⋈nation both ride broadcast hash joins,
+    so lineitem shuffles exactly once — on l_orderkey against orders.
+    At 100 TB the only exchanged data is the filtered fact, and the
+    selective part filter is applied map-side (semi-join pushdown by
+    broadcast), never after a shuffle.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp_nation = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", F.col("n_name").alias("supp_nation")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("supp_nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.sum(_disc_price()).cast(DEC38).alias("profit"))
+    )
+
+
+# ---------------------------------------------------------------- Q11 shape: fraction-of-total HAVING
+@query(
+    "important_part_value",
+    oracle="""
+    WITH v AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS value
+      FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey AS p_partkey, value
+    FROM v
+    WHERE CAST(value AS DOUBLE) >
+          (SELECT CAST(SUM(value) AS DOUBLE) / COUNT(*) * 1.5 FROM v)
+    ORDER BY value DESC, p_partkey LIMIT 200
+    """,
+)
+def important_part_value(spark, sf_dir):
+    """TPC-H Q11 shape (important stock identification): per-group value
+    compared against a scalar fraction of the GLOBAL total — the
+    grouped-HAVING-vs-scalar-subquery pattern. Fixtures have no partsupp,
+    so value = summed extended price per part over lineitem.
+
+    Spark plan: ONE grouped aggregation on l_partkey; the global total is
+    a second aggregation over that (already tiny) grouped result, joined
+    back by broadcast — the fact table is read and shuffled once, and the
+    threshold compare runs map-side on the grouped rows. Both engines
+    compute the threshold double from the same exact DECIMAL sums, so the
+    boundary is bit-identical (numeric.py strategy). The threshold is
+    1.5x the AVERAGE per-part value (not a fixed fraction of total):
+    part cardinality grows with scale factor, so a fixed fraction would
+    silently select nothing at higher SFs — this form is scale-free.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    v = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast(DEC38).alias("value")
+    )
+    total = v.agg(
+        (F.sum("value").cast("double") / F.count(F.lit(1)) * F.lit(1.5)).alias(
+            "threshold"
+        )
+    )
+    return (
+        v.join(F.broadcast(total))
+        .filter(F.col("value").cast("double") > F.col("threshold"))
+        .select(F.col("l_partkey").alias("p_partkey"), "value")
+        .orderBy(F.desc("value"), "p_partkey")
+        .limit(200)
+    )
+
+
+# ---------------------------------------------------------------- Q16 shape: NOT-IN + COUNT DISTINCT by attrs
+@query(
+    "supplier_count_by_part",
+    oracle="""
+    SELECT p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_type, p_size
+    """,
+)
+def supplier_count_by_part(spark, sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship): how many distinct
+    suppliers ship each qualifying part class, excluding a blocklist of
+    suppliers via NOT IN (the original's "customer complaints" exclusion
+    → negative account balance here; partsupp → lineitem as the
+    part-supplier bridge).
+
+    Spark plan: all three part predicates prune a 2k-row dim that then
+    BROADCASTs into the fact scan; the supplier blocklist is a broadcast
+    LEFT ANTI join (s_suppkey is non-null, so anti ≡ NOT IN). The only
+    shuffle is the final COUNT DISTINCT — Spark expands to a two-phase
+    distinct-then-count keyed on (type, size, suppkey), which
+    AQE-coalesces; no row ever carries more than three small columns.
+    """
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & ~F.col("p_type").like("PROMO%")
+            & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+        )
+        .select("p_partkey", "p_type", "p_size")
+    )
+    bad_supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .groupBy("p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------- Q20 shape: nested IN + grouped HAVING
+@query(
+    "promo_part_suppliers",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 40)
+    ORDER BY s_suppkey
+    """,
+)
+def promo_part_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (potential part promotion): suppliers with heavy
+    shipped volume of one part family in one year — two nested IN
+    subqueries feeding a grouped HAVING. The original compares against
+    0.5*ps_availqty; with no partsupp the HAVING threshold is a constant,
+    preserving the nesting shape.
+
+    Spark plan: the part-family IN becomes a broadcast LEFT SEMI into the
+    date-pruned fact scan (filter + semi both run map-side); one shuffle
+    groups (suppkey, partkey); the surviving supplier keys are tiny and
+    broadcast back as a SEMI join against the 100-row supplier dim.
+    DECIMAL quantity sum keeps the HAVING boundary engine-portable.
+    """
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    red_parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    heavy = (
+        li.join(F.broadcast(red_parts), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("qty"))
+        .filter(F.col("qty") > 40)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(heavy), s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
