@@ -133,3 +133,33 @@ def graph_components_q(spark, sf_dir):
         .select("node", F.col("node").alias("component"))
     )
     return cc.unionByName(isolated)
+
+
+@query(
+    "graph_degree_distribution",
+    oracle="""
+    SELECT degree, COUNT(*) AS n_nodes FROM (
+      SELECT l_orderkey, COUNT(*) AS degree FROM lineitem GROUP BY l_orderkey) t
+    GROUP BY degree ORDER BY degree
+    """,
+)
+def graph_degree_distribution_q(spark, sf_dir):
+    """Out-degree histogram of the parent→child graph (how many children
+    each Mission-style parent has — the first profiling query on any
+    loaded property graph). Two cascading aggregations: per-node degree
+    (keyed shuffle on src), then a histogram over the tiny degree domain.
+    At 100 TB the second agg input is one row per node, and partial
+    aggregation collapses it map-side; nothing is ever sorted.
+    """
+    from pyspark.sql import functions as F
+
+    from delta_unity_duckdb_spark.operators.graph import build_graph
+
+    _, e = build_graph(spark, sf_dir)
+    return (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("degree")
+    )

@@ -542,3 +542,134 @@ def near_dup_clusters_q(spark, sf_dir):
         .orderBy("id")
         .limit(2000)
     )
+
+
+# ---------------------------------------------------------------- E5: TF-IDF-style distinctive terms
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tokens AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS word FROM documents),
+    agg AS (
+      SELECT word, COUNT(*) AS tf_total, COUNT(DISTINCT doc_id) AS df
+      FROM tokens WHERE word <> '' GROUP BY word)
+    SELECT word, tf_total, df,
+           (tf_total * 1000000) // df AS rarity_weighted_tf
+    FROM agg
+    ORDER BY rarity_weighted_tf DESC, word LIMIT 100
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Distinctive-term ranking (TF-IDF shape): corpus-wide term frequency
+    weighted by inverse document frequency. The score is the integer
+    ``tf_total * 1e6 div df`` — order-equivalent to tf * (N/df) at fixed N
+    and exactly computable in int64, where a float ``tf * ln(N/df)`` would
+    hinge on cross-engine libm ``ln`` agreement in the last ulp.
+
+    Spark plan: one explode → ONE shuffle on word computing COUNT(*) and
+    COUNT(DISTINCT doc_id) together (Catalyst plans the distinct as a
+    partial-dedup expand on the same key); the exploded rows collapse
+    map-side before exchange. Top-k is TakeOrderedAndProject — no global
+    sort at any scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("tf_total"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .withColumn("rarity_weighted_tf", F.expr("(tf_total * 1000000) div df"))
+        .orderBy(F.desc("rarity_weighted_tf"), "word")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------- E5: n-gram frequency
+@query(
+    "bigram_freq",
+    oracle="""
+    WITH toks AS (
+      SELECT LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS w
+      FROM documents)
+    SELECT w[i] || ' ' || w[i+1] AS bigram, COUNT(*) AS n
+    FROM toks, UNNEST(RANGE(1, LEN(w))) AS t(i)
+    GROUP BY 1 ORDER BY n DESC, bigram LIMIT 50
+    """,
+)
+def bigram_freq(spark, sf_dir):
+    """Word-bigram frequency table — the n-gram statistics pass of a
+    training-data pipeline (adjacent-pair counts feed contamination checks
+    and boilerplate lists). Pairs are built inside the array domain
+    (``transform`` over an index sequence — no self-join on position),
+    then exploded; partial aggregation collapses duplicates map-side so
+    the single shuffle carries distinct bigrams, not token instances.
+    The ``size >= 2`` guard keeps ``sequence()`` off its descending-range
+    edge case for sub-bigram docs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    return (
+        d.select(w.alias("w"))
+        .select(
+            F.explode(
+                F.when(
+                    F.size("w") >= 2,
+                    F.expr(
+                        "transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("bigram")
+        )
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------- E5: repetition quality signal
+@query(
+    "doc_repetition",
+    oracle="""
+    WITH tokens AS (
+      SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS word FROM documents),
+    tw AS (
+      SELECT doc_id, word, COUNT(*) AS c FROM tokens
+      WHERE word <> '' GROUP BY doc_id, word),
+    perdoc AS (
+      SELECT doc_id, MAX(c) AS max_tf, CAST(SUM(c) AS BIGINT) AS n_tokens
+      FROM tw GROUP BY doc_id)
+    SELECT doc_id, max_tf, n_tokens,
+           (max_tf * 1000000) // n_tokens AS repetition_ppm
+    FROM perdoc ORDER BY repetition_ppm DESC, doc_id LIMIT 100
+    """,
+)
+def doc_repetition(spark, sf_dir):
+    """Per-document repetition scoring — the max-token-share quality filter
+    used to drop degenerate/templated documents from training corpora
+    (a doc whose most frequent token dominates is boilerplate). Score is
+    integer ppm (floor division) for engine-portable ordering.
+
+    Spark plan: both aggregation levels key on doc_id (word is a
+    sub-key of the first), so the second groupBy reuses the first's
+    partitioning — one logical shuffle of token counts, then a per-doc
+    fold that is map-side after AQE coalescing. No window function and
+    no per-doc sort.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tw = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        tw.groupBy("doc_id")
+        .agg(F.max("c").alias("max_tf"), F.sum("c").alias("n_tokens"))
+        .withColumn("repetition_ppm", F.expr("(max_tf * 1000000) div n_tokens"))
+        .orderBy(F.desc("repetition_ppm"), "doc_id")
+        .limit(100)
+    )

@@ -1300,3 +1300,64 @@ def promo_part_suppliers(spark, sf_dir):
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------- grouped statistical outlier detection
+@query(
+    "price_outliers",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             CAST(FLOOR(o_totalprice * 100) AS DECIMAL(19,0)) AS c
+      FROM orders),
+    stats AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n,
+             CAST(SUM(c) AS DECIMAL(38,0)) AS s1,
+             CAST(SUM(c * c) AS DECIMAL(38,0)) AS s2
+      FROM cents GROUP BY o_orderpriority)
+    SELECT o_orderkey, o.o_orderpriority, o_totalprice
+    FROM cents o JOIN stats s ON o.o_orderpriority = s.o_orderpriority
+    WHERE CAST(c AS DOUBLE) > CAST(s1 AS DOUBLE) / n
+      AND (CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+          * (CAST(c AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+          > 2.25 * (CAST(s2 AS DOUBLE) / n
+                   - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+    ORDER BY o_orderkey
+    """,
+)
+def price_outliers(spark, sf_dir):
+    """Grouped z-score outlier detection: orders more than 1.5 standard
+    deviations ABOVE their priority class's mean price (uniform-ish
+    fixture data caps |z| at sqrt(3), so a 2-sigma cut would select
+    nothing) — the anomaly-flagging pass of a monitoring pipeline.
+
+    Scale design: mean/variance come from exact integer-cent power sums
+    (numeric.py strategy — associative, partition-order-independent;
+    FLOOR-quantized to cents so the square stays inside DECIMAL(38,0) —
+    DECIMAL(19,0) forces int128 multiply in DuckDB, where a DECIMAL(18)
+    square overflows its int64 fast path). Sums aggregate in ONE pass and
+    broadcast back onto the fact scan, so the fact table is read twice
+    but shuffled never; contrast a window formulation, which would sort
+    every partition of the 100 TB fact by group. The z-test runs in
+    doubles derived from those exact integers with the identical
+    expression tree in both engines — IEEE arithmetic is deterministic,
+    so the boundary cannot flip cross-engine.
+    """
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "c", F.floor(F.col("o_totalprice") * 100).cast("decimal(19,0)")
+    )
+    stats = o.groupBy(F.col("o_orderpriority").alias("sp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").cast("decimal(38,0)").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("decimal(38,0)").alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    ex2 = F.col("s2").cast("double") / F.col("n")
+    x = F.col("c").cast("double")
+    return (
+        o.join(F.broadcast(stats), o.o_orderpriority == F.col("sp"))
+        .filter((x > mean) & ((x - mean) * (x - mean) > 2.25 * (ex2 - mean * mean)))
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
