@@ -186,3 +186,36 @@ def test_snapshot_diff_single_outer_join(plans):
     p = plans["snapshot_diff_orders"]
     assert "FullOuter" in p
     assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") == 1
+
+
+def test_new_tpch_shapes_broadcast_dims(plans):
+    """Q9/Q16/Q20 shapes: the selective dimension side must broadcast —
+    a shuffle of the fact against a 2k-row dim would be the scale bug."""
+    assert "BroadcastHashJoin" in plans["product_profit_by_nation"]
+    p16 = plans["supplier_count_by_part"]
+    assert "BroadcastHashJoin" in p16 and "LeftAnti" in p16
+    p20 = plans["promo_part_suppliers"]
+    assert "BroadcastHashJoin" in p20 and "LeftSemi" in p20
+
+
+def test_price_outliers_no_window_sort(plans):
+    """Grouped z-score must use agg+broadcast-join-back, never a window
+    (a window would sort every fact partition by group at 100 TB)."""
+    p = plans["price_outliers"]
+    assert "BroadcastHashJoin" in p
+    assert "Window" not in p
+
+
+def test_tfidf_single_shuffle_topk(plans):
+    """TF-IDF ranking: top-k via TakeOrderedAndProject (no global sort)
+    and map-side partial aggregation of the exploded tokens."""
+    p = plans["tfidf_top_terms"]
+    assert "TakeOrderedAndProject" in p
+    assert "partial_" in p
+
+
+def test_text_ngram_partial_agg(plans):
+    """bigram/repetition aggregations must collapse map-side (partial
+    HashAggregate) so the shuffle carries distinct keys, not token rows."""
+    assert "partial_" in plans["bigram_freq"]
+    assert "partial_" in plans["doc_repetition"]
