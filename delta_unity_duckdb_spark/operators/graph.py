@@ -196,3 +196,86 @@ def connected_components(edges: DataFrame, max_iter: int = 32) -> DataFrame:
             break
     sym.unpersist()
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 8,
+) -> DataFrame:
+    """PageRank by power iteration over the edge list. Returns
+    (node, rank) with rank as DECIMAL(38,18).
+
+    Determinism at scale: rank mass is carried in DECIMAL, not DOUBLE —
+    decimal addition is associative, so the per-node contribution sums are
+    identical at any partition count / AQE decision, where double sums
+    would drift in the last ulps and make ranks (and rank-ordered output)
+    run-dependent. Divisions (rank/out_degree, dangling/N) happen at fixed
+    scale with one deterministic rounding per step.
+
+    Per iteration: one join of edges against the current ranks (both
+    pre-partitioned on the join key after the first round — AQE reuses the
+    exchange), one grouped sum, one broadcast of the two scalar masses
+    (dangling + teleport). State is (node, rank) — linear in vertices;
+    lineage is truncated per round (localCheckpoint), else iteration N
+    replays 1..N-1.
+    """
+    DEC = "decimal(38,18)"
+    e = edges.select("src", "dst").persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_total = nodes.count()
+    out_deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    # nodes annotated once: out_degree NULL for dangling (no out-edges)
+    base = nodes.join(out_deg, "node", "left").localCheckpoint(eager=True)
+
+    init = (F.lit(1).cast(DEC) / F.lit(n_total)).cast(DEC)
+    ranks = base.select("node", "out_degree", init.alias("rank")).localCheckpoint(
+        eager=True
+    )
+    d = F.lit(damping).cast("decimal(6,4)")
+    teleport = ((F.lit(1).cast(DEC) - d) / F.lit(n_total)).cast(DEC)
+
+    for _ in range(iterations):
+        dangling = (
+            ranks.filter(F.col("out_degree").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0)).cast(DEC).alias("dmass"))
+        )
+        contribs = (
+            e.join(ranks, e.src == ranks.node)
+            .select(
+                "dst",
+                (F.col("rank") / F.col("out_degree")).cast(DEC).alias("c"),
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").cast(DEC).alias("contrib"))
+        )
+        ranks = (
+            base.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "out_degree",
+                (
+                    teleport
+                    + (
+                        d
+                        * (
+                            F.coalesce(F.col("contrib"), F.lit(0).cast(DEC))
+                            + (F.col("dmass") / F.lit(n_total)).cast(DEC)
+                        )
+                    ).cast(DEC)
+                )
+                .cast(DEC)
+                .alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return ranks.select("node", "rank")

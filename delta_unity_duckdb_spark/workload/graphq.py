@@ -163,3 +163,29 @@ def graph_degree_distribution_q(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy("degree")
     )
+
+
+@query("graph_pagerank")
+def graph_pagerank_q(spark, sf_dir):
+    """PageRank over the per-customer order-chain graph (rows-only:
+    iterative fixed-point has no SQL twin; invariants — mass conservation,
+    monotone rank along chains, partition-count independence — are pinned
+    in tests/test_graph_cc.py). Top-20 by exact-decimal rank, so the
+    ordering itself is deterministic."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from delta_unity_duckdb_spark.operators.graph import pagerank
+    from delta_unity_duckdb_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    edges = o.select(
+        F.col("o_orderkey").alias("src"),
+        F.lead("o_orderkey").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    return (
+        pagerank(edges, iterations=4)
+        .orderBy(F.desc("rank"), "node")
+        .limit(20)
+    )

@@ -39,3 +39,36 @@ def test_direction_is_ignored(spark):
     # edges given "backwards" — undirected semantics must still merge
     labels = _cc(spark, [(3, 1), (2, 3)])
     assert labels == {1: 1, 2: 1, 3: 1}
+
+
+class TestPagerank:
+    def _pr(self, spark, rows, **kw):
+        from delta_unity_duckdb_spark.operators.graph import pagerank
+
+        e = spark.createDataFrame(rows, ["src", "dst"])
+        return {r["node"]: float(r["rank"]) for r in pagerank(e, **kw).collect()}
+
+    def test_mass_conserved(self, spark):
+        ranks = self._pr(spark, [(1, 2), (2, 3), (3, 1), (4, 1)])
+        assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+    def test_star_center_dominates(self, spark):
+        ranks = self._pr(spark, [(i, 0) for i in range(1, 8)])
+        center = ranks[0]
+        assert all(center > ranks[i] for i in range(1, 8))
+
+    def test_chain_rank_increases_downstream(self, spark):
+        ranks = self._pr(spark, [(1, 2), (2, 3), (3, 4)])
+        assert ranks[1] < ranks[2] < ranks[3] < ranks[4]
+
+    def test_partition_count_independent(self, spark):
+        """Exact-decimal arithmetic ⇒ bit-identical ranks at any
+        parallelism (double sums would drift)."""
+        from delta_unity_duckdb_spark.operators.graph import pagerank
+
+        rows = [(i, (i * 7) % 50) for i in range(200) if i != (i * 7) % 50]
+        e1 = spark.createDataFrame(rows, ["src", "dst"]).repartition(1)
+        e2 = spark.createDataFrame(rows, ["src", "dst"]).repartition(13)
+        r1 = {r["node"]: r["rank"] for r in pagerank(e1, iterations=3).collect()}
+        r2 = {r["node"]: r["rank"] for r in pagerank(e2, iterations=3).collect()}
+        assert r1 == r2  # exact decimal equality, not approx
