@@ -40,6 +40,8 @@ HEADLINE = [
     "interval_join_events",
     "knn_join",
     "corpus_curation",
+    "price_outliers",
+    "tfidf_top_terms",
 ]
 
 
