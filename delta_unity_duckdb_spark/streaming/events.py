@@ -220,3 +220,55 @@ def dedup_events_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys + ["ts"] if "ts" not in keys else keys
     )
+
+
+def scd2_stream_sync(
+    change_stream: DataFrame,
+    keys: list[str],
+    tracked: list[str],
+    ts_col: str = "batch_ts",
+) -> DataFrame:
+    """Streaming SCD Type 2 sync: apply the flagship merge
+    (operators/scd2.py, reference delta_to_postgres_scd.py:177-267) to
+    every micro-batch of a change-feed stream via ``foreachBatch``, and
+    return the final dimension state.
+
+    This is the lakehouse CDC pattern the reference approximates with
+    repeated one-shot runs: each micro-batch closes changed current rows
+    and inserts new versions, so the dimension is always queryable and
+    versions accumulate in arrival order. ``ts_col`` carries each batch's
+    effective timestamp (constant within a batch).
+
+    Scale posture: state lives as a DataFrame re-merged per batch (on a
+    cluster: a Delta table MERGE — same operator, durable target);
+    ``localCheckpoint`` truncates lineage so batch N does not replay
+    1..N-1. foreachBatch gives exactly-once per batch through the stream
+    checkpoint; scd2_apply itself shuffles once on the business keys.
+    """
+    from pyspark.sql import functions as F
+
+    from delta_unity_duckdb_spark.operators.scd2 import scd2_apply
+
+    holder: dict[str, DataFrame | None] = {"state": None}
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ts = batch_df.agg(F.max(ts_col)).collect()[0][0]
+        src = batch_df.drop(ts_col)
+        new_state = scd2_apply(
+            holder["state"], src, keys, tracked, F.lit(ts).cast("timestamp")
+        )
+        holder["state"] = new_state.localCheckpoint(eager=True)
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_scd2_stream_")
+    q = (
+        change_stream.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert holder["state"] is not None, "change stream produced no batches"
+    return holder["state"]

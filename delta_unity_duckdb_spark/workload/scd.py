@@ -24,10 +24,10 @@ from delta_unity_duckdb_spark.workload.registry import query
 T1 = "2024-06-01 00:00:00"
 T2 = "2024-06-02 00:00:00"
 
-
-@query(
-    "scd2_sync",
-    oracle=f"""
+# Closed-form final state of the two-batch sync — shared by the batch
+# flagship (scd2_sync) and its streaming twin (stream_scd2_sync), which
+# MUST converge to the identical table.
+SCD2_FINAL_STATE_SQL = f"""
     WITH state AS (
       SELECT c_custkey, c_name, c_mktsegment, c_acctbal,
              TIMESTAMP '{T1}' AS effective_date,
@@ -43,8 +43,10 @@ T2 = "2024-06-02 00:00:00"
            c_custkey, c_name, c_mktsegment, c_acctbal,
            effective_date, end_date, is_current
     FROM state
-    """,
-)
+    """
+
+
+@query("scd2_sync", oracle=SCD2_FINAL_STATE_SQL)
 def scd2_sync(spark, sf_dir):
     """Flagship SCD2 merge (A21): apply two batches, emit the final state
     with the deterministic surrogate key."""

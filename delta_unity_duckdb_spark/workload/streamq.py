@@ -243,3 +243,73 @@ def stream_dedup(spark, sf_dir):
         "event_id", "event_type"
     )
     return run_available_now(deduped, output_mode="append")
+
+
+from delta_unity_duckdb_spark.workload.scd import SCD2_FINAL_STATE_SQL
+
+
+@query("stream_scd2_sync", oracle=SCD2_FINAL_STATE_SQL)
+def stream_scd2_sync(spark, sf_dir):
+    """Streaming twin of the flagship SCD2 merge: the same two customer
+    batches as ``scd2_sync`` (snapshot at T1, every-10th-key mutated at
+    T2) arrive as a file-source change feed, ONE FILE PER MICRO-BATCH
+    (maxFilesPerTrigger=1), and foreachBatch applies the merge
+    incrementally. Registered with the identical closed-form oracle —
+    streaming must converge to the batch engine's exact final state,
+    surrogate keys included."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from delta_unity_duckdb_spark.sources.tables import load_table
+    from delta_unity_duckdb_spark.streaming.events import scd2_stream_sync
+    from delta_unity_duckdb_spark.workload.scd import T1, T2
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+    batches = [
+        cust.withColumn("batch_ts", F.lit(T1)),
+        cust.withColumn(
+            "c_mktsegment",
+            F.when(F.col("c_custkey") % 10 == 0, F.lit("ALTERED")).otherwise(
+                F.col("c_mktsegment")
+            ),
+        ).withColumn("batch_ts", F.lit(T2)),
+    ]
+
+    feed_dir = tempfile.mkdtemp(prefix="scd2_feed_")
+    base_mtime = 1_700_000_000
+    for i, bdf in enumerate(batches):
+        stage = tempfile.mkdtemp(prefix=f"scd2_stage_{i}_")
+        bdf.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(
+            f for f in os.listdir(stage) if f.endswith(".parquet") and f.startswith("part-")
+        )
+        dst = os.path.join(feed_dir, f"feed-{i}.parquet")
+        shutil.copy(os.path.join(stage, part), dst)
+        # distinct mtimes pin the file source's oldest-first batch order
+        os.utime(dst, (base_mtime + i * 100, base_mtime + i * 100))
+        shutil.rmtree(stage)
+
+    stream = (
+        spark.readStream.schema(batches[0].schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+    )
+    state = scd2_stream_sync(
+        stream, ["c_custkey"], ["c_name", "c_mktsegment", "c_acctbal"]
+    )
+    w = Window.orderBy("c_custkey", "effective_date")
+    return state.select(
+        F.row_number().over(w).cast("long").alias("scd_id"),
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        "c_acctbal",
+        "effective_date",
+        "end_date",
+        "is_current",
+    )
