@@ -1,0 +1,351 @@
+"""Minimal Delta Lake transaction-log reader/writer (no delta-spark).
+
+The reference's core capability is reading Delta tables WITHOUT the heavy
+runtime that normally owns them — DuckDB's ``delta_scan`` instead of a
+Databricks cluster (delta-unity-duckdb.js:327-343). This module is the
+same move on Spark: when ``delta-spark`` is absent, read a Delta table by
+replaying its transaction log directly (public protocol:
+https://github.com/delta-io/delta/blob/master/PROTOCOL.md) and hand the
+resulting file list to the ordinary parquet reader — so Catalyst still
+sees a plain parquet relation with full pushdown/pruning.
+
+Supported: JSON commits, parquet checkpoints (`_last_checkpoint`),
+add/remove reconciliation, schemaString → StructType, partition-column
+recovery from ``partitionValues``, time travel (``version=``), and a
+single-writer append/overwrite commit path with O_EXCL optimistic
+concurrency. Unsupported (explicitly refused, not silently wrong):
+deletion vectors, column mapping, reader version > 2.
+
+Scale posture: log replay touches ONLY the log (KBs per commit; the
+checkpoint bounds replay length) — never data files. The data read is a
+normal parquet scan over the active file set, so predicate pushdown,
+column pruning, and split planning are unchanged. Partition values ride
+per-file constant columns via a UNION of per-partition reads grouped by
+partition tuple — each branch is one pruned parquet relation.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+_COMMIT_DIGITS = 20
+
+
+class DeltaProtocolError(RuntimeError):
+    """Table uses a Delta feature this minimal reader refuses to guess at."""
+
+
+def _commit_path(log_dir: str, version: int) -> str:
+    return os.path.join(log_dir, f"{version:0{_COMMIT_DIGITS}d}.json")
+
+
+def _list_commit_versions(log_dir: str) -> list[int]:
+    out = []
+    for f in os.listdir(log_dir):
+        base = f.split(".")[0]
+        if f.endswith(".json") and base.isdigit() and len(base) == _COMMIT_DIGITS:
+            out.append(int(base))
+    return sorted(out)
+
+
+class DeltaSnapshot:
+    """Reconciled state of a Delta table at one version."""
+
+    def __init__(self, table_path: str, version: int):
+        self.table_path = table_path
+        self.version = version
+        self.metadata: dict | None = None
+        self.protocol: dict | None = None
+        self.adds: dict[str, dict] = {}  # path -> add action
+
+    @property
+    def schema(self) -> StructType:
+        assert self.metadata is not None, "log contained no metaData action"
+        return StructType.fromJson(json.loads(self.metadata["schemaString"]))
+
+    @property
+    def partition_columns(self) -> list[str]:
+        assert self.metadata is not None
+        return list(self.metadata.get("partitionColumns") or [])
+
+    def file_paths(self) -> list[str]:
+        return [os.path.join(self.table_path, p) for p in sorted(self.adds)]
+
+    def _apply(self, action: dict) -> None:
+        if "metaData" in action:
+            self.metadata = action["metaData"]
+        elif "protocol" in action:
+            self.protocol = action["protocol"]
+            if self.protocol.get("minReaderVersion", 1) > 2:
+                raise DeltaProtocolError(
+                    f"minReaderVersion={self.protocol['minReaderVersion']} > 2"
+                )
+            for feat in self.protocol.get("readerFeatures") or []:
+                if feat in ("deletionVectors", "columnMapping", "v2Checkpoint"):
+                    raise DeltaProtocolError(f"unsupported reader feature: {feat}")
+        elif "add" in action:
+            add = action["add"]
+            if add.get("deletionVector"):
+                raise DeltaProtocolError("file carries a deletion vector")
+            self.adds[add["path"]] = add
+        elif "remove" in action:
+            self.adds.pop(action["remove"]["path"], None)
+        # commitInfo / txn / cdc: no effect on the active file set
+
+
+def _load_checkpoint(
+    spark: SparkSession, log_dir: str, version: int, snap: DeltaSnapshot
+) -> None:
+    """Fold a parquet checkpoint (complete state at ``version``) into snap."""
+    path = os.path.join(
+        log_dir, f"{version:0{_COMMIT_DIGITS}d}.checkpoint.parquet"
+    )
+    rows = spark.read.parquet(path).collect()
+    # Checkpoints store one action per row in struct columns; replay order
+    # inside a checkpoint is irrelevant (it is already reconciled state),
+    # but metaData/protocol must land before being read.
+    for r in rows:
+        d = r.asDict(recursive=True)
+        for key in ("protocol", "metaData", "add", "remove"):
+            sub = d.get(key)
+            # a checkpoint row holds ONE action; the other struct columns
+            # are null — which some writers serialize as all-null structs
+            if sub is not None and any(v is not None for v in sub.values()):
+                snap._apply({key: sub})
+
+
+def snapshot(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DeltaSnapshot:
+    """Replay the log to ``version`` (default: latest)."""
+    log_dir = os.path.join(table_path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(f"not a Delta table (no _delta_log): {table_path}")
+    versions = _list_commit_versions(log_dir)
+    if version is None:
+        if not versions:
+            raise FileNotFoundError(f"empty _delta_log in {table_path}")
+        version = versions[-1]
+
+    ckpt_version = -1
+    last_ckpt = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(last_ckpt):
+        with open(last_ckpt) as fh:
+            cand = json.load(fh)["version"]
+        if cand <= version:
+            ckpt_version = cand
+
+    snap = DeltaSnapshot(table_path, version)
+    if ckpt_version >= 0:
+        _load_checkpoint(spark, log_dir, ckpt_version, snap)
+
+    for v in range(ckpt_version + 1, version + 1):
+        cpath = _commit_path(log_dir, v)
+        if not os.path.exists(cpath):
+            if v in (0, ckpt_version + 1) and ckpt_version >= 0:
+                continue  # commits before/at the checkpoint may be vacuumed
+            raise FileNotFoundError(f"missing commit {v} in {log_dir}")
+        with open(cpath) as fh:
+            for line in fh:
+                line = line.strip()
+                if line:
+                    snap._apply(json.loads(line))
+    return snap
+
+
+def read_delta(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Read a Delta table as a DataFrame by direct log replay.
+
+    Partitioned tables: data files do not store partition columns — the
+    values live in each add action's ``partitionValues``. Files are
+    grouped by partition tuple; each group becomes one parquet relation
+    with the partition values attached as typed literal columns, and the
+    groups union. Filters on partition columns therefore constant-fold
+    per branch (Catalyst prunes whole branches — the same file-skipping
+    effect as catalog partition pruning).
+    """
+    snap = snapshot(spark, table_path, version)
+    schema = snap.schema
+    part_cols = snap.partition_columns
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    data_schema = StructType(data_fields)
+
+    if not snap.adds:
+        return spark.createDataFrame([], schema)
+
+    if not part_cols:
+        return spark.read.schema(data_schema).parquet(*snap.file_paths())
+
+    by_part: dict[tuple, list[str]] = {}
+    for path, add in sorted(snap.adds.items()):
+        key = tuple(add.get("partitionValues", {}).get(c) for c in part_cols)
+        by_part.setdefault(key, []).append(os.path.join(snap.table_path, path))
+
+    field_type = {f.name: f.dataType for f in schema.fields}
+    branches = []
+    for key, paths in sorted(by_part.items()):
+        df = spark.read.schema(data_schema).parquet(*paths)
+        for c, raw in zip(part_cols, key):
+            # partitionValues serialize as strings (or null); cast back
+            df = df.withColumn(
+                c, F.lit(raw).cast(field_type[c]) if raw is not None else F.lit(None).cast(field_type[c])
+            )
+        branches.append(df.select([f.name for f in schema.fields]))
+    return reduce(lambda a, b: a.unionByName(b), branches)
+
+
+def table_version(table_path: str) -> int:
+    """Latest committed version (reference getTableStats analogue)."""
+    versions = _list_commit_versions(os.path.join(table_path, "_delta_log"))
+    if not versions:
+        raise FileNotFoundError(f"empty _delta_log in {table_path}")
+    return versions[-1]
+
+
+def _schema_to_string(schema: StructType) -> str:
+    return json.dumps(schema.jsonValue())
+
+
+def write_delta(
+    df: DataFrame,
+    table_path: str,
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+) -> int:
+    """Commit a DataFrame to a Delta table via the log protocol; returns
+    the committed version.
+
+    Two phases, crash-safe in the Delta sense: (1) write parquet data
+    files into the table directory under unique names — invisible until
+    committed; (2) append commit ``N.json`` with O_CREAT|O_EXCL, so two
+    concurrent writers race on the file create and the loser retries at
+    N+1 (optimistic concurrency, single-filesystem scope). ``overwrite``
+    emits remove actions for the previous snapshot's files in the same
+    atomic commit.
+    """
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    partition_by = list(partition_by or [])
+    spark = df.sparkSession
+    log_dir = os.path.join(table_path, "_delta_log")
+    os.makedirs(log_dir, exist_ok=True)
+    existing = _list_commit_versions(log_dir)
+    # A vacuumed table can have a checkpoint but no JSON commits — the
+    # checkpoint alone proves the table exists at that version.
+    latest: int | None = existing[-1] if existing else None
+    ckpt_file = os.path.join(log_dir, "_last_checkpoint")
+    if os.path.exists(ckpt_file):
+        with open(ckpt_file) as fh:
+            ckpt_v = json.load(fh)["version"]
+        latest = ckpt_v if latest is None else max(latest, ckpt_v)
+
+    prev: DeltaSnapshot | None = None
+    if latest is not None:
+        prev = snapshot(spark, table_path, latest)
+        if prev.partition_columns != partition_by:
+            raise ValueError(
+                f"partition mismatch: table has {prev.partition_columns}, "
+                f"write requested {partition_by}"
+            )
+
+    # Phase 1: stage data files under a unique prefix inside the table dir.
+    stage_token = uuid.uuid4().hex[:12]
+    stage_dir = os.path.join(table_path, f"_staging_{stage_token}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(stage_dir)
+
+    adds: list[dict] = []
+    for root, _dirs, files in os.walk(stage_dir):
+        for fname in files:
+            if not fname.endswith(".parquet"):
+                continue
+            src = os.path.join(root, fname)
+            rel_dir = os.path.relpath(root, stage_dir)
+            part_values: dict[str, str | None] = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    k, _, v = seg.partition("=")
+                    part_values[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+            rel_target = (
+                os.path.join(rel_dir, f"{stage_token}-{fname}")
+                if rel_dir != "."
+                else f"{stage_token}-{fname}"
+            )
+            dst = os.path.join(table_path, rel_target)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(src, dst)
+            adds.append(
+                {
+                    "add": {
+                        "path": rel_target.replace(os.sep, "/"),
+                        "partitionValues": part_values,
+                        "size": os.path.getsize(dst),
+                        "modificationTime": int(time.time() * 1000),
+                        "dataChange": True,
+                    }
+                }
+            )
+    # clean the now-empty staging tree
+    for root, dirs, files in os.walk(stage_dir, topdown=False):
+        for f_ in files:
+            os.remove(os.path.join(root, f_))
+        os.rmdir(root)
+
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "WRITE",
+                "operationParameters": {"mode": mode},
+                "engineInfo": "delta_unity_duckdb_spark minimal-writer",
+            }
+        }
+    ]
+    if latest is None:
+        actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+    if latest is None or mode == "overwrite":
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": _schema_to_string(df.schema),
+                    "partitionColumns": partition_by,
+                    "configuration": {},
+                    "createdTime": int(time.time() * 1000),
+                }
+            }
+        )
+    if mode == "overwrite" and prev is not None:
+        ts = int(time.time() * 1000)
+        for path in prev.adds:
+            actions.append(
+                {"remove": {"path": path, "deletionTimestamp": ts, "dataChange": True}}
+            )
+    actions.extend(adds)
+
+    # Phase 2: atomic commit with optimistic retry.
+    next_version = (latest + 1) if latest is not None else 0
+    payload = "\n".join(json.dumps(a, separators=(",", ":")) for a in actions) + "\n"
+    while True:
+        cpath = _commit_path(log_dir, next_version)
+        try:
+            fd = os.open(cpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            next_version += 1  # lost the race — retry on top of the new commit
+            continue
+        with os.fdopen(fd, "w") as fh:
+            fh.write(payload)
+        return next_version

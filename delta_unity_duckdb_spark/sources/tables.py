@@ -70,11 +70,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _read_delta_any(spark: SparkSession, path: str) -> DataFrame:
+    """Delta read that works with OR without delta-spark: prefer the full
+    connector when its extension is loaded, else replay the transaction
+    log directly (sources/delta_log.py — the reference's delta_scan move,
+    delta-unity-duckdb.js:330)."""
+    try:
+        return spark.read.format("delta").load(path)
+    except Exception:
+        from delta_unity_duckdb_spark.sources.delta_log import read_delta
+
+        return read_delta(spark, path)
+
+
 def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
     delta_dir = os.path.join(sf_dir, name)
     if os.path.isdir(os.path.join(delta_dir, "_delta_log")):
-        return spark.read.format("delta").load(delta_dir)
+        return _read_delta_any(spark, delta_dir)
     pq = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(pq if os.path.exists(pq) else delta_dir)
     if name == "events":
@@ -130,5 +143,5 @@ def read_any(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
         # (path, modificationTime, length, content binary), one row per file.
         return spark.read.format("binaryFile").load(path)
     if fmt == "delta":
-        return spark.read.format("delta").load(path)
+        return _read_delta_any(spark, path)
     return spark.read.parquet(path)

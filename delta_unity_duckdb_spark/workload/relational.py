@@ -1162,3 +1162,39 @@ def correlated_scalar_agg(spark, sf_dir):
         GROUP BY l.l_partkey
         """
     )
+
+
+@query(
+    "delta_time_travel",
+    oracle="""
+    SELECT 0 AS version, COUNT(*) AS n_rows FROM customer
+    UNION ALL
+    SELECT 1, COUNT(*) + (SELECT COUNT(*) FROM customer WHERE c_custkey % 10 = 0)
+    FROM customer
+    ORDER BY version
+    """,
+)
+def delta_time_travel(spark, sf_dir):
+    """Delta transaction-log round-trip with time travel (the reference's
+    core delta_scan capability, delta-unity-duckdb.js:330, rebuilt via
+    sources/delta_log.py — no delta-spark needed): commit the customer
+    snapshot (v0), append the mutated every-10th rows (v1), then read BOTH
+    versions by log replay and report their row counts. A wrong
+    add/remove reconciliation, a broken commit, or time travel reading
+    the wrong file set all change the counts."""
+    import tempfile
+
+    from delta_unity_duckdb_spark.sources.delta_log import read_delta, write_delta
+    from delta_unity_duckdb_spark.sources.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    t = tempfile.mkdtemp(prefix="delta_tt_")
+    write_delta(cust, t)  # v0
+    write_delta(cust.filter(F.col("c_custkey") % 10 == 0), t)  # v1 append
+    v0 = read_delta(spark, t, version=0).agg(
+        F.lit(0).alias("version"), F.count(F.lit(1)).alias("n_rows")
+    )
+    v1 = read_delta(spark, t).agg(
+        F.lit(1).alias("version"), F.count(F.lit(1)).alias("n_rows")
+    )
+    return v0.unionByName(v1).orderBy("version")

@@ -1,0 +1,195 @@
+"""Minimal Delta log reader/writer (sources/delta_log.py): protocol
+round-trips without delta-spark — commits, overwrite, time travel,
+partition recovery, checkpoint replay, and explicit feature refusal."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from delta_unity_duckdb_spark.sources.delta_log import (
+    DeltaProtocolError,
+    read_delta,
+    snapshot,
+    table_version,
+    write_delta,
+)
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+class TestWriteRead:
+    def test_append_roundtrip(self, spark, tmp_path):
+        t = str(tmp_path / "t1")
+        df = spark.range(10).withColumn("v", F.col("id") * 2)
+        assert write_delta(df, t) == 0
+        assert _rows(read_delta(spark, t), "id", "v") == [(i, 2 * i) for i in range(10)]
+
+    def test_multi_commit_accumulates(self, spark, tmp_path):
+        t = str(tmp_path / "t2")
+        write_delta(spark.range(0, 5), t)
+        v = write_delta(spark.range(5, 10), t)
+        assert v == 1
+        assert table_version(t) == 1
+        assert _rows(read_delta(spark, t), "id") == [(i,) for i in range(10)]
+
+    def test_time_travel(self, spark, tmp_path):
+        t = str(tmp_path / "t3")
+        write_delta(spark.range(0, 5), t)
+        write_delta(spark.range(5, 10), t)
+        assert _rows(read_delta(spark, t, version=0), "id") == [(i,) for i in range(5)]
+        assert _rows(read_delta(spark, t, version=1), "id") == [(i,) for i in range(10)]
+
+    def test_overwrite_removes_previous_files(self, spark, tmp_path):
+        t = str(tmp_path / "t4")
+        write_delta(spark.range(0, 5), t)
+        write_delta(spark.range(100, 103), t, mode="overwrite")
+        assert _rows(read_delta(spark, t), "id") == [(100,), (101,), (102,)]
+        # time travel still sees the pre-overwrite state
+        assert _rows(read_delta(spark, t, version=0), "id") == [(i,) for i in range(5)]
+
+    def test_schema_carried_in_log(self, spark, tmp_path):
+        t = str(tmp_path / "t5")
+        df = spark.range(3).select(
+            F.col("id"), F.lit("x").alias("s"), F.lit(1.5).alias("d")
+        )
+        write_delta(df, t)
+        got = read_delta(spark, t)
+        assert dict(got.dtypes) == {"id": "bigint", "s": "string", "d": "double"}
+
+
+class TestPartitioned:
+    def test_partition_values_recovered_typed(self, spark, tmp_path):
+        t = str(tmp_path / "p1")
+        df = spark.createDataFrame(
+            [(1, 10, "a"), (2, 10, "b"), (3, 20, "c")], ["id", "bucket", "s"]
+        )
+        write_delta(df, t, partition_by=["bucket"])
+        got = read_delta(spark, t)
+        assert dict(got.dtypes)["bucket"] == "bigint"  # cast back from path string
+        assert _rows(got, "id", "bucket", "s") == [
+            (1, 10, "a"),
+            (2, 10, "b"),
+            (3, 20, "c"),
+        ]
+
+    def test_partition_filter_prunes_branches(self, spark, tmp_path):
+        """Partition values are literal columns per branch — a filter on
+        the partition column constant-folds non-matching branches away
+        (LocalTableScan / empty relation), the file-skipping effect."""
+        t = str(tmp_path / "p2")
+        df = spark.createDataFrame(
+            [(i, i % 3, "x") for i in range(30)], ["id", "k", "s"]
+        )
+        write_delta(df, t, partition_by=["k"])
+        got = read_delta(spark, t).filter(F.col("k") == 1)
+        assert _rows(got, "id") == [(i,) for i in range(30) if i % 3 == 1]
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        # exactly one of the three partition branches survives planning
+        assert plan.count("Scan parquet") == 1
+
+    def test_partition_mismatch_refused(self, spark, tmp_path):
+        t = str(tmp_path / "p3")
+        write_delta(spark.range(3).withColumn("k", F.lit(1)), t, partition_by=["k"])
+        with pytest.raises(ValueError, match="partition mismatch"):
+            write_delta(spark.range(3).withColumn("k", F.lit(2)), t)
+
+
+class TestProtocol:
+    def test_unsupported_reader_version_refused(self, spark, tmp_path):
+        t = str(tmp_path / "r1")
+        write_delta(spark.range(3), t)
+        # doctor the log to claim a v3 reader requirement
+        log = os.path.join(t, "_delta_log", "0" * 20 + ".json")
+        lines = open(log).read().strip().split("\n")
+        doctored = []
+        for ln in lines:
+            a = json.loads(ln)
+            if "protocol" in a:
+                a["protocol"]["minReaderVersion"] = 3
+            doctored.append(json.dumps(a))
+        open(log, "w").write("\n".join(doctored) + "\n")
+        with pytest.raises(DeltaProtocolError):
+            read_delta(spark, t)
+
+    def test_missing_commit_detected(self, spark, tmp_path):
+        t = str(tmp_path / "r2")
+        write_delta(spark.range(3), t)
+        write_delta(spark.range(3), t)
+        os.remove(os.path.join(t, "_delta_log", f"{0:020d}.json"))
+        with pytest.raises(FileNotFoundError, match="missing commit 0"):
+            snapshot(spark, t, version=1)
+
+
+class TestCheckpoint:
+    def test_checkpoint_replay(self, spark, tmp_path):
+        """Reader must start from the checkpoint and only replay newer
+        commits — verified by deleting the pre-checkpoint commits."""
+        t = str(tmp_path / "c1")
+        write_delta(spark.range(0, 4), t)  # v0
+        write_delta(spark.range(4, 8), t)  # v1
+        log_dir = os.path.join(t, "_delta_log")
+
+        # build a v1 checkpoint from the reconciled snapshot
+        snap = snapshot(spark, t, 1)
+        actions = [{"protocol": snap.protocol}, {"metaData": snap.metadata}] + [
+            {"add": a} for a in snap.adds.values()
+        ]
+        rows = [
+            (
+                json.dumps(a.get("protocol")),
+                json.dumps(a.get("metaData")),
+                json.dumps(a.get("add")),
+            )
+            for a in actions
+        ]
+        pdf = spark.createDataFrame(rows, ["p", "m", "a"])
+        ckpt_df = pdf.select(
+            F.from_json("p", "minReaderVersion INT, minWriterVersion INT").alias(
+                "protocol"
+            ),
+            F.from_json(
+                "m",
+                "id STRING, schemaString STRING, partitionColumns ARRAY<STRING>",
+            ).alias("metaData"),
+            F.from_json(
+                "a",
+                "path STRING, partitionValues MAP<STRING,STRING>, size BIGINT, "
+                "modificationTime BIGINT, dataChange BOOLEAN",
+            ).alias("add"),
+        )
+        ckpt_path = os.path.join(log_dir, f"{1:020d}.checkpoint.parquet")
+        tmp_out = str(tmp_path / "ckpt_stage")
+        ckpt_df.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        part = next(f for f in os.listdir(tmp_out) if f.endswith(".parquet"))
+        os.rename(os.path.join(tmp_out, part), ckpt_path)
+        with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+            json.dump({"version": 1, "size": len(actions)}, fh)
+
+        # vacuum the JSON commits the checkpoint covers
+        os.remove(os.path.join(log_dir, f"{0:020d}.json"))
+        os.remove(os.path.join(log_dir, f"{1:020d}.json"))
+
+        write_delta(spark.range(8, 10), t)  # v2 on top of the checkpoint
+        assert _rows(read_delta(spark, t), "id") == [(i,) for i in range(10)]
+
+
+class TestLoaderIntegration:
+    def test_load_table_prefers_delta_dir(self, spark, tmp_path):
+        """A fixture dir containing <name>/_delta_log must be read through
+        the log (A1: delta dir > parquet file)."""
+        from delta_unity_duckdb_spark.sources.tables import load_table
+
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        write_delta(
+            spark.range(7).select(F.col("id").alias("r_regionkey")),
+            str(sf / "region"),
+        )
+        got = load_table(spark, str(sf), "region")
+        assert got.count() == 7
