@@ -1361,3 +1361,57 @@ def price_outliers(spark, sf_dir):
         .select("o_orderkey", "o_orderpriority", "o_totalprice")
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------- ratio-to-report window
+@query(
+    "nation_revenue_share",
+    oracle=f"""
+    WITH nat AS (
+      SELECT n_regionkey, n_name,
+             CAST(SUM({_SQL_DISC_PRICE}) AS DECIMAL(38,6)) AS revenue
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      GROUP BY n_regionkey, n_name)
+    SELECT n_name, revenue,
+           CAST(FLOOR(CAST(revenue AS DOUBLE)
+                / CAST(SUM(revenue) OVER (PARTITION BY n_regionkey) AS DOUBLE)
+                * 1000000) AS BIGINT) AS share_ppm
+    FROM nat ORDER BY n_name
+    """,
+)
+def nation_revenue_share(spark, sf_dir):
+    """Ratio-to-report: each nation's share of its REGION's supply revenue
+    — the percent-of-total window shape (DuckDB/Oracle RATIO_TO_REPORT).
+
+    Spark plan: the fact aggregates FIRST (one shuffle on the ~25-row
+    nation key via a broadcast supplier⋈nation dim), and the window runs
+    over the 25-row aggregate — never over fact rows. Share is
+    FLOOR-quantized ppm from doubles derived off exact DECIMAL sums
+    (numeric.py ROUND hazard rule).
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "n_regionkey", "n_name"
+    )
+    nat = (
+        li.join(F.broadcast(sn), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("n_regionkey", "n_name")
+        .agg(F.sum(_disc_price()).cast(DEC38).alias("revenue"))
+    )
+    w = Window.partitionBy("n_regionkey")
+    return (
+        nat.withColumn(
+            "share_ppm",
+            F.floor(
+                F.col("revenue").cast("double")
+                / F.sum("revenue").over(w).cast("double")
+                * 1000000
+            ).cast("long"),
+        )
+        .select("n_name", "revenue", "share_ppm")
+        .orderBy("n_name")
+    )
