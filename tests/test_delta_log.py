@@ -193,3 +193,38 @@ class TestLoaderIntegration:
         )
         got = load_table(spark, str(sf), "region")
         assert got.count() == 7
+
+
+class TestIncrementalChanges:
+    def test_changes_since_version(self, spark):
+        import tempfile
+
+        from delta_unity_duckdb_spark.sources.delta_log import (
+            read_delta_changes,
+            write_delta,
+        )
+
+        t = tempfile.mkdtemp(prefix="delta_cdc_")
+        write_delta(spark.range(0, 5), t)       # v0
+        write_delta(spark.range(5, 8), t)       # v1
+        write_delta(spark.range(8, 10), t)      # v2
+        got = read_delta_changes(spark, t, from_version=0)
+        rows = sorted((r["id"], r["_commit_version"]) for r in got.collect())
+        assert rows == [(5, 1), (6, 1), (7, 1), (8, 2), (9, 2)]
+
+    def test_changes_refuse_non_append(self, spark):
+        import tempfile
+
+        import pytest as _pt
+
+        from delta_unity_duckdb_spark.sources.delta_log import (
+            DeltaProtocolError,
+            read_delta_changes,
+            write_delta,
+        )
+
+        t = tempfile.mkdtemp(prefix="delta_cdc2_")
+        write_delta(spark.range(0, 5), t)
+        write_delta(spark.range(5, 8), t, mode="overwrite")
+        with _pt.raises(DeltaProtocolError, match="not append-only"):
+            read_delta_changes(spark, t, from_version=0).collect()
