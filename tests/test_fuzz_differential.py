@@ -120,3 +120,90 @@ def test_generated_agg_query_matches_duckdb(spark, duck, pred_idx, agg_idx, grou
     assert df_multiset(spark_rows, sdf.columns) == df_multiset(duck_rows, duck_cols), (
         f"divergence for: {sql}"
     )
+
+
+LI_PREDICATES = [
+    ("qty_low", lambda: F.col("l_quantity") <= 25, "l_quantity <= 25"),
+    ("flag_r", lambda: F.col("l_returnflag") == "R", "l_returnflag = 'R'"),
+    ("disc_band", lambda: F.col("l_discount").between(0.02, 0.08),
+     "l_discount BETWEEN 0.02 AND 0.08"),
+    ("ship_97", lambda: F.col("l_shipdate") < "1998-01-01",
+     "l_shipdate < TIMESTAMP '1998-01-01'"),
+]
+
+JOIN_AGGREGATES = [
+    ("n", lambda: F.count(F.lit(1)).alias("n"), "COUNT(*) AS n"),
+    ("n_orders", lambda: F.countDistinct("o_orderkey").alias("n_orders"),
+     "COUNT(DISTINCT o_orderkey) AS n_orders"),
+    ("sum_ext", lambda: F.sum(dec("l_extendedprice")).cast("decimal(38,6)").alias("sum_ext"),
+     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_ext"),
+    ("max_qty", lambda: F.max("l_quantity").alias("max_qty"),
+     "MAX(l_quantity) AS max_qty"),
+]
+
+JOIN_GROUP_KEYS = [[], ["o_orderpriority"], ["l_returnflag"],
+                   ["o_orderstatus", "l_linestatus"]]
+
+
+@pytest.fixture(scope="module")
+def duck_join():
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    o_pred=st.lists(st.integers(0, len(PREDICATES) - 1), max_size=2, unique=True),
+    l_pred=st.lists(st.integers(0, len(LI_PREDICATES) - 1), max_size=2, unique=True),
+    agg_idx=st.lists(
+        st.integers(0, len(JOIN_AGGREGATES) - 1), min_size=1, max_size=3, unique=True
+    ),
+    group_idx=st.integers(0, len(JOIN_GROUP_KEYS) - 1),
+)
+def test_generated_join_query_matches_duckdb(
+    spark, duck_join, o_pred, l_pred, agg_idx, group_idx
+):
+    """Same spec-driven rendering, now across the orders⋈lineitem join —
+    exercises join + filter placement + multi-table aggregation."""
+    opreds = [PREDICATES[i] for i in sorted(o_pred)]
+    lpreds = [LI_PREDICATES[i] for i in sorted(l_pred)]
+    aggs = [JOIN_AGGREGATES[i] for i in sorted(agg_idx)]
+    keys = JOIN_GROUP_KEYS[group_idx]
+
+    o = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    for _, col_fn, _s in opreds:
+        o = o.filter(col_fn())
+    for _, col_fn, _s in lpreds:
+        li = li.filter(col_fn())
+    j = o.join(li, o.o_orderkey == li.l_orderkey)
+    agg_cols = [a[1]() for a in aggs]
+    sdf = j.groupBy(*keys).agg(*agg_cols) if keys else j.agg(*agg_cols)
+
+    where = " AND ".join([p[2] for p in opreds] + [p[2] for p in lpreds]) or "TRUE"
+    select = ", ".join(([*keys] if keys else []) + [a[2] for a in aggs])
+    sql = (
+        f"SELECT {select} FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+        f"WHERE {where}"
+    )
+    if keys:
+        sql += " GROUP BY " + ", ".join(keys)
+
+    res = duck_join.execute(sql)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    assert sorted(sdf.columns) == sorted(duck_cols)
+    assert df_multiset(spark_rows, sdf.columns) == df_multiset(duck_rows, duck_cols), (
+        f"divergence for: {sql}"
+    )
