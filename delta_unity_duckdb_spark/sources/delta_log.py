@@ -417,3 +417,206 @@ def read_delta_changes(
         )
         return empty
     return reduce(lambda a, b: a.unionByName(b), branches)
+
+
+def write_checkpoint(spark: SparkSession, table_path: str, version: int | None = None) -> int:
+    """Write a parquet checkpoint of the snapshot at ``version`` (default
+    latest) and point ``_last_checkpoint`` at it. Readers then replay only
+    newer JSON commits — bounding log-replay cost as commits accumulate
+    (the log would otherwise grow O(total commits ever)).
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        IntegerType,
+        LongType,
+        MapType,
+        StringType,
+        StructField,
+    )
+
+    log_dir = os.path.join(table_path, "_delta_log")
+    snap = snapshot(spark, table_path, version)
+    version = snap.version
+
+    proto_t = StructType(
+        [
+            StructField("minReaderVersion", IntegerType()),
+            StructField("minWriterVersion", IntegerType()),
+        ]
+    )
+    meta_t = StructType(
+        [
+            StructField("id", StringType()),
+            StructField("schemaString", StringType()),
+            StructField("partitionColumns", ArrayType(StringType())),
+        ]
+    )
+    add_t = StructType(
+        [
+            StructField("path", StringType()),
+            StructField("partitionValues", MapType(StringType(), StringType())),
+            StructField("size", LongType()),
+            StructField("modificationTime", LongType()),
+            StructField("dataChange", BooleanType()),
+        ]
+    )
+    ckpt_schema = StructType(
+        [
+            StructField("protocol", proto_t),
+            StructField("metaData", meta_t),
+            StructField("add", add_t),
+        ]
+    )
+    proto = snap.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}
+    meta = snap.metadata or {}
+    rows: list[tuple] = [
+        ((proto.get("minReaderVersion", 1), proto.get("minWriterVersion", 2)), None, None),
+        (
+            None,
+            (
+                meta.get("id"),
+                meta.get("schemaString"),
+                list(meta.get("partitionColumns") or []),
+            ),
+            None,
+        ),
+    ]
+    for add in snap.adds.values():
+        rows.append(
+            (
+                None,
+                None,
+                (
+                    add["path"],
+                    dict(add.get("partitionValues") or {}),
+                    int(add.get("size") or 0),
+                    int(add.get("modificationTime") or 0),
+                    bool(add.get("dataChange", True)),
+                ),
+            )
+        )
+    stage = os.path.join(log_dir, f"_ckpt_stage_{uuid.uuid4().hex[:8]}")
+    spark.createDataFrame(rows, ckpt_schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    final = os.path.join(log_dir, f"{version:0{_COMMIT_DIGITS}d}.checkpoint.parquet")
+    os.replace(os.path.join(stage, part), final)
+    for root, dirs, files in os.walk(stage, topdown=False):
+        for f_ in files:
+            os.remove(os.path.join(root, f_))
+        os.rmdir(root)
+    with open(os.path.join(log_dir, "_last_checkpoint"), "w") as fh:
+        json.dump({"version": version, "size": len(rows)}, fh)
+    return version
+
+
+def vacuum(spark: SparkSession, table_path: str) -> list[str]:
+    """Delete data files no longer referenced by the CURRENT snapshot
+    (post-overwrite/compaction garbage). Returns the deleted paths.
+
+    Deliberately more conservative than Delta's retention-window VACUUM:
+    time travel to pre-vacuum versions stops working (exactly as it does
+    after a real VACUUM passes the retention window) — but concurrent
+    readers of the current snapshot are unaffected because the active
+    file set is untouched.
+    """
+    snap = snapshot(spark, table_path)
+    live = {os.path.normpath(p) for p in snap.adds}
+    deleted: list[str] = []
+    for root, dirs, files in os.walk(table_path):
+        if "_delta_log" in root.split(os.sep):
+            continue
+        dirs[:] = [d for d in dirs if d != "_delta_log" and not d.startswith("_staging_")]
+        for fname in files:
+            full = os.path.join(root, fname)
+            rel = os.path.normpath(os.path.relpath(full, table_path))
+            if fname.endswith(".parquet") and rel not in live:
+                os.remove(full)
+                deleted.append(rel)
+    return deleted
+
+
+def convert_to_delta(spark: SparkSession, parquet_path: str) -> int:
+    """CONVERT TO DELTA: register existing parquet files into a fresh
+    transaction log IN PLACE — no data rewrite, commit 0 simply lists
+    them as adds (the standard lakehouse migration; at 100 TB a rewrite
+    is days of IO, a log commit is milliseconds per thousand files).
+    Hive-style ``k=v`` directories become partition columns.
+    """
+    if os.path.isdir(os.path.join(parquet_path, "_delta_log")):
+        raise ValueError(f"already a Delta table: {parquet_path}")
+    data_files: list[tuple[str, dict[str, str]]] = []
+    part_cols: list[str] | None = None
+    for root, dirs, files in os.walk(parquet_path):
+        dirs[:] = [d for d in dirs if not d.startswith("_")]
+        for fname in files:
+            if not fname.endswith(".parquet"):
+                continue
+            rel_dir = os.path.relpath(root, parquet_path)
+            pvals: dict[str, str] = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    k, eq, v = seg.partition("=")
+                    if eq:
+                        pvals[k] = v
+            cols = sorted(pvals)
+            if part_cols is None:
+                part_cols = cols
+            elif cols != part_cols:
+                raise ValueError(
+                    f"inconsistent partition layout: {cols} vs {part_cols}"
+                )
+            data_files.append(
+                (os.path.normpath(os.path.join(rel_dir, fname)), pvals)
+            )
+    if not data_files:
+        raise FileNotFoundError(f"no parquet files under {parquet_path}")
+    part_cols = part_cols or []
+
+    # schema from the files (footer-only) + partition cols typed by Spark's
+    # directory inference
+    inferred = spark.read.option("basePath", parquet_path).parquet(parquet_path)
+    schema = inferred.schema
+
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "CONVERT",
+                "engineInfo": "delta_unity_duckdb_spark minimal-writer",
+            }
+        },
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {
+            "metaData": {
+                "id": str(uuid.uuid4()),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": _schema_to_string(schema),
+                "partitionColumns": part_cols,
+                "configuration": {},
+                "createdTime": int(time.time() * 1000),
+            }
+        },
+    ]
+    for rel, pvals in sorted(data_files):
+        full = os.path.join(parquet_path, rel)
+        actions.append(
+            {
+                "add": {
+                    "path": rel.replace(os.sep, "/"),
+                    "partitionValues": pvals,
+                    "size": os.path.getsize(full),
+                    "modificationTime": int(os.path.getmtime(full) * 1000),
+                    "dataChange": True,
+                }
+            }
+        )
+    log_dir = os.path.join(parquet_path, "_delta_log")
+    os.makedirs(log_dir, exist_ok=True)
+    payload = "\n".join(json.dumps(a, separators=(",", ":")) for a in actions) + "\n"
+    fd = os.open(_commit_path(log_dir, 0), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    with os.fdopen(fd, "w") as fh:
+        fh.write(payload)
+    return 0

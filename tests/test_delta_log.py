@@ -228,3 +228,60 @@ class TestIncrementalChanges:
         write_delta(spark.range(5, 8), t, mode="overwrite")
         with _pt.raises(DeltaProtocolError, match="not append-only"):
             read_delta_changes(spark, t, from_version=0).collect()
+
+
+class TestMaintenance:
+    def test_write_checkpoint_bounds_replay(self, spark, tmp_path):
+        from delta_unity_duckdb_spark.sources.delta_log import write_checkpoint
+
+        t = str(tmp_path / "m1")
+        write_delta(spark.range(0, 4), t)
+        write_delta(spark.range(4, 8), t)
+        assert write_checkpoint(spark, t) == 1
+        # pre-checkpoint commits can vacuum away; reads still work
+        os.remove(os.path.join(t, "_delta_log", f"{0:020d}.json"))
+        os.remove(os.path.join(t, "_delta_log", f"{1:020d}.json"))
+        write_delta(spark.range(8, 10), t)
+        assert _rows(read_delta(spark, t), "id") == [(i,) for i in range(10)]
+
+    def test_checkpoint_partitioned_roundtrip(self, spark, tmp_path):
+        from delta_unity_duckdb_spark.sources.delta_log import write_checkpoint
+
+        t = str(tmp_path / "m2")
+        df = spark.createDataFrame([(i, i % 2) for i in range(10)], ["id", "k"])
+        write_delta(df, t, partition_by=["k"])
+        write_checkpoint(spark, t)
+        got = read_delta(spark, t)
+        assert _rows(got, "id", "k") == [(i, i % 2) for i in range(10)]
+
+    def test_vacuum_deletes_only_dead_files(self, spark, tmp_path):
+        from delta_unity_duckdb_spark.sources.delta_log import vacuum
+
+        t = str(tmp_path / "m3")
+        write_delta(spark.range(0, 5), t)
+        write_delta(spark.range(100, 103), t, mode="overwrite")
+        deleted = vacuum(spark, t)
+        assert deleted, "overwrite must leave dead files for vacuum"
+        # current snapshot unaffected
+        assert _rows(read_delta(spark, t), "id") == [(100,), (101,), (102,)]
+        # second vacuum is a no-op
+        assert vacuum(spark, t) == []
+
+    def test_convert_to_delta_in_place(self, spark, tmp_path):
+        from delta_unity_duckdb_spark.sources.delta_log import (
+            convert_to_delta,
+            read_delta,
+        )
+
+        p = str(tmp_path / "plain")
+        spark.createDataFrame(
+            [(i, i % 3) for i in range(12)], ["id", "k"]
+        ).write.partitionBy("k").parquet(p)
+        assert convert_to_delta(spark, p) == 0
+        got = read_delta(spark, p)
+        assert _rows(got, "id", "k") == [(i, i % 3) for i in range(12)]
+        # further commits append on top of the converted log
+        write_delta(
+            spark.createDataFrame([(100, 0)], ["id", "k"]), p, partition_by=["k"]
+        )
+        assert got.sparkSession is spark and len(read_delta(spark, p).collect()) == 13
