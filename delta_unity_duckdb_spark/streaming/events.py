@@ -34,9 +34,11 @@ from pyspark.sql.types import (
 
 from delta_unity_duckdb_spark.sources.tables import _ensure_session_confs
 
-# Explicit source schema (streaming readers cannot infer). ``ts`` arrives
-# as int64 nanos (parquet TIMESTAMP(NANOS) + nanosAsLong, see session.py)
-# and is converted to a timestamp column on read.
+# Explicit source schema (streaming readers cannot infer). ``ts`` physical
+# encoding varies with the fixture writer — TIMESTAMP(NANOS) surfaces as
+# int64 (nanosAsLong, see session.py), TIMESTAMP(MICROS/MILLIS) as a real
+# timestamp — so the schema is derived from the file footer at bind time
+# rather than hard-coded (a wrong unit silently lands every event in 1970).
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -59,7 +61,17 @@ def read_events_stream(
     Kafka or Delta source.
     """
     _ensure_session_confs(spark)
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    # Footer-only batch inference tells us how this file's ``ts`` surfaces
+    # in Spark's type system; the stream reader then binds the SAME schema,
+    # so the conversion below is unit-correct for any fixture vintage.
+    inferred = {
+        f.name: f.dataType
+        for f in spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    }
+    raw_schema = StructType(
+        [StructField(f.name, inferred.get(f.name, f.dataType)) for f in EVENTS_RAW_SCHEMA]
+    )
+    reader = spark.readStream.schema(raw_schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     # The file source watches a DIRECTORY (new files appear → new batches);
@@ -67,9 +79,12 @@ def read_events_stream(
     raw = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     # Watermarks require TIMESTAMP (not NTZ); session tz is pinned UTC so
     # the instant equals the batch path's wall-clock NTZ value.
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")
-    )
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        # int64 nanos → micros → timestamp
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp")
+        )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(
