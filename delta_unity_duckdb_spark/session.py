@@ -69,6 +69,10 @@ def get_spark(
         # Parquet TIMESTAMP(NANOS) (events.ts) has no Spark type; read the
         # raw int64 and convert in sources.tables (floor-div to micros).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # INT96 timestamps carry no parquet column statistics, which kills
+        # footer-derived data skipping (delta_log stats) on time columns —
+        # the most common pruning dimension at lakehouse scale.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -38,6 +38,9 @@ from pyspark.sql.types import StructType
 
 _COMMIT_DIGITS = 20
 
+# Data-skipping operators understood by ``read_delta(skip_filters=…)``.
+_SKIP_OPS = ("=", "!=", "<", "<=", ">", ">=")
+
 
 class DeltaProtocolError(RuntimeError):
     """Table uses a Delta feature this minimal reader refuses to guess at."""
@@ -54,6 +57,182 @@ def _list_commit_versions(log_dir: str) -> list[int]:
         if f.endswith(".json") and base.isdigit() and len(base) == _COMMIT_DIGITS:
             out.append(int(base))
     return sorted(out)
+
+
+def _file_stats_json(path: str) -> str | None:
+    """Per-file Delta stats (numRecords/minValues/maxValues/nullCount) from
+    the parquet FOOTER only — no data pages are read, so cost is O(files),
+    not O(bytes): the same reason real Delta writers emit stats at write
+    time, this stays viable at 100 TB (a footer is ~KBs regardless of file
+    size). Columns whose chunks lack statistics (or carry types we don't
+    normalize) are simply omitted — skipping is advisory, absence is safe.
+    """
+    try:
+        import pyarrow.parquet as pq
+    except Exception:  # pragma: no cover - pyarrow is baked in
+        return None
+    try:
+        meta = pq.ParquetFile(path).metadata
+    except Exception:
+        return None
+
+    import datetime
+    import math
+
+    def norm(v):
+        if isinstance(v, bytes):
+            try:
+                return v.decode("utf-8")
+            except UnicodeDecodeError:
+                return None
+        if isinstance(v, bool) or isinstance(v, int) or isinstance(v, str):
+            return v
+        if isinstance(v, float):
+            return v if math.isfinite(v) else None
+        if isinstance(v, datetime.datetime):
+            return v.isoformat(sep="T", timespec="microseconds")
+        if isinstance(v, datetime.date):
+            return v.isoformat()
+        return None
+
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    nulls: dict[str, int] = {}
+    dropped: set[str] = set()
+    for rg in range(meta.num_row_groups):
+        group = meta.row_group(rg)
+        for ci in range(group.num_columns):
+            chunk = group.column(ci)
+            name = chunk.path_in_schema
+            if "." in name or name in dropped:  # nested leaves: skip
+                continue
+            st = chunk.statistics
+            if st is None or not st.has_min_max:
+                dropped.add(name)
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                nulls.pop(name, None)
+                continue
+            lo, hi = norm(st.min), norm(st.max)
+            if lo is None or hi is None:
+                dropped.add(name)
+                mins.pop(name, None)
+                maxs.pop(name, None)
+                nulls.pop(name, None)
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+            nc = st.null_count if st.has_null_count else 0
+            nulls[name] = nulls.get(name, 0) + int(nc or 0)
+    return json.dumps(
+        {
+            "numRecords": meta.num_rows,
+            "minValues": mins,
+            "maxValues": maxs,
+            "nullCount": nulls,
+        },
+        separators=(",", ":"),
+        default=str,
+    )
+
+
+def _coerce_like(stat_value, filter_value):
+    """Bring a JSON-round-tripped stat value into the filter value's domain
+    for ordering comparisons; None = not comparable (skip conservatively)."""
+    import datetime
+
+    if isinstance(filter_value, datetime.datetime) and isinstance(stat_value, str):
+        try:
+            parsed = datetime.datetime.fromisoformat(stat_value)
+        except ValueError:
+            return None
+        # Align tz-awareness or the comparison raises (and skips nothing).
+        # The engine session is pinned to UTC (session.py), so naive values
+        # ARE UTC instants.
+        if parsed.tzinfo is not None and filter_value.tzinfo is None:
+            parsed = parsed.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        elif parsed.tzinfo is None and filter_value.tzinfo is not None:
+            parsed = parsed.replace(tzinfo=datetime.timezone.utc)
+        return parsed
+    if isinstance(filter_value, datetime.date) and isinstance(stat_value, str):
+        try:
+            return datetime.date.fromisoformat(stat_value[:10])
+        except ValueError:
+            return None
+    if isinstance(filter_value, bool) or isinstance(stat_value, bool):
+        return stat_value if isinstance(stat_value, bool) else None
+    if isinstance(filter_value, (int, float)):
+        return stat_value if isinstance(stat_value, (int, float)) else None
+    if isinstance(filter_value, str):
+        return stat_value if isinstance(stat_value, str) else None
+    return None
+
+
+def _file_may_match(
+    add: dict, col: str, op: str, value, part_cols: list[str]
+) -> bool:
+    """Can the file possibly contain a row satisfying ``col op value``?
+    True unless the file's metadata PROVES otherwise (conservative)."""
+    if op not in _SKIP_OPS:
+        return True
+    if col in part_cols:
+        raw = (add.get("partitionValues") or {}).get(col)
+        if raw is None:
+            return op in ("=", "!=") and value is None
+        cast = _coerce_like(raw, value)
+        if cast is None and isinstance(value, (int, float)):
+            try:
+                cast = type(value)(raw) if not isinstance(value, bool) else None
+            except (TypeError, ValueError):
+                cast = None
+        if cast is None:
+            return True
+        lo = hi = cast
+    else:
+        stats = add.get("stats")
+        if not stats:
+            return True
+        try:
+            parsed = json.loads(stats) if isinstance(stats, str) else stats
+        except (TypeError, ValueError):
+            return True
+        lo = _coerce_like(parsed.get("minValues", {}).get(col), value)
+        hi = _coerce_like(parsed.get("maxValues", {}).get(col), value)
+        if lo is None or hi is None:
+            return True
+    try:
+        if op == "=":
+            return lo <= value <= hi
+        if op == "!=":
+            return not (lo == value == hi)
+        if op == "<":
+            return lo < value
+        if op == "<=":
+            return lo <= value
+        if op == ">":
+            return hi > value
+        if op == ">=":
+            return hi >= value
+    except TypeError:
+        return True
+    return True
+
+
+def prune_adds(
+    adds: dict[str, dict],
+    filters: list[tuple[str, str, object]],
+    part_cols: list[str],
+) -> dict[str, dict]:
+    """File-level data skipping: drop files whose stats / partition values
+    prove no row can satisfy ALL of ``filters`` (an AND of simple
+    predicates). At cluster scale this is the difference between planning
+    over every file of a 100 TB table and over the handful whose min/max
+    ranges overlap the predicate — the log alone decides, no data IO."""
+    return {
+        p: a
+        for p, a in adds.items()
+        if all(_file_may_match(a, c, op, v, part_cols) for c, op, v in filters)
+    }
 
 
 class DeltaSnapshot:
@@ -130,18 +309,19 @@ def snapshot(
     if not os.path.isdir(log_dir):
         raise FileNotFoundError(f"not a Delta table (no _delta_log): {table_path}")
     versions = _list_commit_versions(log_dir)
-    if version is None:
-        if not versions:
-            raise FileNotFoundError(f"empty _delta_log in {table_path}")
-        version = versions[-1]
-
-    ckpt_version = -1
+    ckpt_available = -1
     last_ckpt = os.path.join(log_dir, "_last_checkpoint")
     if os.path.exists(last_ckpt):
         with open(last_ckpt) as fh:
-            cand = json.load(fh)["version"]
-        if cand <= version:
-            ckpt_version = cand
+            ckpt_available = json.load(fh)["version"]
+    if version is None:
+        # A fully log-cleaned table can hold ONLY a checkpoint — the
+        # checkpoint alone defines the latest state then.
+        if not versions and ckpt_available < 0:
+            raise FileNotFoundError(f"empty _delta_log in {table_path}")
+        version = max(versions[-1] if versions else -1, ckpt_available)
+
+    ckpt_version = ckpt_available if 0 <= ckpt_available <= version else -1
 
     snap = DeltaSnapshot(table_path, version)
     if ckpt_version >= 0:
@@ -162,7 +342,10 @@ def snapshot(
 
 
 def read_delta(
-    spark: SparkSession, table_path: str, version: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    skip_filters: list[tuple[str, str, object]] | None = None,
 ) -> DataFrame:
     """Read a Delta table as a DataFrame by direct log replay.
 
@@ -173,6 +356,13 @@ def read_delta(
     groups union. Filters on partition columns therefore constant-fold
     per branch (Catalyst prunes whole branches — the same file-skipping
     effect as catalog partition pruning).
+
+    ``skip_filters`` — an AND-list of ``(column, op, value)`` with op in
+    ``= != < <= > >=`` — applies log-level data skipping (per-file
+    min/max/partition stats) before the scan is even planned, then
+    re-applies the same predicates as real row filters on the result, so
+    the answer is identical to an unpruned read + ``.filter(...)``; only
+    the file set the scan plans over shrinks.
     """
     snap = snapshot(spark, table_path, version)
     schema = snap.schema
@@ -180,14 +370,32 @@ def read_delta(
     data_fields = [f for f in schema.fields if f.name not in part_cols]
     data_schema = StructType(data_fields)
 
-    if not snap.adds:
-        return spark.createDataFrame([], schema)
+    adds = snap.adds
+    if skip_filters:
+        adds = prune_adds(adds, skip_filters, part_cols)
+
+    def refilter(df: DataFrame) -> DataFrame:
+        # Stats pruning is file-granular; rows inside surviving files
+        # still need the predicate. Same expressions → Catalyst pushes
+        # them into the parquet scan (PushedFilters).
+        for c, op, v in skip_filters or []:
+            col = F.col(c)
+            expr = {
+                "=": col == v, "!=": col != v, "<": col < v,
+                "<=": col <= v, ">": col > v, ">=": col >= v,
+            }[op]
+            df = df.filter(expr)
+        return df
+
+    if not adds:
+        return refilter(spark.createDataFrame([], schema))
 
     if not part_cols:
-        return spark.read.schema(data_schema).parquet(*snap.file_paths())
+        paths = [os.path.join(table_path, p) for p in sorted(adds)]
+        return refilter(spark.read.schema(data_schema).parquet(*paths))
 
     by_part: dict[tuple, list[str]] = {}
-    for path, add in sorted(snap.adds.items()):
+    for path, add in sorted(adds.items()):
         key = tuple(add.get("partitionValues", {}).get(c) for c in part_cols)
         by_part.setdefault(key, []).append(os.path.join(snap.table_path, path))
 
@@ -201,7 +409,7 @@ def read_delta(
                 c, F.lit(raw).cast(field_type[c]) if raw is not None else F.lit(None).cast(field_type[c])
             )
         branches.append(df.select([f.name for f in schema.fields]))
-    return reduce(lambda a, b: a.unionByName(b), branches)
+    return refilter(reduce(lambda a, b: a.unionByName(b), branches))
 
 
 def table_version(table_path: str) -> int:
@@ -286,17 +494,17 @@ def write_delta(
             dst = os.path.join(table_path, rel_target)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.rename(src, dst)
-            adds.append(
-                {
-                    "add": {
-                        "path": rel_target.replace(os.sep, "/"),
-                        "partitionValues": part_values,
-                        "size": os.path.getsize(dst),
-                        "modificationTime": int(time.time() * 1000),
-                        "dataChange": True,
-                    }
-                }
-            )
+            add_action = {
+                "path": rel_target.replace(os.sep, "/"),
+                "partitionValues": part_values,
+                "size": os.path.getsize(dst),
+                "modificationTime": int(time.time() * 1000),
+                "dataChange": True,
+            }
+            stats = _file_stats_json(dst)
+            if stats:
+                add_action["stats"] = stats
+            adds.append({"add": add_action})
     # clean the now-empty staging tree
     for root, dirs, files in os.walk(stage_dir, topdown=False):
         for f_ in files:
@@ -459,6 +667,7 @@ def write_checkpoint(spark: SparkSession, table_path: str, version: int | None =
             StructField("size", LongType()),
             StructField("modificationTime", LongType()),
             StructField("dataChange", BooleanType()),
+            StructField("stats", StringType()),
         ]
     )
     ckpt_schema = StructType(
@@ -493,6 +702,7 @@ def write_checkpoint(spark: SparkSession, table_path: str, version: int | None =
                     int(add.get("size") or 0),
                     int(add.get("modificationTime") or 0),
                     bool(add.get("dataChange", True)),
+                    add.get("stats"),
                 ),
             )
         )
@@ -602,17 +812,17 @@ def convert_to_delta(spark: SparkSession, parquet_path: str) -> int:
     ]
     for rel, pvals in sorted(data_files):
         full = os.path.join(parquet_path, rel)
-        actions.append(
-            {
-                "add": {
-                    "path": rel.replace(os.sep, "/"),
-                    "partitionValues": pvals,
-                    "size": os.path.getsize(full),
-                    "modificationTime": int(os.path.getmtime(full) * 1000),
-                    "dataChange": True,
-                }
-            }
-        )
+        add_action = {
+            "path": rel.replace(os.sep, "/"),
+            "partitionValues": pvals,
+            "size": os.path.getsize(full),
+            "modificationTime": int(os.path.getmtime(full) * 1000),
+            "dataChange": True,
+        }
+        stats = _file_stats_json(full)
+        if stats:
+            add_action["stats"] = stats
+        actions.append({"add": add_action})
     log_dir = os.path.join(parquet_path, "_delta_log")
     os.makedirs(log_dir, exist_ok=True)
     payload = "\n".join(json.dumps(a, separators=(",", ":")) for a in actions) + "\n"

@@ -285,3 +285,104 @@ class TestMaintenance:
             spark.createDataFrame([(100, 0)], ["id", "k"]), p, partition_by=["k"]
         )
         assert got.sparkSession is spark and len(read_delta(spark, p).collect()) == 13
+
+
+class TestDataSkipping:
+    """Per-file stats in add actions + log-level file pruning."""
+
+    def _ranged_table(self, spark, tmp_path, name="skip"):
+        t = str(tmp_path / name)
+        df = (
+            spark.range(0, 1000)
+            .withColumn("v", F.col("id") * 2)
+            .repartitionByRange(4, "id")
+            .sortWithinPartitions("id")
+        )
+        write_delta(df, t)
+        return t
+
+    def test_stats_written_footer_accurate(self, spark, tmp_path):
+        t = self._ranged_table(spark, tmp_path)
+        snap = snapshot(spark, t)
+        assert len(snap.adds) == 4
+        total = 0
+        for add in snap.adds.values():
+            stats = json.loads(add["stats"])
+            total += stats["numRecords"]
+            assert stats["minValues"]["id"] <= stats["maxValues"]["id"]
+            assert stats["nullCount"]["id"] == 0
+        assert total == 1000
+
+    def test_prune_selects_matching_files_only(self, spark, tmp_path):
+        from delta_unity_duckdb_spark.sources.delta_log import prune_adds
+
+        t = self._ranged_table(spark, tmp_path)
+        snap = snapshot(spark, t)
+        pruned = prune_adds(snap.adds, [("id", ">=", 900)], [])
+        assert 1 <= len(pruned) < 4
+        # conservative direction: every surviving file CAN contain a match
+        pruned_eq = prune_adds(snap.adds, [("id", "=", 5)], [])
+        assert len(pruned_eq) == 1
+
+    def test_skip_filters_answer_matches_full_read(self, spark, tmp_path):
+        t = self._ranged_table(spark, tmp_path)
+        full = read_delta(spark, t).filter(F.col("id").between(250, 260))
+        skipped = read_delta(
+            spark, t, skip_filters=[("id", ">=", 250), ("id", "<=", 260)]
+        )
+        assert _rows(skipped, "id", "v") == _rows(full, "id", "v")
+
+    def test_missing_stats_never_prune(self, spark, tmp_path):
+        from delta_unity_duckdb_spark.sources.delta_log import prune_adds
+
+        t = self._ranged_table(spark, tmp_path)
+        snap = snapshot(spark, t)
+        stripped = {
+            p: {k: v for k, v in a.items() if k != "stats"}
+            for p, a in snap.adds.items()
+        }
+        assert len(prune_adds(stripped, [("id", "=", -1)], [])) == 4
+
+    def test_partition_value_pruning(self, spark, tmp_path):
+        t = str(tmp_path / "skip_part")
+        df = spark.range(0, 100).withColumn("bucket", F.col("id") % 4)
+        write_delta(df, t, partition_by=["bucket"])
+        snap = snapshot(spark, t)
+        from delta_unity_duckdb_spark.sources.delta_log import prune_adds
+
+        pruned = prune_adds(snap.adds, [("bucket", "=", 2)], ["bucket"])
+        assert 0 < len(pruned) < len(snap.adds)
+        got = read_delta(spark, t, skip_filters=[("bucket", "=", 2)])
+        assert _rows(got, "id") == [(i,) for i in range(2, 100, 4)]
+
+    def test_string_and_timestamp_stats_prune(self, spark, tmp_path):
+        import datetime
+
+        t = str(tmp_path / "skip_ts")
+        df = spark.sql(
+            """SELECT id,
+                      concat('k', lpad(cast(id as string), 4, '0')) AS s,
+                      timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*60) AS ts
+               FROM range(0, 400)"""
+        ).repartitionByRange(4, "id").sortWithinPartitions("id")
+        write_delta(df, t)
+        snap = snapshot(spark, t)
+        from delta_unity_duckdb_spark.sources.delta_log import prune_adds
+
+        assert len(prune_adds(snap.adds, [("s", ">=", "k0399")], [])) < 4
+        cutoff = datetime.datetime(2024, 1, 1, 5, 0, 0)
+        kept = prune_adds(snap.adds, [("ts", ">", cutoff)], [])
+        assert 1 <= len(kept) < 4
+        got = read_delta(spark, t, skip_filters=[("ts", ">", cutoff)])
+        assert got.count() == df.filter(F.col("ts") > F.lit(cutoff)).count()
+
+    def test_stats_survive_checkpoint(self, spark, tmp_path):
+        from delta_unity_duckdb_spark.sources.delta_log import write_checkpoint
+
+        t = self._ranged_table(spark, tmp_path, "skip_ckpt")
+        write_checkpoint(spark, t)
+        # drop the JSON commit so the snapshot must come from the checkpoint
+        log = os.path.join(t, "_delta_log")
+        os.remove(os.path.join(log, f"{0:020d}.json"))
+        snap = snapshot(spark, t)
+        assert all(json.loads(a["stats"])["numRecords"] > 0 for a in snap.adds.values())
