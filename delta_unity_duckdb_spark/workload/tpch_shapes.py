@@ -1415,3 +1415,93 @@ def nation_revenue_share(spark, sf_dir):
         .select("n_name", "revenue", "share_ppm")
         .orderBy("n_name")
     )
+
+
+# ---------------------------------------------------------------- window COUNT(DISTINCT)
+@query(
+    "window_distinct_count",
+    oracle="""
+    SELECT supplier_breadth, COUNT(*) AS n_orders
+    FROM (
+        SELECT DISTINCT l_orderkey,
+               COUNT(DISTINCT l_suppkey) OVER (PARTITION BY l_orderkey)
+                 AS supplier_breadth
+        FROM lineitem
+    )
+    GROUP BY supplier_breadth
+    """,
+)
+def window_distinct_count(spark, sf_dir):
+    """COUNT(DISTINCT) OVER (PARTITION BY …) — SQL feature Spark's window
+    functions reject outright. Idiomatic re-expression: ``collect_set``
+    over the partition (exact distinct set, hash-accumulated — no sort) and
+    take its size. Here: per-order distinct-supplier breadth, folded to a
+    histogram so the output stays scale-free while every row exercises the
+    window.
+
+    Scale: the window shuffles once on l_orderkey; set size is bounded by
+    lines-per-order (≤7 in TPC-H), so state per key is O(1) — safe at
+    any scale factor."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey")
+    return (
+        li.withColumn(
+            "supplier_breadth", F.size(F.collect_set("l_suppkey").over(w))
+        )
+        .select("l_orderkey", "supplier_breadth")
+        .distinct()
+        .groupBy("supplier_breadth")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------- regression aggregates
+@query(
+    "regr_aggs",
+    oracle=f"""
+    WITH sums AS ({_MOMENT_SUMS_SQL})
+    SELECT l_returnflag,
+           n AS regr_count,
+           CAST(FLOOR(((sxy - sx * sy / n) / (sx2 - sx * sx / n)) * 1000000)
+                AS BIGINT) AS slope_u,
+           CAST(FLOOR((sy / n - ((sxy - sx * sy / n) / (sx2 - sx * sx / n))
+                       * sx / n) * 1000000) AS BIGINT) AS intercept_u,
+           CAST(FLOOR(((sxy - sx * sy / n) * (sxy - sx * sy / n))
+                      / ((sx2 - sx * sx / n) * (sy2 - sy * sy / n))
+                      * 1000000) AS BIGINT) AS r2_u
+    FROM sums
+    """,
+)
+def regr_aggs(spark, sf_dir):
+    """Linear-regression aggregates (REGR_SLOPE / REGR_INTERCEPT / REGR_R2 /
+    REGR_COUNT) — built-ins in DuckDB/Postgres; on Spark, re-derived from
+    the same single-pass exact-DECIMAL power sums as ``stats_moments``:
+    associative partial aggregation (one shuffle of 6 accumulators per
+    group, partition-order-independent), closed-form evaluation on the
+    grouped scalars, FLOOR-quantized to micro-units for cross-engine hash
+    stability (see functions.numeric ROUND hazard)."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity").cast("decimal(9,4)")
+    y = F.col("l_extendedprice").cast("decimal(12,4)")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sx2"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(y * y).cast("double").alias("sy2"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    n, sx, sx2 = F.col("n"), F.col("sx"), F.col("sx2")
+    sy, sy2, sxy = F.col("sy"), F.col("sy2"), F.col("sxy")
+    slope = (sxy - sx * sy / n) / (sx2 - sx * sx / n)
+    intercept = sy / n - slope * sx / n
+    r2 = ((sxy - sx * sy / n) * (sxy - sx * sy / n)) / (
+        (sx2 - sx * sx / n) * (sy2 - sy * sy / n)
+    )
+    return sums.select(
+        "l_returnflag",
+        n.alias("regr_count"),
+        F.floor(slope * 1000000).cast("long").alias("slope_u"),
+        F.floor(intercept * 1000000).cast("long").alias("intercept_u"),
+        F.floor(r2 * 1000000).cast("long").alias("r2_u"),
+    )
