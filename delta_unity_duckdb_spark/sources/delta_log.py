@@ -365,14 +365,10 @@ def read_delta(
     the file set the scan plans over shrinks.
     """
     snap = snapshot(spark, table_path, version)
-    schema = snap.schema
-    part_cols = snap.partition_columns
-    data_fields = [f for f in schema.fields if f.name not in part_cols]
-    data_schema = StructType(data_fields)
 
     adds = snap.adds
     if skip_filters:
-        adds = prune_adds(adds, skip_filters, part_cols)
+        adds = prune_adds(adds, skip_filters, snap.partition_columns)
 
     def refilter(df: DataFrame) -> DataFrame:
         # Stats pruning is file-granular; rows inside surviving files
@@ -387,12 +383,25 @@ def read_delta(
             df = df.filter(expr)
         return df
 
+    return refilter(_df_for_adds(spark, snap, adds))
+
+
+def _df_for_adds(
+    spark: SparkSession, snap: DeltaSnapshot, adds: dict[str, dict]
+) -> DataFrame:
+    """Plan a DataFrame over a subset of a snapshot's files, partition
+    columns reattached as typed literals per partition group."""
+    schema = snap.schema
+    part_cols = snap.partition_columns
+    data_fields = [f for f in schema.fields if f.name not in part_cols]
+    data_schema = StructType(data_fields)
+
     if not adds:
-        return refilter(spark.createDataFrame([], schema))
+        return spark.createDataFrame([], schema)
 
     if not part_cols:
-        paths = [os.path.join(table_path, p) for p in sorted(adds)]
-        return refilter(spark.read.schema(data_schema).parquet(*paths))
+        paths = [os.path.join(snap.table_path, p) for p in sorted(adds)]
+        return spark.read.schema(data_schema).parquet(*paths)
 
     by_part: dict[tuple, list[str]] = {}
     for path, add in sorted(adds.items()):
@@ -409,7 +418,7 @@ def read_delta(
                 c, F.lit(raw).cast(field_type[c]) if raw is not None else F.lit(None).cast(field_type[c])
             )
         branches.append(df.select([f.name for f in schema.fields]))
-    return refilter(reduce(lambda a, b: a.unionByName(b), branches))
+    return reduce(lambda a, b: a.unionByName(b), branches)
 
 
 def table_version(table_path: str) -> int:
@@ -422,6 +431,57 @@ def table_version(table_path: str) -> int:
 
 def _schema_to_string(schema: StructType) -> str:
     return json.dumps(schema.jsonValue())
+
+
+def _stage_files(
+    df: DataFrame, table_path: str, partition_by: list[str]
+) -> list[dict]:
+    """Write ``df`` as parquet into the table directory under unique names
+    (invisible until committed) and return the add actions, stats included."""
+    stage_token = uuid.uuid4().hex[:12]
+    stage_dir = os.path.join(table_path, f"_staging_{stage_token}")
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(stage_dir)
+
+    adds: list[dict] = []
+    for root, _dirs, files in os.walk(stage_dir):
+        for fname in files:
+            if not fname.endswith(".parquet"):
+                continue
+            src = os.path.join(root, fname)
+            rel_dir = os.path.relpath(root, stage_dir)
+            part_values: dict[str, str | None] = {}
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    k, _, v = seg.partition("=")
+                    part_values[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+            rel_target = (
+                os.path.join(rel_dir, f"{stage_token}-{fname}")
+                if rel_dir != "."
+                else f"{stage_token}-{fname}"
+            )
+            dst = os.path.join(table_path, rel_target)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.rename(src, dst)
+            add_action = {
+                "path": rel_target.replace(os.sep, "/"),
+                "partitionValues": part_values,
+                "size": os.path.getsize(dst),
+                "modificationTime": int(time.time() * 1000),
+                "dataChange": True,
+            }
+            stats = _file_stats_json(dst)
+            if stats:
+                add_action["stats"] = stats
+            adds.append({"add": add_action})
+    # clean the now-empty staging tree
+    for root, dirs, files in os.walk(stage_dir, topdown=False):
+        for f_ in files:
+            os.remove(os.path.join(root, f_))
+        os.rmdir(root)
+    return adds
 
 
 def write_delta(
@@ -466,50 +526,7 @@ def write_delta(
                 f"write requested {partition_by}"
             )
 
-    # Phase 1: stage data files under a unique prefix inside the table dir.
-    stage_token = uuid.uuid4().hex[:12]
-    stage_dir = os.path.join(table_path, f"_staging_{stage_token}")
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(stage_dir)
-
-    adds: list[dict] = []
-    for root, _dirs, files in os.walk(stage_dir):
-        for fname in files:
-            if not fname.endswith(".parquet"):
-                continue
-            src = os.path.join(root, fname)
-            rel_dir = os.path.relpath(root, stage_dir)
-            part_values: dict[str, str | None] = {}
-            if rel_dir != ".":
-                for seg in rel_dir.split(os.sep):
-                    k, _, v = seg.partition("=")
-                    part_values[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
-            rel_target = (
-                os.path.join(rel_dir, f"{stage_token}-{fname}")
-                if rel_dir != "."
-                else f"{stage_token}-{fname}"
-            )
-            dst = os.path.join(table_path, rel_target)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            os.rename(src, dst)
-            add_action = {
-                "path": rel_target.replace(os.sep, "/"),
-                "partitionValues": part_values,
-                "size": os.path.getsize(dst),
-                "modificationTime": int(time.time() * 1000),
-                "dataChange": True,
-            }
-            stats = _file_stats_json(dst)
-            if stats:
-                add_action["stats"] = stats
-            adds.append({"add": add_action})
-    # clean the now-empty staging tree
-    for root, dirs, files in os.walk(stage_dir, topdown=False):
-        for f_ in files:
-            os.remove(os.path.join(root, f_))
-        os.rmdir(root)
+    adds = _stage_files(df, table_path, partition_by)
 
     actions: list[dict] = [
         {
@@ -557,6 +574,196 @@ def write_delta(
         with os.fdopen(fd, "w") as fh:
             fh.write(payload)
         return next_version
+
+
+# Above this many distinct single-column keys, merge pruning falls back
+# from the exact key-set probe to the min/max envelope (the collected key
+# list must stay driver-small).
+_MERGE_KEYSET_CAP = 100_000
+
+
+def _files_possibly_matching(
+    source_df: DataFrame, snap: DeltaSnapshot, on: list[str]
+) -> dict[str, dict]:
+    """Target files that MAY contain a key present in ``source_df``.
+
+    Single-column keys (the overwhelmingly common merge shape): collect the
+    distinct key set (capped) and probe each file's [min,max] with a binary
+    search — an insert-heavy source no longer stretches one envelope over
+    the whole table, so a merge touching 2 clustered keys rewrites the 1-2
+    files that hold them. Compound keys or oversized key sets fall back to
+    the per-column min/max envelope (still conservative, never wrong)."""
+    part_cols = snap.partition_columns
+
+    if len(on) == 1:
+        k = on[0]
+        keys_df = source_df.na.drop(subset=[k]).select(k).distinct()
+        keys = [r[0] for r in keys_df.limit(_MERGE_KEYSET_CAP + 1).collect()]
+        if not keys:
+            return {}
+        if len(keys) <= _MERGE_KEYSET_CAP:
+            import bisect
+
+            keys.sort()
+
+            def may_match(add: dict) -> bool:
+                if k in part_cols:
+                    return any(
+                        _file_may_match(add, k, "=", key, part_cols) for key in keys
+                    )
+                stats = add.get("stats")
+                if not stats:
+                    return True
+                try:
+                    parsed = json.loads(stats) if isinstance(stats, str) else stats
+                except (TypeError, ValueError):
+                    return True
+                lo = _coerce_like(parsed.get("minValues", {}).get(k), keys[0])
+                hi = _coerce_like(parsed.get("maxValues", {}).get(k), keys[0])
+                if lo is None or hi is None:
+                    return True
+                try:
+                    i = bisect.bisect_left(keys, lo)
+                except TypeError:
+                    return True
+                return i < len(keys) and keys[i] <= hi
+
+            return {p: a for p, a in snap.adds.items() if may_match(a)}
+
+    # Fallback: per-column min/max envelope.
+    bounds = source_df.na.drop(subset=on).agg(
+        *[F.min(c).alias(f"lo_{c}") for c in on],
+        *[F.max(c).alias(f"hi_{c}") for c in on],
+    ).collect()[0]
+    overlap: list[tuple[str, str, object]] = []
+    for c in on:
+        lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
+        if lo is not None:
+            overlap.extend([(c, ">=", lo), (c, "<=", hi)])
+    if not overlap:
+        return {}  # all-NULL-key source: nothing can match
+    return prune_adds(snap.adds, overlap, part_cols)
+
+
+def merge_delta(
+    source_df: DataFrame,
+    table_path: str,
+    on: list[str],
+    when_matched: str = "update",
+    insert_not_matched: bool = True,
+) -> dict:
+    """MERGE INTO on the minimal Delta log (reference flagship B11 —
+    ``INSERT … ON CONFLICT DO UPDATE/DO NOTHING``,
+    delta_to_postgres_scd.py:242-261 — generalized beyond SCD2):
+    copy-on-write at FILE granularity, driven by the per-file stats.
+
+    1. One tiny agg computes the source's key-range envelope.
+    2. ``prune_adds`` keeps only target files whose min/max key ranges
+       overlap that envelope — every other file PROVABLY contains no
+       matching key and is never read, never rewritten. At 100 TB with
+       key-clustered files (compaction/Z-order keep them clustered), a
+       point-ish merge touches a handful of files instead of the table.
+    3. Touched files re-emit: unmatched rows kept, matched rows replaced
+       by the source row (``when_matched="update"``) or dropped
+       (``"delete"``); source rows matching nothing append as inserts.
+    4. One atomic commit: removes for touched files + adds for their
+       replacements. Readers of the old version are unaffected; time
+       travel keeps working.
+
+    Multiple source rows hitting one key raise (same rule as Delta's
+    MERGE); NULL-keyed source rows never match (equality is
+    null-rejecting) and land as inserts. Concurrent-writer conflict
+    raises instead of blind-retrying — a merge retried on top of an
+    unseen commit would resurrect rows it never read.
+    """
+    if when_matched not in ("update", "delete"):
+        raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
+    spark = source_df.sparkSession
+    snap = snapshot(spark, table_path)
+    target_cols = [f.name for f in snap.schema.fields]
+    if set(source_df.columns) != set(target_cols):
+        raise ValueError(
+            f"source columns {sorted(source_df.columns)} != target {sorted(target_cols)}"
+        )
+    missing = [k for k in on if k not in target_cols]
+    if missing:
+        raise ValueError(f"merge keys not in schema: {missing}")
+    source_df = source_df.select(target_cols)
+
+    dup = (
+        source_df.na.drop(subset=on)
+        .groupBy(*on)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError("source has multiple rows per merge key")
+
+    touched = _files_possibly_matching(source_df, snap, on)
+    untouched = {p: a for p, a in snap.adds.items() if p not in touched}
+
+    touched_df = _df_for_adds(spark, snap, touched)
+    matched_keys = touched_df.select(on).join(source_df.select(on), on, "left_semi")
+    kept = touched_df.join(source_df.select(on), on, "left_anti")
+    matched_src = source_df.join(touched_df.select(on), on, "left_semi")
+    inserts = source_df.join(touched_df.select(on), on, "left_anti")
+
+    pieces = [kept]
+    if when_matched == "update":
+        pieces.append(matched_src)
+    if insert_not_matched:
+        pieces.append(inserts)
+    new_data = reduce(lambda a, b: a.unionByName(b), pieces)
+    n_matched = matched_keys.count()
+
+    adds = _stage_files(new_data, table_path, snap.partition_columns)
+    ts = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "MERGE",
+                "operationParameters": {
+                    "predicate": " AND ".join(f"t.{k} = s.{k}" for k in on),
+                    "whenMatched": when_matched,
+                    "insertNotMatched": insert_not_matched,
+                },
+                "operationMetrics": {
+                    "numTargetFilesRemoved": len(touched),
+                    "numTargetFilesAdded": len(adds),
+                    "numTargetFilesSkipped": len(untouched),
+                    "numMatchedRows": n_matched,
+                },
+                "engineInfo": "delta_unity_duckdb_spark minimal-writer",
+            }
+        }
+    ]
+    for path in touched:
+        actions.append(
+            {"remove": {"path": path, "deletionTimestamp": ts, "dataChange": True}}
+        )
+    actions.extend(adds)
+
+    log_dir = os.path.join(table_path, "_delta_log")
+    payload = "\n".join(json.dumps(a, separators=(",", ":")) for a in actions) + "\n"
+    cpath = _commit_path(log_dir, snap.version + 1)
+    try:
+        fd = os.open(cpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise DeltaProtocolError(
+            f"concurrent commit at version {snap.version + 1}; re-run the merge"
+        ) from None
+    with os.fdopen(fd, "w") as fh:
+        fh.write(payload)
+    return {
+        "version": snap.version + 1,
+        "files_rewritten": len(touched),
+        "files_skipped": len(untouched),
+        "files_added": len(adds),
+        "rows_matched": n_matched,
+    }
 
 
 def read_delta_changes(

@@ -1198,3 +1198,46 @@ def delta_time_travel(spark, sf_dir):
         F.lit(1).alias("version"), F.count(F.lit(1)).alias("n_rows")
     )
     return v0.unionByName(v1).orderBy("version")
+
+
+@query(
+    "delta_merge_upsert",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 7 = 0 THEN 'MERGED' ELSE c_mktsegment END AS c_mktsegment,
+           CASE WHEN c_custkey % 7 = 0 THEN -c_acctbal ELSE c_acctbal END AS c_acctbal
+    FROM customer
+    UNION ALL
+    SELECT c_custkey + 1000000, 'NEW', 0.0 FROM customer WHERE c_custkey % 97 = 0
+    """,
+)
+def delta_merge_upsert(spark, sf_dir):
+    """Generic MERGE INTO on the minimal Delta log (B11 generalized beyond
+    SCD2): write customer as a key-clustered Delta table, merge a source
+    that updates every 7th key and inserts fresh keys, read back the final
+    state. File-level copy-on-write: only files whose stats ranges can hold
+    a source key are rewritten (sources/delta_log.py merge_delta)."""
+    import tempfile
+
+    from delta_unity_duckdb_spark.sources.delta_log import merge_delta, read_delta, write_delta
+    from delta_unity_duckdb_spark.sources.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    t = tempfile.mkdtemp(prefix="delta_merge_")
+    write_delta(
+        cust.repartitionByRange(4, "c_custkey").sortWithinPartitions("c_custkey"), t
+    )
+    updates = cust.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey",
+        F.lit("MERGED").alias("c_mktsegment"),
+        (-F.col("c_acctbal")).alias("c_acctbal"),
+    )
+    inserts = cust.filter(F.col("c_custkey") % 97 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.lit("NEW").alias("c_mktsegment"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    merge_delta(updates.unionByName(inserts), t, on=["c_custkey"])
+    return read_delta(spark, t)

@@ -386,3 +386,98 @@ class TestDataSkipping:
         os.remove(os.path.join(log, f"{0:020d}.json"))
         snap = snapshot(spark, t)
         assert all(json.loads(a["stats"])["numRecords"] > 0 for a in snap.adds.values())
+
+
+class TestMerge:
+    """File-level MERGE INTO with stats-driven copy-on-write."""
+
+    def _target(self, spark, tmp_path, name="m"):
+        t = str(tmp_path / name)
+        df = (
+            spark.range(0, 1000)
+            .withColumn("v", F.col("id") * 10)
+            .withColumn("tag", F.lit("base"))
+            .repartitionByRange(4, "id")
+            .sortWithinPartitions("id")
+        )
+        write_delta(df, t)
+        return t
+
+    def _src(self, spark, rows):
+        return spark.createDataFrame(rows, "id long, v long, tag string")
+
+    def test_upsert_rewrites_only_overlapping_files(self, spark, tmp_path):
+        from delta_unity_duckdb_spark.sources.delta_log import merge_delta
+
+        t = self._target(spark, tmp_path)
+        src = self._src(
+            spark,
+            [(10, -1, "upd"), (20, -2, "upd"), (2000, -3, "new"), (2001, -4, "new")],
+        )
+        res = merge_delta(src, t, on=["id"])
+        assert res["files_rewritten"] == 1 and res["files_skipped"] == 3
+        assert res["rows_matched"] == 2
+        got = {r["id"]: (r["v"], r["tag"]) for r in read_delta(spark, t).collect()}
+        assert len(got) == 1002
+        assert got[10] == (-1, "upd") and got[20] == (-2, "upd")
+        assert got[2000] == (-3, "new") and got[11] == (110, "base")
+        # pre-merge version still readable (time travel across MERGE)
+        assert read_delta(spark, t, version=0).count() == 1000
+
+    def test_matched_delete(self, spark, tmp_path):
+        from delta_unity_duckdb_spark.sources.delta_log import merge_delta
+
+        t = self._target(spark, tmp_path, "md")
+        src = self._src(spark, [(5, 0, "x"), (6, 0, "x"), (3000, 1, "new")])
+        res = merge_delta(src, t, on=["id"], when_matched="delete")
+        got = {r["id"] for r in read_delta(spark, t).collect()}
+        assert 5 not in got and 6 not in got and 3000 in got
+        assert len(got) == 999
+        assert res["rows_matched"] == 2
+
+    def test_duplicate_source_keys_raise(self, spark, tmp_path):
+        from delta_unity_duckdb_spark.sources.delta_log import merge_delta
+
+        t = self._target(spark, tmp_path, "dup")
+        src = self._src(spark, [(1, 0, "a"), (1, 1, "b")])
+        with pytest.raises(ValueError, match="multiple rows"):
+            merge_delta(src, t, on=["id"])
+
+    def test_null_keys_insert_never_match(self, spark, tmp_path):
+        from delta_unity_duckdb_spark.sources.delta_log import merge_delta
+
+        t = self._target(spark, tmp_path, "nk")
+        src = self._src(spark, [(None, 7, "nullkey"), (15, -5, "upd")])
+        merge_delta(src, t, on=["id"])
+        rows = read_delta(spark, t).collect()
+        assert len(rows) == 1001
+        byid = {r["id"]: r["tag"] for r in rows}
+        assert byid[None] == "nullkey" and byid[15] == "upd"
+
+    def test_partitioned_merge(self, spark, tmp_path):
+        from delta_unity_duckdb_spark.sources.delta_log import merge_delta, snapshot
+
+        t = str(tmp_path / "pm")
+        df = (
+            spark.range(0, 100)
+            .withColumn("bucket", F.col("id") % 4)
+            .withColumn("v", F.col("id") * 10)
+        )
+        write_delta(df, t, partition_by=["bucket"])
+        src = spark.createDataFrame(
+            [(8, 0, -8), (200, 0, -200)], "id long, bucket long, v long"
+        )
+        merge_delta(src, t, on=["id"])
+        got = {r["id"]: r["v"] for r in read_delta(spark, t).collect()}
+        assert got[8] == -8 and got[200] == -200 and got[9] == 90
+        # partition layout preserved through the rewrite
+        assert snapshot(spark, t).partition_columns == ["bucket"]
+
+    def test_insert_not_matched_false_drops_new_keys(self, spark, tmp_path):
+        from delta_unity_duckdb_spark.sources.delta_log import merge_delta
+
+        t = self._target(spark, tmp_path, "ninm")
+        src = self._src(spark, [(4, -4, "upd"), (5000, 1, "new")])
+        merge_delta(src, t, on=["id"], insert_not_matched=False)
+        got = {r["id"]: r["tag"] for r in read_delta(spark, t).collect()}
+        assert got[4] == "upd" and 5000 not in got and len(got) == 1000
