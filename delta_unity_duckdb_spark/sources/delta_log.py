@@ -434,7 +434,10 @@ def _schema_to_string(schema: StructType) -> str:
 
 
 def _stage_files(
-    df: DataFrame, table_path: str, partition_by: list[str]
+    df: DataFrame,
+    table_path: str,
+    partition_by: list[str],
+    data_change: bool = True,
 ) -> list[dict]:
     """Write ``df`` as parquet into the table directory under unique names
     (invisible until committed) and return the add actions, stats included."""
@@ -470,7 +473,7 @@ def _stage_files(
                 "partitionValues": part_values,
                 "size": os.path.getsize(dst),
                 "modificationTime": int(time.time() * 1000),
-                "dataChange": True,
+                "dataChange": data_change,
             }
             stats = _file_stats_json(dst)
             if stats:
@@ -766,6 +769,135 @@ def merge_delta(
     }
 
 
+def _predicate_expr(where: list[tuple[str, str, object]]):
+    """AND-list of (col, op, value) → a Column predicate (same operator
+    set the file pruner understands, so plan-time and file-time agree)."""
+    expr = F.lit(True)
+    for c, op, v in where:
+        col = F.col(c)
+        expr = expr & {
+            "=": col == v, "!=": col != v, "<": col < v,
+            "<=": col <= v, ">": col > v, ">=": col >= v,
+        }[op]
+    return expr
+
+
+def _rewrite_matching(
+    spark: SparkSession,
+    table_path: str,
+    where: list[tuple[str, str, object]],
+    operation: str,
+    transform,
+) -> dict:
+    """Shared DELETE/UPDATE engine: rewrite only files that may contain a
+    matching row (stats-pruned); within them, keep non-matching rows as-is
+    and replace matching rows with ``transform(matching_df)`` (empty for
+    DELETE). One atomic commit; untouched files never read."""
+    snap = snapshot(spark, table_path)
+    for c, op, _ in where:
+        if op not in _SKIP_OPS:
+            raise ValueError(f"unsupported operator {op!r}")
+        if c not in [f.name for f in snap.schema.fields]:
+            raise ValueError(f"unknown column {c!r}")
+
+    touched = prune_adds(snap.adds, where, snap.partition_columns)
+    untouched = {p: a for p, a in snap.adds.items() if p not in touched}
+    pred = _predicate_expr(where)
+
+    touched_df = _df_for_adds(spark, snap, touched)
+    matching = touched_df.filter(pred)
+    n_affected = matching.count()
+    if n_affected == 0:
+        # No rows match: nothing to rewrite, no commit needed.
+        return {
+            "version": snap.version,
+            "rows_affected": 0,
+            "files_rewritten": 0,
+            "files_skipped": len(snap.adds),
+        }
+    kept = touched_df.filter(~pred | F.isnull(pred))
+    replacement = transform(matching)
+    new_data = kept.unionByName(replacement) if replacement is not None else kept
+
+    adds = _stage_files(new_data, table_path, snap.partition_columns)
+    ts = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": operation,
+                "operationParameters": {
+                    "predicate": " AND ".join(f"{c} {op} {v!r}" for c, op, v in where)
+                },
+                "operationMetrics": {
+                    "numAffectedRows": n_affected,
+                    "numTargetFilesRemoved": len(touched),
+                    "numTargetFilesAdded": len(adds),
+                    "numTargetFilesSkipped": len(untouched),
+                },
+                "engineInfo": "delta_unity_duckdb_spark minimal-writer",
+            }
+        }
+    ]
+    for path in touched:
+        actions.append(
+            {"remove": {"path": path, "deletionTimestamp": ts, "dataChange": True}}
+        )
+    actions.extend(adds)
+    log_dir = os.path.join(table_path, "_delta_log")
+    payload = "\n".join(json.dumps(a, separators=(",", ":")) for a in actions) + "\n"
+    cpath = _commit_path(log_dir, snap.version + 1)
+    try:
+        fd = os.open(cpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise DeltaProtocolError(
+            f"concurrent commit at version {snap.version + 1}; re-run"
+        ) from None
+    with os.fdopen(fd, "w") as fh:
+        fh.write(payload)
+    return {
+        "version": snap.version + 1,
+        "rows_affected": n_affected,
+        "files_rewritten": len(touched),
+        "files_skipped": len(untouched),
+    }
+
+
+def delete_delta(
+    spark: SparkSession, table_path: str, where: list[tuple[str, str, object]]
+) -> dict:
+    """DELETE FROM t WHERE … (AND-list of simple predicates) with file-level
+    copy-on-write: stats decide which files can hold a matching row; only
+    those are rewritten without the matching rows. Returns
+    ``rows_affected`` — the reference's DML-with-rowcount surface
+    (query_sync_table.py:122-125) as an engine operator."""
+    return _rewrite_matching(spark, table_path, where, "DELETE", lambda m: None)
+
+
+def update_delta(
+    spark: SparkSession,
+    table_path: str,
+    where: list[tuple[str, str, object]],
+    set_exprs: dict[str, object],
+) -> dict:
+    """UPDATE t SET col = expr, … WHERE … — matching rows re-emitted with
+    the SET expressions applied (values or Column expressions over the old
+    row), non-matching rows byte-identical, untouched files skipped."""
+    from pyspark.sql import Column
+
+    def apply_set(matching: DataFrame) -> DataFrame:
+        out = matching
+        for c, v in set_exprs.items():
+            if c not in matching.columns:
+                raise ValueError(f"unknown SET column {c!r}")
+            col_type = dict((f.name, f.dataType) for f in matching.schema.fields)[c]
+            expr = v if isinstance(v, Column) else F.lit(v)
+            out = out.withColumn(c, expr.cast(col_type))
+        return out.select(matching.columns)
+
+    return _rewrite_matching(spark, table_path, where, "UPDATE", apply_set)
+
+
 def read_delta_changes(
     spark: SparkSession,
     table_path: str,
@@ -832,6 +964,121 @@ def read_delta_changes(
         )
         return empty
     return reduce(lambda a, b: a.unionByName(b), branches)
+
+
+def optimize_delta(
+    spark: SparkSession,
+    table_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    zorder_by: list[str] | None = None,
+    sort_by: list[str] | None = None,
+) -> dict:
+    """OPTIMIZE [ZORDER BY] as a transaction-log commit.
+
+    Plain mode: bin-pack files smaller than ``target_file_bytes`` into
+    ~target-sized files (streaming appends and fine-grained partitions
+    accumulate small files; scan task count and object-store listing load
+    are O(files), so this is routine maintenance at scale). ``sort_by`` /
+    ``zorder_by`` rewrite the WHOLE table range-clustered / Morton-
+    clustered so per-file min/max stats turn ``read_delta(skip_filters)``
+    and ``merge_delta`` into few-file operations.
+
+    The rewrite commits atomically with ``dataChange: false`` on both adds
+    and removes — the Delta convention telling incremental/streaming
+    consumers that no logical rows changed. Old versions stay time-
+    travelable until ``vacuum``.
+    """
+    if zorder_by and sort_by:
+        raise ValueError("choose zorder_by or sort_by, not both")
+    snap = snapshot(spark, table_path)
+    reorder = bool(zorder_by or sort_by)
+    scope = (
+        dict(snap.adds)
+        if reorder
+        else {
+            p: a
+            for p, a in snap.adds.items()
+            if int(a.get("size") or 0) < target_file_bytes
+        }
+    )
+    if not scope or (len(scope) < 2 and not reorder):
+        return {
+            "version": snap.version,
+            "files_removed": 0,
+            "files_added": 0,
+            "bytes": 0,
+        }
+    total_bytes = sum(int(a.get("size") or 0) for a in scope.values())
+    n_out = max(1, -(-total_bytes // target_file_bytes))
+
+    df = _df_for_adds(spark, snap, scope)
+    if zorder_by:
+        from delta_unity_duckdb_spark.operators.zorder import _BITS, _grid_cell, zorder_key
+
+        bounds = df.agg(
+            *[F.min(c).alias(f"__min_{c}") for c in zorder_by],
+            *[F.max(c).alias(f"__max_{c}") for c in zorder_by],
+        )
+        with_bounds = df.join(F.broadcast(bounds))
+        cells = [
+            _grid_cell(F.col(c), F.col(f"__min_{c}"), F.col(f"__max_{c}"), _BITS)
+            for c in zorder_by
+        ]
+        out = (
+            with_bounds.withColumn("__zkey", zorder_key(cells, _BITS))
+            .drop(*[f"__min_{c}" for c in zorder_by], *[f"__max_{c}" for c in zorder_by])
+            .repartitionByRange(n_out, "__zkey")
+            .sortWithinPartitions("__zkey")
+            .drop("__zkey")
+        )
+    elif sort_by:
+        out = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        out = df.repartition(n_out)
+
+    adds = _stage_files(out, table_path, snap.partition_columns, data_change=False)
+    ts = int(time.time() * 1000)
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "OPTIMIZE",
+                "operationParameters": {
+                    "zOrderBy": list(zorder_by or []),
+                    "sortBy": list(sort_by or []),
+                    "targetFileBytes": target_file_bytes,
+                },
+                "operationMetrics": {
+                    "numRemovedFiles": len(scope),
+                    "numAddedFiles": len(adds),
+                    "numConsideredFiles": len(snap.adds),
+                },
+                "engineInfo": "delta_unity_duckdb_spark minimal-writer",
+            }
+        }
+    ]
+    for path in scope:
+        actions.append(
+            {"remove": {"path": path, "deletionTimestamp": ts, "dataChange": False}}
+        )
+    actions.extend(adds)
+    log_dir = os.path.join(table_path, "_delta_log")
+    payload = "\n".join(json.dumps(a, separators=(",", ":")) for a in actions) + "\n"
+    cpath = _commit_path(log_dir, snap.version + 1)
+    try:
+        fd = os.open(cpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise DeltaProtocolError(
+            f"concurrent commit at version {snap.version + 1}; re-run"
+        ) from None
+    with os.fdopen(fd, "w") as fh:
+        fh.write(payload)
+    return {
+        "version": snap.version + 1,
+        "files_removed": len(scope),
+        "files_added": len(adds),
+        "bytes": total_bytes,
+    }
 
 
 def write_checkpoint(spark: SparkSession, table_path: str, version: int | None = None) -> int:

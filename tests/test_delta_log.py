@@ -481,3 +481,130 @@ class TestMerge:
         merge_delta(src, t, on=["id"], insert_not_matched=False)
         got = {r["id"]: r["tag"] for r in read_delta(spark, t).collect()}
         assert got[4] == "upd" and 5000 not in got and len(got) == 1000
+
+
+class TestDml:
+    """File-pruned DELETE / UPDATE with rowcount metrics."""
+
+    def _target(self, spark, tmp_path, name):
+        t = str(tmp_path / name)
+        df = (
+            spark.range(0, 1000)
+            .withColumn("v", F.col("id") * 10)
+            .repartitionByRange(4, "id")
+            .sortWithinPartitions("id")
+        )
+        write_delta(df, t)
+        return t
+
+    def test_delete_prunes_and_counts(self, spark, tmp_path):
+        from delta_unity_duckdb_spark.sources.delta_log import delete_delta
+
+        t = self._target(spark, tmp_path, "del")
+        res = delete_delta(spark, t, [("id", ">=", 100), ("id", "<", 110)])
+        assert res["rows_affected"] == 10
+        assert res["files_rewritten"] == 1 and res["files_skipped"] == 3
+        ids = {r["id"] for r in read_delta(spark, t).collect()}
+        assert len(ids) == 990 and 100 not in ids and 110 in ids
+        assert read_delta(spark, t, version=0).count() == 1000
+
+    def test_delete_no_match_is_noop_commit_free(self, spark, tmp_path):
+        from delta_unity_duckdb_spark.sources.delta_log import delete_delta
+
+        t = self._target(spark, tmp_path, "del0")
+        v_before = table_version(t)
+        res = delete_delta(spark, t, [("id", "=", 99999)])
+        assert res["rows_affected"] == 0
+        assert table_version(t) == v_before
+
+    def test_update_applies_set_exprs(self, spark, tmp_path):
+        from delta_unity_duckdb_spark.sources.delta_log import update_delta
+
+        t = self._target(spark, tmp_path, "upd")
+        res = update_delta(
+            spark, t, [("id", "<", 5)], {"v": F.col("v") + 1}
+        )
+        assert res["rows_affected"] == 5 and res["files_rewritten"] == 1
+        got = {r["id"]: r["v"] for r in read_delta(spark, t).collect()}
+        assert got[0] == 1 and got[4] == 41 and got[5] == 50
+        assert len(got) == 1000
+
+    def test_update_constant_value(self, spark, tmp_path):
+        from delta_unity_duckdb_spark.sources.delta_log import update_delta
+
+        t = self._target(spark, tmp_path, "updc")
+        update_delta(spark, t, [("id", "=", 7)], {"v": -1})
+        got = {r["id"]: r["v"] for r in read_delta(spark, t).collect()}
+        assert got[7] == -1 and got[8] == 80
+
+    def test_null_rows_survive_delete(self, spark, tmp_path):
+        from delta_unity_duckdb_spark.sources.delta_log import delete_delta
+
+        t = str(tmp_path / "nulls")
+        df = spark.createDataFrame(
+            [(1, 10), (2, None), (3, 30)], "id long, v long"
+        )
+        write_delta(df, t)
+        res = delete_delta(spark, t, [("v", ">", 5)])
+        # v=NULL never satisfies v > 5 — the row must survive
+        assert res["rows_affected"] == 2
+        rows = {(r["id"], r["v"]) for r in read_delta(spark, t).collect()}
+        assert rows == {(2, None)}
+
+
+class TestOptimize:
+    """OPTIMIZE / ZORDER as log commits with dataChange=false."""
+
+    def test_compaction_binpacks_small_files(self, spark, tmp_path):
+        from delta_unity_duckdb_spark.sources.delta_log import optimize_delta
+
+        t = str(tmp_path / "opt")
+        for i in range(6):  # six tiny appends → six small files (at least)
+            write_delta(spark.range(i * 100, (i + 1) * 100).coalesce(1), t)
+        before = len(snapshot(spark, t).adds)
+        assert before >= 6
+        res = optimize_delta(spark, t)
+        assert res["files_added"] < res["files_removed"]
+        snap = snapshot(spark, t)
+        assert len(snap.adds) < before
+        assert read_delta(spark, t).count() == 600
+        # adds carry dataChange=false
+        assert all(a.get("dataChange") is False for a in snap.adds.values())
+        # pre-optimize version still reads
+        assert read_delta(spark, t, version=res["version"] - 1).count() == 600
+
+    def test_zorder_tightens_stats_for_skipping(self, spark, tmp_path):
+        from delta_unity_duckdb_spark.sources.delta_log import (
+            optimize_delta,
+            prune_adds,
+        )
+
+        t = str(tmp_path / "optz")
+        # write clustered on x only — y ranges span every file
+        df = (
+            spark.range(0, 4096)
+            .withColumn("x", F.col("id") % 64)
+            .withColumn("y", (F.col("id") / 64).cast("long"))
+        )
+        write_delta(df.repartitionByRange(8, "x").sortWithinPartitions("x"), t)
+        snap0 = snapshot(spark, t)
+        kept_before = len(prune_adds(snap0.adds, [("y", "=", 3)], []))
+        res = optimize_delta(
+            spark, t, target_file_bytes=8 * 1024, zorder_by=["x", "y"]
+        )
+        assert res["files_added"] >= 4
+        snap1 = snapshot(spark, t)
+        kept_after = len(prune_adds(snap1.adds, [("y", "=", 3)], []))
+        # Morton clustering must make the y-predicate prunable at all
+        assert kept_after < len(snap1.adds)
+        assert read_delta(spark, t).count() == 4096
+        assert kept_before == len(snap0.adds)  # x-sorted layout couldn't prune y
+
+    def test_noop_when_nothing_to_compact(self, spark, tmp_path):
+        from delta_unity_duckdb_spark.sources.delta_log import optimize_delta
+
+        t = str(tmp_path / "optn")
+        write_delta(spark.range(100).coalesce(1), t)
+        v = table_version(t)
+        res = optimize_delta(spark, t)
+        assert res["files_removed"] == 0 and table_version(t) == v
