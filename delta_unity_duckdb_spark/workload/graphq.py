@@ -189,3 +189,62 @@ def graph_pagerank_q(spark, sf_dir):
         .orderBy(F.desc("rank"), "node")
         .limit(20)
     )
+
+
+@query(
+    "graph_triangles",
+    oracle="""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+    SELECT (SELECT COUNT(DISTINCT u)
+            FROM (SELECT u FROM e UNION ALL SELECT v FROM e) t(u)) AS n_vertices,
+           (SELECT COUNT(*) FROM e) AS n_edges,
+           (SELECT COUNT(*)
+            FROM e e1 JOIN e e2 ON e2.u = e1.v
+                      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS n_triangles
+    """,
+)
+def graph_triangles_q(spark, sf_dir):
+    """Triangle counting over the part co-purchase graph (parts appearing
+    in the same order, lineitem ⋈ lineitem on orderkey). Classic cohesion
+    metric; triangles are enumerated once each by orienting every edge
+    low-id → high-id and joining wedges u→v→w against closing edges u→w.
+
+    Scale notes: the wedge join shuffles on single key columns (v, then
+    (u, w)) — linear in wedge count, never a cross join. At skewed degree
+    distributions the standard refinement is to orient edges by DEGREE
+    (low-degree → high-degree), which bounds per-vertex wedge fan-out by
+    sqrt(|E|); id-orientation is used here because the co-purchase degree
+    distribution at TPC-H multiplicity is near-uniform. The three scalar
+    aggregates are assembled with single-row cross joins (no data motion).
+    """
+    from pyspark.sql import functions as F
+
+    from delta_unity_duckdb_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    n_vertices = (
+        e.select(F.col("u").alias("k"))
+        .unionAll(e.select(F.col("v").alias("k")))
+        .agg(F.countDistinct("k").alias("n_vertices"))
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    n_triangles = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return n_vertices.crossJoin(n_edges).crossJoin(n_triangles)

@@ -673,3 +673,142 @@ def doc_repetition(spark, sf_dir):
         .orderBy(F.desc("repetition_ppm"), "doc_id")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------- E5+: document chunking
+@query(
+    "doc_chunks",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS w
+      FROM documents),
+    c AS (
+      SELECT doc_id, CAST((s - 1) // 16 AS INTEGER) AS chunk_idx,
+             LIST_SLICE(w, s, s + 31) AS ck
+      FROM toks, UNNEST(RANGE(1, GREATEST(LEN(w), 1) + 1, 16)) AS t(s))
+    SELECT doc_id, chunk_idx,
+           CAST(LEN(ck) AS INTEGER) AS n_chunk_tokens,
+           ARRAY_TO_STRING(ck, ' ') AS chunk_text
+    FROM c ORDER BY doc_id, chunk_idx LIMIT 5000
+    """,
+)
+def doc_chunks(spark, sf_dir):
+    """Sliding-window document chunking (32-token chunks, stride 16) — the
+    pass that turns raw documents into overlapping training/context windows
+    before tokenization or embedding. Chunk starts are generated INSIDE the
+    array domain (``sequence(1, n, 16)`` + posexplode) and each chunk is a
+    1-based ``slice`` of the token array, so Spark and DuckDB
+    (``LIST_SLICE``, both 1-based, both end-clamped) compute byte-identical
+    chunks.
+
+    Scale: embarrassingly parallel — a narrow map over documents with no
+    shuffle except the presentation ORDER BY (a production writer would
+    drop it and write chunks partition-local). Output size is bounded by
+    ~2x input tokens (stride = size/2), independent of document count.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    return (
+        d.select("doc_id", w.alias("w"))
+        .select(
+            "doc_id",
+            F.posexplode(F.expr("sequence(1, greatest(size(w), 1), 16)")).alias(
+                "chunk_idx", "s"
+            ),
+            "w",
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.expr("slice(w, s, 32)").alias("ck"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("ck").alias("n_chunk_tokens"),
+            F.array_join("ck", " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+        .limit(5000)
+    )
+
+
+# ---------------------------------------------------------------- E5+: benchmark contamination
+@query(
+    "contamination_check",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS w
+      FROM documents),
+    grams AS (
+      SELECT doc_id, ARRAY_TO_STRING(LIST_SLICE(w, i, i + 4), ' ') AS gram
+      FROM toks, UNNEST(RANGE(1, GREATEST(LEN(w) - 4, 0) + 1)) AS t(i)),
+    dg AS (SELECT DISTINCT doc_id, gram FROM grams),
+    bench AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 10 = 7),
+    hits AS (
+      SELECT d.doc_id,
+             COUNT(*) AS n_grams,
+             COUNT(b.gram) AS n_contaminated
+      FROM dg d LEFT JOIN bench b USING (gram)
+      WHERE d.doc_id % 10 <> 7
+      GROUP BY d.doc_id)
+    SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_contaminated AS BIGINT) AS n_contaminated,
+           (n_contaminated * 1000000) // n_grams AS contamination_ppm
+    FROM hits ORDER BY contamination_ppm DESC, doc_id LIMIT 100
+    """,
+)
+def contamination_check(spark, sf_dir):
+    """Benchmark-contamination detection: for every training document,
+    the fraction (ppm, floor) of its distinct word 5-grams that also occur
+    in a held-out "benchmark" slice (here ``doc_id % 10 = 7`` stands in for
+    an eval set). This is the decontamination gate every serious training
+    corpus runs before release.
+
+    Spark plan: 5-grams are built in the array domain (no positional
+    self-join), deduped per doc with ONE shuffle on (doc_id, gram); the
+    benchmark gram set is deduped and **broadcast** — at 100 TB the
+    training side is huge but the eval set stays a few MB of n-grams, so
+    the contamination probe is a map-side hash lookup, never a sort-merge
+    join of the full corpus against itself. Per-doc fold then reuses the
+    (doc_id, gram) partitioning (doc_id is a prefix of the dedup key).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    grams = (
+        d.select("doc_id", w.alias("w"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("w") >= 5,
+                    F.expr(
+                        "transform(sequence(1, size(w) - 4), i ->"
+                        " array_join(slice(w, i, 5), ' '))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("gram"),
+        )
+        .distinct()
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % 10 == 7)
+        .select("gram")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        grams.filter(F.col("doc_id") % 10 != 7)
+        .join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count("hit").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_ppm",
+            F.expr("(n_contaminated * 1000000) div n_grams"),
+        )
+        .orderBy(F.desc("contamination_ppm"), "doc_id")
+        .limit(100)
+    )
