@@ -492,6 +492,7 @@ def write_delta(
     table_path: str,
     mode: str = "append",
     partition_by: list[str] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Commit a DataFrame to a Delta table via the log protocol; returns
     the committed version.
@@ -503,6 +504,13 @@ def write_delta(
     N+1 (optimistic concurrency, single-filesystem scope). ``overwrite``
     emits remove actions for the previous snapshot's files in the same
     atomic commit.
+
+    Appends enforce the table schema by name: a DataFrame with extra or
+    missing columns is rejected unless ``merge_schema=True`` (Delta's
+    ``mergeSchema`` option), which widens the table schema in the same
+    commit — new columns land nullable, existing files backfill NULL on
+    read, no data rewrite. Same-name type conflicts always raise (this
+    minimal writer does no type widening).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
@@ -528,6 +536,64 @@ def write_delta(
                 f"partition mismatch: table has {prev.partition_columns}, "
                 f"write requested {partition_by}"
             )
+
+    # Append-time schema enforcement / evolution (Delta mergeSchema).
+    evolved_metadata: dict | None = None
+    if prev is not None and mode == "append":
+        tbl_fields = {f.name: f for f in prev.schema.fields}
+        df_fields = {f.name: f for f in df.schema.fields}
+        # Same-name type differences: cast the INPUT to the table type when
+        # the cast is assignment-safe (Delta's ANSI store-assignment policy
+        # — numeric↔numeric, date→timestamp); anything else is a conflict.
+        def _assignment_castable(src: str, dst: str) -> bool:
+            numeric = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+
+            def is_num(t: str) -> bool:
+                return t in numeric or t.startswith("decimal")
+
+            return (is_num(src) and is_num(dst)) or (
+                src == "date" and dst == "timestamp"
+            )
+
+        casts: dict[str, object] = {}
+        conflicts: list[str] = []
+        for n, f in df_fields.items():
+            if n not in tbl_fields:
+                continue
+            src_t = f.dataType.simpleString()
+            dst_t = tbl_fields[n].dataType.simpleString()
+            if src_t == dst_t:
+                continue
+            if _assignment_castable(src_t, dst_t):
+                casts[n] = tbl_fields[n].dataType
+            else:
+                conflicts.append(f"{n} ({src_t} -> {dst_t})")
+        if conflicts:
+            raise ValueError(
+                f"schema conflict on append: column(s) {conflicts} are not "
+                f"assignment-castable to the table type"
+            )
+        for n, dtype in casts.items():
+            df = df.withColumn(n, F.col(n).cast(dtype))
+        new_cols = [f.name for f in df.schema.fields if f.name not in tbl_fields]
+        missing_cols = [n for n in tbl_fields if n not in df_fields]
+        if (new_cols or missing_cols) and not merge_schema:
+            raise ValueError(
+                f"schema mismatch on append (new: {new_cols}, missing: "
+                f"{missing_cols}); pass merge_schema=True to evolve the table"
+            )
+        if new_cols:
+            from pyspark.sql.types import StructField
+
+            merged = StructType(
+                list(prev.schema.fields)
+                + [
+                    StructField(n, df_fields[n].dataType, nullable=True)
+                    for n in new_cols
+                ]
+            )
+            evolved_metadata = dict(prev.metadata or {})
+            evolved_metadata["schemaString"] = _schema_to_string(merged)
 
     adds = _stage_files(df, table_path, partition_by)
 
@@ -556,6 +622,8 @@ def write_delta(
                 }
             }
         )
+    if evolved_metadata is not None:
+        actions.append({"metaData": evolved_metadata})
     if mode == "overwrite" and prev is not None:
         ts = int(time.time() * 1000)
         for path in prev.adds:
@@ -1284,3 +1352,78 @@ def convert_to_delta(spark: SparkSession, parquet_path: str) -> int:
     with os.fdopen(fd, "w") as fh:
         fh.write(payload)
     return 0
+
+def restore_delta(
+    spark: SparkSession, table_path: str, version: int
+) -> dict:
+    """RESTORE TABLE t TO VERSION AS OF v — reset the table's live state to
+    an earlier snapshot with ONE metadata commit, no data rewrite (the
+    standard lakehouse undo for a bad write; at 100 TB the alternative —
+    re-copying the old data — is days of IO, this is milliseconds).
+
+    The new commit removes files added since ``version``, re-adds files
+    that version referenced but the current snapshot dropped (their add
+    actions, stats included, are replayed verbatim from the old log), and
+    restores that version's metaData (schema + partitioning), exactly like
+    Delta's RESTORE. History is preserved: the restore is itself a new
+    version, and time travel to the pre-restore state still works.
+
+    Fails if any file of the target snapshot has been physically deleted
+    (VACUUM) — same contract as Delta Lake's RESTORE.
+    """
+    cur = snapshot(spark, table_path)
+    tgt = snapshot(spark, table_path, version)
+    missing = [
+        p for p in sorted(tgt.adds)
+        if not os.path.exists(os.path.join(table_path, p))
+    ]
+    if missing:
+        raise FileNotFoundError(
+            f"cannot RESTORE to version {version}: {len(missing)} data file(s) "
+            f"vacuumed, e.g. {missing[0]!r}"
+        )
+
+    ts = int(time.time() * 1000)
+    to_remove = sorted(set(cur.adds) - set(tgt.adds))
+    to_add = sorted(set(tgt.adds) - set(cur.adds))
+    actions: list[dict] = [
+        {
+            "commitInfo": {
+                "timestamp": ts,
+                "operation": "RESTORE",
+                "operationParameters": {"version": version},
+                "operationMetrics": {
+                    "numRestoredFiles": len(to_add),
+                    "numRemovedFiles": len(to_remove),
+                },
+                "engineInfo": "delta_unity_duckdb_spark minimal-writer",
+            }
+        },
+        {"metaData": tgt.metadata},
+    ]
+    for path in to_remove:
+        actions.append(
+            {"remove": {"path": path, "deletionTimestamp": ts, "dataChange": True}}
+        )
+    for path in to_add:
+        add = dict(tgt.adds[path])
+        add["dataChange"] = True
+        actions.append({"add": add})
+
+    log_dir = os.path.join(table_path, "_delta_log")
+    payload = "\n".join(json.dumps(a, separators=(",", ":")) for a in actions) + "\n"
+    cpath = _commit_path(log_dir, cur.version + 1)
+    try:
+        fd = os.open(cpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise DeltaProtocolError(
+            f"concurrent commit at version {cur.version + 1}; re-run the restore"
+        ) from None
+    with os.fdopen(fd, "w") as fh:
+        fh.write(payload)
+    return {
+        "version": cur.version + 1,
+        "restored_to": version,
+        "files_added": len(to_add),
+        "files_removed": len(to_remove),
+    }

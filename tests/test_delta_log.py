@@ -608,3 +608,93 @@ class TestOptimize:
         v = table_version(t)
         res = optimize_delta(spark, t)
         assert res["files_removed"] == 0 and table_version(t) == v
+
+
+class TestRestore:
+    def test_restore_undoes_overwrite(self, spark, tmp_path):
+        from delta_unity_duckdb_spark.sources.delta_log import restore_delta
+
+        t = str(tmp_path / "r1")
+        write_delta(spark.range(0, 5), t)
+        write_delta(spark.range(100, 103), t, mode="overwrite")
+        res = restore_delta(spark, t, 0)
+        assert res["version"] == 2 and res["restored_to"] == 0
+        assert res["files_added"] >= 1 and res["files_removed"] >= 1
+        assert _rows(read_delta(spark, t), "id") == [(i,) for i in range(5)]
+        # history preserved: the overwritten state is still time-travelable
+        assert _rows(read_delta(spark, t, version=1), "id") == [(100,), (101,), (102,)]
+
+    def test_restore_undoes_append(self, spark, tmp_path):
+        from delta_unity_duckdb_spark.sources.delta_log import restore_delta
+
+        t = str(tmp_path / "r2")
+        write_delta(spark.range(0, 3), t)
+        write_delta(spark.range(3, 6), t)
+        restore_delta(spark, t, 0)
+        assert _rows(read_delta(spark, t), "id") == [(0,), (1,), (2,)]
+
+    def test_restore_restores_schema(self, spark, tmp_path):
+        from delta_unity_duckdb_spark.sources.delta_log import restore_delta
+
+        t = str(tmp_path / "r3")
+        write_delta(spark.range(3).withColumn("v", F.col("id") * 2), t)
+        write_delta(spark.range(3).select("id"), t, mode="overwrite")
+        restore_delta(spark, t, 0)
+        assert set(read_delta(spark, t).columns) == {"id", "v"}
+
+    def test_restore_after_vacuum_raises(self, spark, tmp_path):
+        from delta_unity_duckdb_spark.sources.delta_log import restore_delta, vacuum
+
+        t = str(tmp_path / "r4")
+        write_delta(spark.range(0, 5), t)
+        write_delta(spark.range(100, 103), t, mode="overwrite")
+        vacuum(spark, t)  # deletes version-0 files
+        with pytest.raises(FileNotFoundError, match="vacuumed"):
+            restore_delta(spark, t, 0)
+
+
+class TestSchemaEvolution:
+    def test_append_mismatch_rejected(self, spark, tmp_path):
+        t = str(tmp_path / "se1")
+        write_delta(spark.range(3), t)
+        with pytest.raises(ValueError, match="merge_schema"):
+            write_delta(spark.range(3).withColumn("v", F.lit(1)), t)
+
+    def test_merge_schema_adds_column(self, spark, tmp_path):
+        t = str(tmp_path / "se2")
+        write_delta(spark.range(0, 3), t)
+        write_delta(
+            spark.range(3, 5).withColumn("v", F.col("id") * 10),
+            t,
+            merge_schema=True,
+        )
+        df = read_delta(spark, t)
+        assert df.columns == ["id", "v"]
+        got = _rows(df, "id", "v")
+        # pre-evolution rows backfill NULL, no rewrite of old files
+        assert got == [(0, None), (1, None), (2, None), (3, 30), (4, 40)]
+
+    def test_merge_schema_missing_column_fills_null(self, spark, tmp_path):
+        t = str(tmp_path / "se3")
+        write_delta(spark.range(3).withColumn("v", F.col("id") * 2), t)
+        write_delta(spark.range(3, 4).select("id"), t, merge_schema=True)
+        assert _rows(read_delta(spark, t), "id", "v") == [
+            (0, 0), (1, 2), (2, 4), (3, None),
+        ]
+
+    def test_type_conflict_always_raises(self, spark, tmp_path):
+        t = str(tmp_path / "se4")
+        write_delta(spark.range(3).withColumn("v", F.lit(1)), t)
+        with pytest.raises(ValueError, match="conflict"):
+            write_delta(
+                spark.range(3).withColumn("v", F.lit("s")), t, merge_schema=True
+            )
+
+    def test_time_travel_sees_pre_evolution_schema(self, spark, tmp_path):
+        t = str(tmp_path / "se5")
+        write_delta(spark.range(3), t)
+        write_delta(
+            spark.range(3, 5).withColumn("v", F.lit(7)), t, merge_schema=True
+        )
+        assert read_delta(spark, t, version=0).columns == ["id"]
+        assert read_delta(spark, t, version=1).columns == ["id", "v"]
