@@ -219,3 +219,36 @@ def test_text_ngram_partial_agg(plans):
     HashAggregate) so the shuffle carries distinct keys, not token rows."""
     assert "partial_" in plans["bigram_freq"]
     assert "partial_" in plans["doc_repetition"]
+
+
+def test_doc_chunks_no_join_no_agg_shuffle(plans):
+    """Chunking is a narrow map over documents: no join, no aggregate —
+    the only allowed exchange is the presentation ORDER BY (which a
+    production writer drops)."""
+    p = plans["doc_chunks"]
+    assert "Join" not in p
+    assert "HashAggregate" not in p
+
+
+def test_contamination_bench_set_broadcasts(plans):
+    """The held-out benchmark gram set must be a broadcast-hash probe —
+    a sort-merge join of corpus vs corpus would shuffle the full training
+    side at 100 TB."""
+    p = plans["contamination_check"]
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_triangles_wedge_joins_keyed(plans):
+    """Wedge enumeration must stay keyed (hash/sort-merge on edge
+    endpoints) — no CartesianProduct over data-sized inputs. The only
+    nested-loop joins allowed are the 1-row x 1-row crossJoins that
+    assemble the three scalar aggregates into the result row."""
+    p = plans["graph_triangles"]
+    assert "CartesianProduct" not in p
+    keyed = [
+        ln
+        for ln in p.splitlines()
+        if ("SortMergeJoin" in ln or "ShuffledHashJoin" in ln) and "[v#" in ln
+    ]
+    assert keyed, "wedge join is not a keyed join"
