@@ -812,3 +812,50 @@ def contamination_check(spark, sf_dir):
         .orderBy(F.desc("contamination_ppm"), "doc_id")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------- E5+: inverted index
+@query(
+    "inverted_index",
+    oracle="""
+    WITH dg AS (
+      SELECT DISTINCT doc_id, word FROM (
+        SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS word
+        FROM documents) t
+      WHERE word <> '')
+    SELECT word, COUNT(*) AS df,
+           LIST_SLICE(LIST(doc_id ORDER BY doc_id), 1, 10) AS postings
+    FROM dg GROUP BY word ORDER BY df DESC, word LIMIT 50
+    """,
+)
+def inverted_index(spark, sf_dir):
+    """Inverted-index construction: word → document frequency + the first
+    10 doc ids of its posting list (the retrieval-side data structure of a
+    search/RAG pipeline). Per-group state is BOUNDED: a row_number window
+    ranks each word's postings by doc_id and only ranks <= 10 enter the
+    collect_list, so a stopword appearing in every document costs 10
+    entries of aggregation state, not a corpus-sized array. The groupBy
+    reuses the window's hash partitioning on ``word`` — one shuffle total
+    after the (doc_id, word) dedup.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    dg = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .distinct()
+    )
+    w = Window.partitionBy("word").orderBy("doc_id")
+    return (
+        dg.withColumn("rn", F.row_number().over(w))
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("rn") <= 10, F.col("doc_id")))
+            ).alias("postings"),
+        )
+        .orderBy(F.desc("df"), "word")
+        .limit(50)
+    )

@@ -1241,3 +1241,59 @@ def delta_merge_upsert(spark, sf_dir):
     )
     merge_delta(updates.unionByName(inserts), t, on=["c_custkey"])
     return read_delta(spark, t)
+
+
+@query(
+    "table_profile",
+    oracle="""
+    SELECT 'l_returnflag' AS column_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(l_returnflag) AS n_nulls,
+           COUNT(DISTINCT l_returnflag) AS n_distinct,
+           CAST(MIN(l_returnflag) AS VARCHAR) AS min_value,
+           CAST(MAX(l_returnflag) AS VARCHAR) AS max_value
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_linestatus', COUNT(*), COUNT(*) - COUNT(l_linestatus),
+           COUNT(DISTINCT l_linestatus),
+           CAST(MIN(l_linestatus) AS VARCHAR), CAST(MAX(l_linestatus) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_orderkey', COUNT(*), COUNT(*) - COUNT(l_orderkey),
+           COUNT(DISTINCT l_orderkey),
+           CAST(MIN(l_orderkey) AS VARCHAR), CAST(MAX(l_orderkey) AS VARCHAR)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_linenumber', COUNT(*), COUNT(*) - COUNT(l_linenumber),
+           COUNT(DISTINCT l_linenumber),
+           CAST(MIN(l_linenumber) AS VARCHAR), CAST(MAX(l_linenumber) AS VARCHAR)
+    FROM lineitem
+    ORDER BY column_name
+    """,
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profiling: per-column row/null/distinct counts and
+    min/max, the summary a pipeline computes before trusting a new drop of
+    data. The oracle spells it as 4 UNION ALL scans; the Spark plan reads
+    the table ONCE — all four columns' statistics in a single aggregate
+    (Catalyst plans the multi-COUNT(DISTINCT) as one expand + shuffle),
+    then a zero-shuffle ``stack`` unpivot to one row per column. At 100 TB
+    that is 1 scan instead of 4.
+    """
+    cols = ["l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber"]
+    li = load_table(spark, sf_dir, "lineitem").select(*cols)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"cnt_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"min_{c}"),
+            F.max(c).cast("string").alias(f"max_{c}"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', n_rows, n_rows - cnt_{c}, nd_{c}, min_{c}, max_{c}" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
+    ).orderBy("column_name")
