@@ -1297,3 +1297,77 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(cols)}, {stack_args}) AS "
         "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
     ).orderBy("column_name")
+
+
+@query(
+    "delta_restore",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def delta_restore_q(spark, sf_dir):
+    """RESTORE TO VERSION AS OF — the lakehouse undo: commit customer
+    (v0), clobber it with a bad overwrite (v1), restore to v0 (v2, a
+    metadata-only commit replaying v0's add actions — no data rewrite),
+    and read the restored state. The oracle is simply the original
+    customer aggregate: if restore resurrects the wrong file set or the
+    wrong schema, the segment histogram diverges."""
+    import tempfile
+
+    from delta_unity_duckdb_spark.sources.delta_log import (
+        read_delta,
+        restore_delta,
+        write_delta,
+    )
+    from delta_unity_duckdb_spark.sources.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    t = tempfile.mkdtemp(prefix="delta_restore_")
+    write_delta(cust, t)  # v0
+    write_delta(
+        cust.filter(F.col("c_custkey") % 100 == 0).withColumn(
+            "c_mktsegment", F.lit("CORRUPTED")
+        ),
+        t,
+        mode="overwrite",
+    )  # v1: the bad write
+    restore_delta(spark, t, 0)  # v2
+    return (
+        read_delta(spark, t)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "delta_schema_evolution",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           CASE WHEN c_custkey % 10 = 0 THEN c_nationkey END AS c_nationkey
+    FROM customer
+    WHERE c_custkey % 5 = 0 ORDER BY c_custkey LIMIT 500
+    """,
+)
+def delta_schema_evolution_q(spark, sf_dir):
+    """Append-time schema evolution (Delta mergeSchema): v0 commits two
+    columns, v1 appends rows carrying a NEW third column with
+    ``merge_schema=True`` — the table schema widens in the same commit and
+    v0's files backfill NULL on read, no rewrite. The oracle reconstructs
+    the same union: every-5th customer, with nationkey only on the
+    every-10th rows that arrived after the evolution."""
+    import tempfile
+
+    from delta_unity_duckdb_spark.sources.delta_log import read_delta, write_delta
+    from delta_unity_duckdb_spark.sources.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    t = tempfile.mkdtemp(prefix="delta_evolve_")
+    base = cust.filter((F.col("c_custkey") % 5 == 0) & (F.col("c_custkey") % 10 != 0))
+    write_delta(base.select("c_custkey", "c_acctbal"), t)  # v0: two columns
+    evolved = cust.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey", "c_acctbal", "c_nationkey"
+    )
+    write_delta(evolved, t, merge_schema=True)  # v1: third column appears
+    return read_delta(spark, t).orderBy("c_custkey").limit(500)
