@@ -275,3 +275,70 @@ def timeseries_gapfill(spark, sf_dir):
             F.last("sum_value", ignorenulls=True).over(w).alias("filled_value"),
         )
     )
+
+
+# ---------------------------------------------------------------- trailing EWMA
+@query(
+    "ewma_trailing",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events),
+    l AS (
+      SELECT user_id, event_id, ts,
+             ROW_NUMBER() OVER w AS rn,
+             cents AS c0,
+             LAG(cents, 1) OVER w AS c1, LAG(cents, 2) OVER w AS c2,
+             LAG(cents, 3) OVER w AS c3, LAG(cents, 4) OVER w AS c4,
+             LAG(cents, 5) OVER w AS c5, LAG(cents, 6) OVER w AS c6,
+             LAG(cents, 7) OVER w AS c7
+      FROM c WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, event_id,
+           (c0*128 + c1*64 + c2*32 + c3*16 + c4*8 + c5*4 + c6*2 + c7) // 255
+               AS ewma_cents
+    FROM l WHERE rn >= 8 ORDER BY user_id, event_id LIMIT 500
+    """,
+)
+def ewma_trailing(spark, sf_dir):
+    """Per-user exponentially weighted moving average (α=1/2, truncated at
+    8 lags) — the smoothing/anomaly-baseline op of a metrics pipeline. An
+    exact infinite-horizon EWMA is order-sequential and float-unstable
+    across engines; the trailing-8 truncation turns it into a FIXED linear
+    combination with power-of-two weights (128/255 … 1/255), computed in
+    integer cents (floor-quantized from the double, the repo's
+    cross-engine rule) so both engines produce bit-identical results.
+
+    Scale: ONE shuffle on user_id; all eight lags + row_number evaluate in
+    a single window operator pass with O(8) state per row — no
+    range-frame re-scans, no per-user sort beyond the window's own.
+    Emitted only once the window is full (rn >= 8), matching a
+    steady-state smoother.
+    """
+    e = load_table(spark, sf_dir, "events")
+    c = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = c.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.col("cents").alias("c0"),
+        *[F.lag("cents", j).over(w).alias(f"c{j}") for j in range(1, 8)],
+    )
+    return (
+        lags.filter(F.col("rn") >= 8)
+        .select(
+            "user_id",
+            "event_id",
+            F.expr(
+                "(c0*128 + c1*64 + c2*32 + c3*16 + c4*8 + c5*4 + c6*2 + c7) div 255"
+            ).alias("ewma_cents"),
+        )
+        .orderBy("user_id", "event_id")
+        .limit(500)
+    )
