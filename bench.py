@@ -42,6 +42,11 @@ HEADLINE = [
     "corpus_curation",
     "price_outliers",
     "tfidf_top_terms",
+    "doc_chunks",
+    "contamination_check",
+    "inverted_index",
+    "ewma_trailing",
+    "table_profile",
 ]
 
 
