@@ -313,3 +313,45 @@ def stream_scd2_sync(spark, sf_dir):
         "end_date",
         "is_current",
     )
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+           c_mktsegment,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_join(spark, sf_dir):
+    """Stream-static dimension enrichment — the most common production
+    streaming shape: a fact stream joined to a slowly-changing dimension
+    snapshot, then windowed per segment. The static side is re-read per
+    micro-batch by Structured Streaming (so a dim refresh is picked up
+    without restart) and BROADCAST — no shuffle ever touches the stream
+    side for the join; the only stateful shuffle is the windowed
+    aggregation, watermark-bounded. Oracle: the identical batch join+agg.
+    """
+    from delta_unity_duckdb_spark.sources.tables import load_table
+
+    e = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        e.withWatermark("ts", "10 minutes")
+        .join(F.broadcast(cust), F.col("user_id") == F.col("c_custkey"), "inner")
+        .groupBy(F.window("ts", "15 minutes"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("value")).cast("decimal(38,6)").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "c_mktsegment",
+            "n",
+            "sum_value",
+        )
+    )
+    return run_available_now(agg, output_mode="complete")
