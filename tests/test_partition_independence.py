@@ -1,0 +1,43 @@
+"""Partition-count independence — the distributed-correctness contract.
+
+At 100 TB the same query runs with 32 shuffle partitions on one cluster
+and 2000 on another; results must be bit-identical either way. These
+tests re-execute representative queries (exact-DECIMAL aggregation,
+windowed EWMA, integer-ppm scores, posting lists) under deliberately
+mismatched shuffle-partition settings and assert identical value
+multisets — the local mirror of a cluster-size change.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from delta_unity_duckdb_spark.workload import QUERIES
+
+CHECKED = [
+    "pricing_summary",       # exact DECIMAL sums
+    "stats_moments",         # power-sum moments
+    "ewma_trailing",         # window lags
+    "contamination_check",   # broadcast probe + ppm division
+    "inverted_index",        # ranked collect posting lists
+    "tfidf_top_terms",       # two-level agg on one key
+]
+
+
+def _multiset(df):
+    return Counter(tuple(str(v) for v in row) for row in df.collect())
+
+
+@pytest.mark.parametrize("name", CHECKED)
+def test_result_invariant_under_partition_count(spark, sf_dir, name):
+    baseline_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        seven = _multiset(QUERIES[name](spark, sf_dir))
+        spark.conf.set("spark.sql.shuffle.partitions", "29")
+        twentynine = _multiset(QUERIES[name](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", baseline_parts)
+    assert seven == twentynine, f"{name} changed under repartitioning"
