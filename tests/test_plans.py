@@ -252,3 +252,18 @@ def test_triangles_wedge_joins_keyed(plans):
         if ("SortMergeJoin" in ln or "ShuffledHashJoin" in ln) and "[v#" in ln
     ]
     assert keyed, "wedge join is not a keyed join"
+
+
+def test_table_profile_single_scan(plans):
+    """Profiling four columns must read the table ONCE (single aggregate +
+    stack unpivot), not once per column like the UNION ALL oracle."""
+    p = plans["table_profile"]
+    assert p.count("FileScan parquet") == 1
+
+
+def test_ewma_single_window_shuffle(plans):
+    """All eight lags + row_number must evaluate inside one window
+    operator over one hashpartitioning(user_id) exchange."""
+    p = plans["ewma_trailing"]
+    assert p.count("hashpartitioning(user_id") == 1
+    assert p.count("Window") <= 2  # one Window op (+ possible header echo)
