@@ -1371,3 +1371,110 @@ def delta_schema_evolution_q(spark, sf_dir):
     )
     write_delta(evolved, t, merge_schema=True)  # v1: third column appears
     return read_delta(spark, t).orderBy("c_custkey").limit(500)
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, DATE_TRUNC('month', CAST(o_orderdate AS TIMESTAMP)) AS m
+      FROM orders),
+    withc AS (
+      SELECT o_custkey, m, MIN(m) OVER (PARTITION BY o_custkey) AS cohort_month
+      FROM o),
+    activity AS (
+      SELECT DISTINCT o_custkey, cohort_month,
+             DATEDIFF('month', cohort_month, m) AS months_since
+      FROM withc)
+    SELECT CAST(cohort_month AS DATE) AS cohort_month,
+           CAST(months_since AS BIGINT) AS months_since,
+           COUNT(*) AS active_customers
+    FROM activity GROUP BY 1, 2 ORDER BY 1, 2 LIMIT 500
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: customers bucketed by first-order month,
+    counted as active in each subsequent month — the standard
+    product-analytics retention triangle. The per-customer first month
+    comes from a window MIN over the SAME custkey partitioning the
+    dedup then reuses — one shuffle on o_custkey end-to-end before the
+    small (cohort, month) rollup; no agg-then-join-back second pass over
+    the fact table. months_since is an exact integer because both sides
+    are month-truncated."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("m")
+    )
+    w = Window.partitionBy("o_custkey")
+    activity = (
+        o.withColumn("cohort_month", F.min("m").over(w))
+        .select(
+            "o_custkey",
+            "cohort_month",
+            F.months_between("m", "cohort_month").cast("bigint").alias("months_since"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy(
+            F.col("cohort_month").cast("date").alias("cohort_month"), "months_since"
+        )
+        .agg(F.count(F.lit(1)).alias("active_customers"))
+        .orderBy("cohort_month", "months_since")
+        .limit(500)
+    )
+
+
+@query(
+    "basket_pairs",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS x, b.l_partkey AS y
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    pc AS (SELECT x, y, COUNT(*) AS support FROM pairs GROUP BY x, y),
+    single AS (SELECT l_partkey, COUNT(*) AS n_orders FROM li GROUP BY l_partkey)
+    SELECT pc.x, pc.y, pc.support,
+           (pc.support * 1000000) // sx.n_orders AS confidence_x_ppm
+    FROM pc JOIN single sx ON pc.x = sx.l_partkey
+    WHERE pc.support >= 3
+    ORDER BY pc.support DESC, pc.x, pc.y LIMIT 100
+    """,
+)
+def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: co-purchased part pairs with order-level
+    support and confidence(x→y) in integer ppm — the association-rule
+    first pass. Pairs are generated by an equi-join on l_orderkey over the
+    deduped (order, part) set (pair count is quadratic only in
+    per-order basket size, never in table size); the per-part order
+    counts join back on x. The support>=3 cut applies BEFORE that join,
+    so the rare-pair long tail never shuffles twice."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pc = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    single = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    return (
+        pc.join(single, pc.x == single.l_partkey)
+        .select(
+            "x",
+            "y",
+            "support",
+            F.expr("(support * 1000000) div n_orders").alias("confidence_x_ppm"),
+        )
+        .orderBy(F.desc("support"), "x", "y")
+        .limit(100)
+    )
