@@ -267,3 +267,20 @@ def test_ewma_single_window_shuffle(plans):
     p = plans["ewma_trailing"]
     assert p.count("hashpartitioning(user_id") == 1
     assert p.count("Window") <= 2  # one Window op (+ possible header echo)
+
+
+def test_cohort_single_fact_shuffle(plans):
+    """Cohort month must come from a window MIN on the same o_custkey
+    partitioning the activity dedup reuses — exactly one fact shuffle
+    before the small (cohort, month) rollup."""
+    p = plans["cohort_retention"]
+    assert p.count("hashpartitioning(o_custkey") == 1
+    assert "Window" in p
+
+
+def test_basket_pairs_keyed_join_no_cartesian(plans):
+    """Pair generation must be an equi-join on l_orderkey (quadratic only
+    in basket size), never a cartesian or nested-loop product."""
+    p = plans["basket_pairs"]
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
