@@ -859,3 +859,73 @@ def inverted_index(spark, sf_dir):
         .orderBy(F.desc("df"), "word")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------- E6+: domain mixture weights
+@query(
+    "source_mixture_weights",
+    oracle="""
+    WITH toks AS (
+      SELECT source, doc_id,
+             LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '')) AS n_tok
+      FROM documents),
+    per_source AS (
+      SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM toks GROUP BY source),
+    q AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS qs
+      FROM per_source)
+    SELECT source, n_docs, n_tokens,
+           (qs * 1000000) // SUM(qs) OVER () AS weight_ppm
+    FROM q ORDER BY source
+    """,
+)
+def source_mixture_weights(spark, sf_dir):
+    """Training-mixture weighting: per-source sampling weights with
+    sqrt-damping (small domains up-weighted relative to raw token share —
+    the standard mixture heuristic), in integer ppm. sqrt over a bigint
+    token count is IEEE-correctly-rounded in both engines, and the weight
+    normalization divides integer-quantized scores (floor again), so the
+    result is bit-stable — no order-dependent float summation anywhere.
+
+    Scale: token counting is a narrow map (array length, no explode);
+    one shuffle to the per-source rollup; the normalizing SUM() OVER ()
+    window runs on the post-agg rows (#sources, trivially small) — the
+    corpus itself is touched exactly once.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    per_source = (
+        d.select("source", F.size(w).alias("n_tok"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+        .withColumn(
+            "qs",
+            F.expr(
+                "CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    total = Window.partitionBy()
+    return (
+        per_source.select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("qs * 1000000").cast("bigint").alias("num"),
+            F.sum("qs").over(total).alias("den"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("num div den").alias("weight_ppm"),
+        )
+        .orderBy("source")
+    )
