@@ -341,11 +341,52 @@ def snapshot(
     return snap
 
 
+def version_at_timestamp(table_path: str, ts) -> int:
+    """Resolve ``TIMESTAMP AS OF`` to a version: the LAST commit whose
+    commitInfo timestamp is <= ``ts`` (Delta's semantics — you read the
+    table as it was at that wall-clock moment). ``ts`` is epoch
+    milliseconds (int) or a ``datetime``. Raises if ``ts`` predates the
+    first available commit (same contract as Delta Lake)."""
+    import datetime as _dt
+
+    if isinstance(ts, _dt.datetime):
+        ts = int(ts.timestamp() * 1000)
+    log_dir = os.path.join(table_path, "_delta_log")
+    versions = _list_commit_versions(log_dir)
+    if not versions:
+        raise FileNotFoundError(f"no commits in {log_dir}")
+    best: int | None = None
+    for v in versions:
+        cpath = _commit_path(log_dir, v)
+        commit_ts: int | None = None
+        with open(cpath) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "commitInfo" in action:
+                    commit_ts = action["commitInfo"].get("timestamp")
+                break  # commitInfo is always the first action we write
+        if commit_ts is None:
+            commit_ts = int(os.path.getmtime(cpath) * 1000)
+        if commit_ts <= ts:
+            best = v
+        else:
+            break
+    if best is None:
+        raise ValueError(
+            f"timestamp {ts} predates the first commit of {table_path}"
+        )
+    return best
+
+
 def read_delta(
     spark: SparkSession,
     table_path: str,
     version: int | None = None,
     skip_filters: list[tuple[str, str, object]] | None = None,
+    timestamp=None,
 ) -> DataFrame:
     """Read a Delta table as a DataFrame by direct log replay.
 
@@ -363,7 +404,14 @@ def read_delta(
     re-applies the same predicates as real row filters on the result, so
     the answer is identical to an unpruned read + ``.filter(...)``; only
     the file set the scan plans over shrinks.
+
+    ``timestamp`` — TIMESTAMP AS OF: mutually exclusive with ``version``;
+    resolved to the last commit at or before that moment.
     """
+    if timestamp is not None:
+        if version is not None:
+            raise ValueError("pass either version or timestamp, not both")
+        version = version_at_timestamp(table_path, timestamp)
     snap = snapshot(spark, table_path, version)
 
     adds = snap.adds

@@ -698,3 +698,60 @@ class TestSchemaEvolution:
         )
         assert read_delta(spark, t, version=0).columns == ["id"]
         assert read_delta(spark, t, version=1).columns == ["id", "v"]
+
+
+class TestTimestampTravel:
+    def test_timestamp_as_of(self, spark, tmp_path):
+        import time as _time
+
+        from delta_unity_duckdb_spark.sources.delta_log import (
+            read_delta,
+            version_at_timestamp,
+        )
+
+        t = str(tmp_path / "tt1")
+        write_delta(spark.range(0, 5), t)
+        _time.sleep(0.05)
+        between = int(_time.time() * 1000)
+        _time.sleep(0.05)
+        write_delta(spark.range(5, 10), t)
+        assert version_at_timestamp(t, between) == 0
+        assert _rows(read_delta(spark, t, timestamp=between), "id") == [
+            (i,) for i in range(5)
+        ]
+        after = int(_time.time() * 1000) + 1000
+        assert version_at_timestamp(t, after) == 1
+
+    def test_timestamp_before_first_commit_raises(self, spark, tmp_path):
+        from delta_unity_duckdb_spark.sources.delta_log import version_at_timestamp
+
+        t = str(tmp_path / "tt2")
+        write_delta(spark.range(3), t)
+        with pytest.raises(ValueError, match="predates"):
+            version_at_timestamp(t, 1000)  # 1970
+
+    def test_version_and_timestamp_mutually_exclusive(self, spark, tmp_path):
+        from delta_unity_duckdb_spark.sources.delta_log import read_delta
+
+        t = str(tmp_path / "tt3")
+        write_delta(spark.range(3), t)
+        with pytest.raises(ValueError, match="not both"):
+            read_delta(spark, t, version=0, timestamp=10**15)
+
+
+class TestConcurrentWriters:
+    def test_append_retries_past_foreign_commit(self, spark, tmp_path):
+        """Optimistic concurrency: if another writer claimed version N
+        between our snapshot and our commit, the O_EXCL create fails and
+        the append lands at N+1 — no data lost, no commit clobbered."""
+        import json as _json
+
+        t = str(tmp_path / "cw1")
+        write_delta(spark.range(0, 5), t)  # v0
+        # a "foreign" writer claims version 1 (commitInfo-only commit)
+        foreign = os.path.join(t, "_delta_log", f"{1:020d}.json")
+        with open(foreign, "w") as fh:
+            fh.write(_json.dumps({"commitInfo": {"timestamp": 0, "operation": "NOOP"}}) + "\n")
+        v = write_delta(spark.range(5, 10), t)
+        assert v == 2  # lost the race at 1, retried at 2
+        assert _rows(read_delta(spark, t), "id") == [(i,) for i in range(10)]
