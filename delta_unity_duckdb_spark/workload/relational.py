@@ -1478,3 +1478,27 @@ def basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("support"), "x", "y")
         .limit(100)
     )
+
+
+@query(
+    "skyline_pareto",
+    oracle="""
+    WITH pts AS (SELECT DISTINCT p_retailprice AS x, p_size AS y FROM part)
+    SELECT x, y FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.x <= p.x AND q.y <= p.y AND (q.x < p.x OR q.y < p.y))
+    ORDER BY x, y
+    """,
+)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline of parts (minimize price AND size) — the
+    multi-criteria "best tradeoffs" operator from the skyline-query
+    literature (PAPERS.md, EDBT 2023). The oracle is the quadratic
+    NOT EXISTS dominance self-join; the Spark plan is the linear
+    two-phase bucket/prefix-min shape in operators/skyline.py — no
+    self-join at any scale."""
+    from delta_unity_duckdb_spark.operators.skyline import skyline2d
+
+    p = load_table(spark, sf_dir, "part")
+    return skyline2d(p, "p_retailprice", "p_size").orderBy("x", "y")
