@@ -342,3 +342,72 @@ def ewma_trailing(spark, sf_dir):
         .orderBy("user_id", "event_id")
         .limit(500)
     )
+
+
+# ---------------------------------------------------------------- set-similarity join
+@query(
+    "user_jaccard_pairs",
+    oracle="""
+    WITH uk AS (
+      SELECT DISTINCT user_id, CAST(REGEXP_EXTRACT(props, '[0-9]+') AS BIGINT) AS k
+      FROM events WHERE props IS NOT NULL),
+    sizes AS (SELECT user_id, COUNT(*) AS n FROM uk GROUP BY user_id),
+    inter AS (
+      SELECT a.user_id AS u1, b.user_id AS u2, COUNT(*) AS both_n
+      FROM uk a JOIN uk b ON a.k = b.k AND a.user_id < b.user_id
+      GROUP BY 1, 2)
+    SELECT u1, u2, both_n,
+           (both_n * 1000000) // (s1.n + s2.n - both_n) AS jaccard_ppm
+    FROM inter JOIN sizes s1 ON u1 = s1.user_id JOIN sizes s2 ON u2 = s2.user_id
+    ORDER BY jaccard_ppm DESC, u1, u2 LIMIT 50
+    """,
+)
+def user_jaccard_pairs(spark, sf_dir):
+    """Set-similarity join: top user pairs by Jaccard overlap of their
+    event-property sets (behavioral cohort discovery; same shape as the
+    top-k similarity-search literature in PAPERS.md). The scalable move is
+    the CO-OCCURRENCE join: pairs are generated only through shared set
+    elements (equi-join on k), so zero-overlap pairs — the overwhelming
+    majority at scale — are never materialized; a cross join of users
+    never exists. Intersection counts aggregate per pair, sizes join back,
+    and Jaccard lands as integer ppm (floor) for cross-engine exactness.
+    Heavy-hitter elements (a k shared by millions of users) would be
+    pre-split by the salting operators in operators/skew.py.
+    """
+    e = load_table(spark, sf_dir, "events")
+    uk = (
+        e.filter(F.col("props").isNotNull())
+        .select(
+            "user_id",
+            F.regexp_extract("props", "[0-9]+", 0).cast("bigint").alias("k"),
+        )
+        .distinct()
+    )
+    sizes = uk.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = uk.alias("a"), uk.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("u1"), F.col("b.user_id").alias("u2"))
+        .groupBy("u1", "u2")
+        .agg(F.count(F.lit(1)).alias("both_n"))
+    )
+    s1 = sizes.select(F.col("user_id").alias("u1"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("user_id").alias("u2"), F.col("n").alias("n2"))
+    # sizes is |users|-cardinality — no forced broadcast; AQE broadcasts
+    # when it fits, shuffles on the pair keys otherwise.
+    return (
+        inter.join(s1, "u1")
+        .join(s2, "u2")
+        .select(
+            "u1",
+            "u2",
+            "both_n",
+            F.expr("(both_n * 1000000) div (n1 + n2 - both_n)").alias("jaccard_ppm"),
+        )
+        .orderBy(F.desc("jaccard_ppm"), "u1", "u2")
+        .limit(50)
+    )
