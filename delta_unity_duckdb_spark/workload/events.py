@@ -411,3 +411,83 @@ def user_jaccard_pairs(spark, sf_dir):
         .orderBy(F.desc("jaccard_ppm"), "u1", "u2")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------- distribution drift
+@query(
+    "distribution_drift",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-11' THEN 0 ELSE 1 END AS half,
+             LEAST(CAST(FLOOR(value / 5) AS BIGINT), 19) AS bucket
+      FROM events),
+    counts AS (
+      SELECT event_type, bucket,
+             COUNT(CASE WHEN half = 0 THEN 1 END) AS n_ref,
+             COUNT(CASE WHEN half = 1 THEN 1 END) AS n_cur
+      FROM b GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, bucket,
+             SUM(n_ref) OVER w AS cref, SUM(n_cur) OVER w AS ccur,
+             SUM(n_ref) OVER t AS tref, SUM(n_cur) OVER t AS tcur
+      FROM counts
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket),
+             t AS (PARTITION BY event_type))
+    SELECT event_type, MAX(tref) AS n_ref, MAX(tcur) AS n_cur,
+           MAX(ABS((cref * 1000000) // tref - (ccur * 1000000) // tcur)) AS ks_ppm
+    FROM cum GROUP BY event_type ORDER BY event_type
+    """,
+)
+def distribution_drift(spark, sf_dir):
+    """Distribution-drift detection (Kolmogorov–Smirnov statistic on a
+    fixed bucket grid): per event type, the max gap between the empirical
+    CDFs of ``value`` in a reference window (first 10 days) and the
+    current window — the monitor a pipeline runs before trusting a new
+    data drop against its training distribution. CDFs are integer-ppm
+    ratios of cumulative bucket counts (floor), so the statistic is exact
+    and engine-portable; the bucket grid is fixed (20 × width-5), so no
+    data-dependent quantile step.
+
+    Scale: one conditional-count aggregation collapses the raw events to
+    (#types × 20) rows — everything after (cumulative windows, the max)
+    runs on that tiny frame. The fact table is touched once, shuffled
+    once.
+    """
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        "event_type",
+        F.when(F.col("ts") < F.lit("2024-01-11").cast("timestamp"), 0)
+        .otherwise(1)
+        .alias("half"),
+        F.least(F.floor(F.col("value") / 5).cast("bigint"), F.lit(19)).alias(
+            "bucket"
+        ),
+    )
+    counts = b.groupBy("event_type", "bucket").agg(
+        F.count(F.when(F.col("half") == 0, 1)).alias("n_ref"),
+        F.count(F.when(F.col("half") == 1, 1)).alias("n_cur"),
+    )
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    t = Window.partitionBy("event_type")
+    cum = counts.select(
+        "event_type",
+        F.sum("n_ref").over(w).alias("cref"),
+        F.sum("n_cur").over(w).alias("ccur"),
+        F.sum("n_ref").over(t).alias("tref"),
+        F.sum("n_cur").over(t).alias("tcur"),
+    )
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("tref").alias("n_ref"),
+            F.max("tcur").alias("n_cur"),
+            F.max(
+                F.abs(
+                    F.expr("(cref * 1000000) div tref")
+                    - F.expr("(ccur * 1000000) div tcur")
+                )
+            ).alias("ks_ppm"),
+        )
+        .orderBy("event_type")
+    )
