@@ -47,6 +47,11 @@ HEADLINE = [
     "inverted_index",
     "ewma_trailing",
     "table_profile",
+    "cohort_retention",
+    "basket_pairs",
+    "skyline_pareto",
+    "user_jaccard_pairs",
+    "distribution_drift",
 ]
 
 
