@@ -207,3 +207,84 @@ def test_generated_join_query_matches_duckdb(
     assert df_multiset(spark_rows, sdf.columns) == df_multiset(duck_rows, duck_cols), (
         f"divergence for: {sql}"
     )
+
+
+# ---- window-function shapes ----------------------------------------------
+# Each spec: (alias, spark_window_col_fn(Window), sql_over_text_fn(pk_sql)).
+# Ordering inside every frame is by the UNIQUE o_orderkey (nondeterministic
+# row_number/lag over tied orders would be a test bug, not an engine bug);
+# rank exercises ties deliberately — its VALUES are deterministic under ties.
+
+PARTITION_KEYS = [
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_orderpriority", "o_orderpriority"),
+    ("o_custkey % 5", "o_custkey % 5"),
+]
+
+
+def _win_specs():
+    from pyspark.sql import Window
+
+    def w(pk_col):
+        return Window.partitionBy(F.expr(pk_col)).orderBy("o_orderkey")
+
+    return [
+        ("rn", lambda pk: F.row_number().over(w(pk)),
+         lambda pk: f"ROW_NUMBER() OVER (PARTITION BY {pk} ORDER BY o_orderkey) AS rn"),
+        ("lag_key", lambda pk: F.lag("o_orderkey", 1).over(w(pk)),
+         lambda pk: f"LAG(o_orderkey, 1) OVER (PARTITION BY {pk} ORDER BY o_orderkey) AS lag_key"),
+        ("lead_key", lambda pk: F.lead("o_orderkey", 1).over(w(pk)),
+         lambda pk: f"LEAD(o_orderkey, 1) OVER (PARTITION BY {pk} ORDER BY o_orderkey) AS lead_key"),
+        ("cum_n", lambda pk: F.count(F.lit(1)).over(
+            w(pk).rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+         lambda pk: f"COUNT(*) OVER (PARTITION BY {pk} ORDER BY o_orderkey "
+                    f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n"),
+        ("csum_price", lambda pk: F.sum(dec("o_totalprice")).over(
+            w(pk).rowsBetween(-2, Window.currentRow)).cast("decimal(38,6)"),
+         lambda pk: f"CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER "
+                    f"(PARTITION BY {pk} ORDER BY o_orderkey "
+                    f"ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS csum_price"),
+        ("price_rank", lambda pk: F.rank().over(
+            Window.partitionBy(F.expr(pk)).orderBy("o_totalprice")),
+         lambda pk: f"RANK() OVER (PARTITION BY {pk} ORDER BY o_totalprice) AS price_rank"),
+    ]
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    pk_idx=st.integers(0, len(PARTITION_KEYS) - 1),
+    fn_idx=st.lists(st.integers(0, 5), min_size=1, max_size=3, unique=True),
+    pred_idx=st.lists(
+        st.integers(0, len(PREDICATES) - 1), min_size=0, max_size=2, unique=True
+    ),
+)
+def test_generated_window_query_matches_duckdb(spark, duck, pk_idx, fn_idx, pred_idx):
+    pk_spark, pk_sql = PARTITION_KEYS[pk_idx]
+    specs = _win_specs()
+    fns = [specs[i] for i in sorted(fn_idx)]
+    preds = [PREDICATES[i] for i in sorted(pred_idx)]
+
+    df = load_table(spark, SF_DIR, "orders")
+    for _, col_fn, _s in preds:
+        df = df.filter(col_fn())
+    sdf = df.select(
+        "o_orderkey", *[f[1](pk_spark).alias(f[0]) for f in fns]
+    )
+
+    where = " AND ".join(p[2] for p in preds) or "TRUE"
+    select = ", ".join(["o_orderkey"] + [f[2](pk_sql) for f in fns])
+    sql = f"SELECT {select} FROM orders WHERE {where}"
+
+    res = duck.execute(sql)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    spark_rows = [tuple(r) for r in sdf.collect()]
+
+    assert sorted(sdf.columns) == sorted(duck_cols)
+    assert df_multiset(spark_rows, sdf.columns) == df_multiset(duck_rows, duck_cols), (
+        f"divergence for: {sql}"
+    )
