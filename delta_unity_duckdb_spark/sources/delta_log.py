@@ -643,6 +643,12 @@ def write_delta(
             evolved_metadata = dict(prev.metadata or {})
             evolved_metadata["schemaString"] = _schema_to_string(merged)
 
+    # CHECK constraints (delta.constraints.*) gate every write — violating
+    # rows fail the commit before any data is staged. Overwrites are
+    # checked too: the constraint describes the table, not the delta.
+    if prev is not None:
+        _enforce_constraints(df, _check_constraints(prev.metadata))
+
     adds = _stage_files(df, table_path, partition_by)
 
     actions: list[dict] = [
@@ -658,15 +664,19 @@ def write_delta(
     if latest is None:
         actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
     if latest is None or mode == "overwrite":
+        # Overwrite replaces schema + data but NOT table identity or
+        # configuration (constraints survive an INSERT OVERWRITE).
+        prev_meta = (prev.metadata or {}) if prev is not None else {}
         actions.append(
             {
                 "metaData": {
-                    "id": str(uuid.uuid4()),
+                    "id": prev_meta.get("id") or str(uuid.uuid4()),
                     "format": {"provider": "parquet", "options": {}},
                     "schemaString": _schema_to_string(df.schema),
                     "partitionColumns": partition_by,
-                    "configuration": {},
-                    "createdTime": int(time.time() * 1000),
+                    "configuration": dict(prev_meta.get("configuration") or {}),
+                    "createdTime": prev_meta.get("createdTime")
+                    or int(time.time() * 1000),
                 }
             }
         )
@@ -1475,3 +1485,103 @@ def restore_delta(
         "files_added": len(to_add),
         "files_removed": len(to_remove),
     }
+
+def _check_constraints(metadata: dict | None) -> dict[str, str]:
+    """CHECK constraints from table configuration (``delta.constraints.<name>``)."""
+    if not metadata:
+        return {}
+    cfg = metadata.get("configuration") or {}
+    prefix = "delta.constraints."
+    return {k[len(prefix):]: v for k, v in cfg.items() if k.startswith(prefix)}
+
+
+def _enforce_constraints(df: DataFrame, constraints: dict[str, str]) -> None:
+    """Raise if any row violates a CHECK constraint. SQL CHECK semantics:
+    a row violates only when the expression is FALSE — NULL passes."""
+    for name, expr in constraints.items():
+        bad = df.filter(~F.expr(expr)).limit(1).count()
+        if bad:
+            raise ValueError(
+                f"CHECK constraint {name!r} ({expr}) violated by incoming data"
+            )
+
+
+def add_check_constraint(
+    spark: SparkSession, table_path: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ... ADD CONSTRAINT name CHECK (expr) as a metadata-only
+    commit (Delta's table-constraint feature, stored as
+    ``delta.constraints.<name>`` in the table configuration; writing a
+    constrained table requires writer version 3, which this commit
+    declares). Existing rows are validated FIRST — the constraint is
+    rejected if current data violates it, exactly like Delta."""
+    snap = snapshot(spark, table_path)
+    existing = _check_constraints(snap.metadata)
+    if name in existing:
+        raise ValueError(f"constraint {name!r} already exists")
+    _enforce_constraints(read_delta(spark, table_path), {name: expr})
+
+    meta = dict(snap.metadata or {})
+    cfg = dict(meta.get("configuration") or {})
+    cfg[f"delta.constraints.{name}"] = expr
+    meta["configuration"] = cfg
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "ADD CONSTRAINT",
+                "operationParameters": {"name": name, "expr": expr},
+                "engineInfo": "delta_unity_duckdb_spark minimal-writer",
+            }
+        },
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 3}},
+        {"metaData": meta},
+    ]
+    log_dir = os.path.join(table_path, "_delta_log")
+    payload = "\n".join(json.dumps(a, separators=(",", ":")) for a in actions) + "\n"
+    cpath = _commit_path(log_dir, snap.version + 1)
+    try:
+        fd = os.open(cpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise DeltaProtocolError(
+            f"concurrent commit at version {snap.version + 1}"
+        ) from None
+    with os.fdopen(fd, "w") as fh:
+        fh.write(payload)
+    return snap.version + 1
+
+
+def drop_check_constraint(
+    spark: SparkSession, table_path: str, name: str
+) -> int:
+    """ALTER TABLE ... DROP CONSTRAINT name (metadata-only commit)."""
+    snap = snapshot(spark, table_path)
+    if name not in _check_constraints(snap.metadata):
+        raise ValueError(f"no such constraint: {name!r}")
+    meta = dict(snap.metadata or {})
+    cfg = dict(meta.get("configuration") or {})
+    del cfg[f"delta.constraints.{name}"]
+    meta["configuration"] = cfg
+    actions = [
+        {
+            "commitInfo": {
+                "timestamp": int(time.time() * 1000),
+                "operation": "DROP CONSTRAINT",
+                "operationParameters": {"name": name},
+                "engineInfo": "delta_unity_duckdb_spark minimal-writer",
+            }
+        },
+        {"metaData": meta},
+    ]
+    log_dir = os.path.join(table_path, "_delta_log")
+    payload = "\n".join(json.dumps(a, separators=(",", ":")) for a in actions) + "\n"
+    cpath = _commit_path(log_dir, snap.version + 1)
+    try:
+        fd = os.open(cpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    except FileExistsError:
+        raise DeltaProtocolError(
+            f"concurrent commit at version {snap.version + 1}"
+        ) from None
+    with os.fdopen(fd, "w") as fh:
+        fh.write(payload)
+    return snap.version + 1

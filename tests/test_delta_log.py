@@ -755,3 +755,88 @@ class TestConcurrentWriters:
         v = write_delta(spark.range(5, 10), t)
         assert v == 2  # lost the race at 1, retried at 2
         assert _rows(read_delta(spark, t), "id") == [(i,) for i in range(10)]
+
+
+class TestCheckConstraints:
+    def test_add_enforce_violate(self, spark, tmp_path):
+        from delta_unity_duckdb_spark.sources.delta_log import add_check_constraint
+
+        t = str(tmp_path / "cc1")
+        write_delta(spark.range(1, 10).withColumn("v", F.col("id") * 2), t)
+        add_check_constraint(spark, t, "v_positive", "v > 0")
+        # conforming append passes
+        write_delta(spark.range(10, 12).withColumn("v", F.col("id") * 2), t)
+        # violating append fails before any commit
+        before = table_version(t)
+        with pytest.raises(ValueError, match="v_positive"):
+            write_delta(
+                spark.range(1).select(F.col("id"), F.lit(-5).alias("v")), t
+            )
+        assert table_version(t) == before  # nothing committed
+
+    def test_add_rejected_when_existing_data_violates(self, spark, tmp_path):
+        from delta_unity_duckdb_spark.sources.delta_log import add_check_constraint
+
+        t = str(tmp_path / "cc2")
+        write_delta(spark.range(5).withColumn("v", F.col("id") - 3), t)  # has negatives
+        with pytest.raises(ValueError, match="violated"):
+            add_check_constraint(spark, t, "v_nonneg", "v >= 0")
+
+    def test_null_passes_check(self, spark, tmp_path):
+        """SQL CHECK semantics: NULL is not a violation."""
+        from delta_unity_duckdb_spark.sources.delta_log import add_check_constraint
+
+        t = str(tmp_path / "cc3")
+        write_delta(spark.range(3).withColumn("v", F.col("id") + 1), t)
+        add_check_constraint(spark, t, "v_pos", "v > 0")
+        write_delta(
+            spark.range(1).select(
+                F.col("id"), F.lit(None).cast("bigint").alias("v")
+            ),
+            t,
+        )  # NULL v: allowed
+
+    def test_constraint_survives_overwrite(self, spark, tmp_path):
+        from delta_unity_duckdb_spark.sources.delta_log import add_check_constraint
+
+        t = str(tmp_path / "cc4")
+        write_delta(spark.range(1, 5).withColumn("v", F.col("id")), t)
+        add_check_constraint(spark, t, "v_pos", "v > 0")
+        write_delta(
+            spark.range(20, 25).withColumn("v", F.col("id")), t, mode="overwrite"
+        )
+        with pytest.raises(ValueError, match="v_pos"):
+            write_delta(
+                spark.range(1).select(F.col("id"), F.lit(0).alias("v")), t
+            )
+
+    def test_drop_constraint(self, spark, tmp_path):
+        from delta_unity_duckdb_spark.sources.delta_log import (
+            add_check_constraint,
+            drop_check_constraint,
+        )
+
+        t = str(tmp_path / "cc5")
+        write_delta(spark.range(1, 5).withColumn("v", F.col("id")), t)
+        add_check_constraint(spark, t, "v_pos", "v > 0")
+        drop_check_constraint(spark, t, "v_pos")
+        write_delta(spark.range(1).select(F.col("id"), F.lit(-1).alias("v")), t)
+        assert table_version(t) == 3
+        with pytest.raises(ValueError, match="no such"):
+            drop_check_constraint(spark, t, "v_pos")
+
+    def test_writer_version_bumped(self, spark, tmp_path):
+        import json as _json
+
+        from delta_unity_duckdb_spark.sources.delta_log import add_check_constraint
+
+        t = str(tmp_path / "cc6")
+        write_delta(spark.range(3).withColumn("v", F.col("id")), t)
+        v = add_check_constraint(spark, t, "v_ok", "v >= 0")
+        with open(os.path.join(t, "_delta_log", f"{v:020d}.json")) as fh:
+            protocols = [
+                _json.loads(ln)["protocol"]
+                for ln in fh
+                if "protocol" in _json.loads(ln)
+            ]
+        assert protocols and protocols[0]["minWriterVersion"] == 3
