@@ -35,6 +35,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--format", choices=("table", "json"), default="table")
     p.add_argument("--schema", action="store_true", help="print schema and exit")
     p.add_argument("--count", action="store_true", help="print row count and exit")
+    p.add_argument(
+        "--explain",
+        action="store_true",
+        help="print the formatted physical plan instead of executing "
+        "(inspect pushdown/pruning/join strategy before paying for the run)",
+    )
     p.add_argument("--sf-dir", default=None, help="fixture directory")
     return p
 
@@ -68,6 +74,9 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     df = sc.query(args.table, args.query, limit=args.limit)
+    if args.explain:
+        df.explain("formatted")
+        return 0
     if args.format == "json":
         print(sc.to_json(df))
     else:

@@ -114,3 +114,22 @@ def test_bad_sql_raises(spark, sf_dir):
     sc = Scanner(spark, sf_dir)
     with pytest.raises(Exception):
         sc.query("region", "SELEC broken")
+
+
+def test_cli_explain_prints_plan(spark, sf_dir, capsys):
+    from delta_unity_duckdb_spark import cli
+
+    rc = cli.main(
+        [
+            "--table", "lineitem",
+            "--query",
+            "SELECT l_returnflag, COUNT(*) AS n FROM $TABLE GROUP BY 1",
+            "--explain",
+            "--sf-dir", sf_dir,
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
+    assert "HashAggregate" in out
+    assert "Scan parquet" in out or "FileScan" in out
