@@ -491,3 +491,43 @@ def distribution_drift(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------- equi-depth histogram
+@query(
+    "equi_depth_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT event_type, value,
+             NTILE(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
+      FROM events)
+    SELECT event_type, decile, COUNT(*) AS n,
+           MIN(value) AS lo, MAX(value) AS hi
+    FROM t GROUP BY 1, 2 ORDER BY event_type, decile
+    """,
+)
+def equi_depth_histogram(spark, sf_dir):
+    """Equi-depth (quantile-bucketed) histogram per event type — the
+    feature-binning / CBO-statistics companion to the fixed-grid
+    `histogram_bins`: every decile holds the same row count and the
+    boundaries adapt to the data. NTILE is made deterministic by the
+    unique (value, event_id) tie-break; bucket boundaries are raw column
+    values (no arithmetic), so both engines emit identical doubles.
+
+    Scale: one window shuffle on event_type; the decile groupBy reuses
+    that partitioning (event_type is a prefix of its key), so the fact
+    table moves once. The output is #types × 10 rows regardless of input
+    size.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        e.select("event_type", "value", F.ntile(10).over(w).alias("decile"))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .orderBy("event_type", "decile")
+    )
