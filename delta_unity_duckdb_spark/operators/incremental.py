@@ -1,0 +1,125 @@
+"""Incremental materialized-aggregate maintenance over the minimal Delta log.
+
+The reference re-reads the WHOLE source table on every sync
+(delta_to_postgres_scd.py:51-105). The scalable fix is incremental view
+maintenance: keep a grouped aggregate materialized, and on refresh apply
+only the commits that arrived since the last sync
+(``read_delta_changes`` — the append-only CDC reader), so refresh cost is
+proportional to the NEW data, not the 100 TB already aggregated.
+
+Crash safety: the synced-to version rides INSIDE the state table as a
+sentinel row, so state data and bookkeeping commit in ONE atomic Delta
+overwrite — a crash between computing and committing simply re-runs the
+same commit range next time (the overwrite is idempotent for a given
+range). SUM state is exact DECIMAL: increments are associative and
+partition-order-independent, so the incremental total equals a full
+recompute bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from delta_unity_duckdb_spark.functions.numeric import dec
+from delta_unity_duckdb_spark.sources.delta_log import (
+    read_delta,
+    read_delta_changes,
+    table_version,
+    write_delta,
+)
+
+_SUM_TYPE = "decimal(38,6)"
+
+
+def refresh_incremental_agg(
+    spark: SparkSession,
+    table_path: str,
+    state_path: str,
+    keys: list[str],
+    sum_col: str,
+) -> dict:
+    """Bring the materialized ``GROUP BY keys → SUM(sum_col), COUNT(*)``
+    state up to the source table's current version by aggregating only
+    the unseen commit range. Returns refresh bookkeeping."""
+    import os
+
+    have_state = os.path.isdir(os.path.join(state_path, "_delta_log"))
+    if have_state:
+        state = read_delta(spark, state_path)
+        sentinel = state.filter(F.col("is_sentinel")).select("synced_version").first()
+        last = sentinel["synced_version"]
+        data = state.filter(~F.col("is_sentinel"))
+    else:
+        last = -1
+        data = None
+
+    now = table_version(table_path)
+    if now <= last:
+        return {"synced_version": last, "commits_applied": 0, "refreshed": False}
+
+    if last < 0:
+        # first sync: the "change set" is the whole snapshot at `now`
+        changes = read_delta(spark, table_path, version=now)
+    else:
+        changes = read_delta_changes(spark, table_path, last, now)
+    partial = changes.groupBy(*keys).agg(
+        F.sum(dec(sum_col)).cast(_SUM_TYPE).alias("d_sum"),
+        F.count(F.lit(1)).alias("d_n"),
+    )
+
+    if data is not None:
+        merged = (
+            data.select(*keys, "sum_value", "n")
+            .join(partial, on=keys, how="full_outer")
+            .select(
+                *keys,
+                (
+                    F.coalesce(F.col("sum_value"), F.lit(0).cast(_SUM_TYPE))
+                    + F.coalesce(F.col("d_sum"), F.lit(0).cast(_SUM_TYPE))
+                )
+                .cast(_SUM_TYPE)
+                .alias("sum_value"),
+                (
+                    F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("d_n"), F.lit(0))
+                ).alias("n"),
+            )
+        )
+    else:
+        merged = partial.select(
+            *keys,
+            F.col("d_sum").cast(_SUM_TYPE).alias("sum_value"),
+            F.col("d_n").alias("n"),
+        )
+
+    rows = merged.select(
+        *keys,
+        "sum_value",
+        "n",
+        F.lit(False).alias("is_sentinel"),
+        F.lit(None).cast("bigint").alias("synced_version"),
+    )
+    sentinel_row = spark.range(1).select(
+        *[F.lit(None).cast(rows.schema[k].dataType).alias(k) for k in keys],
+        F.lit(None).cast(_SUM_TYPE).alias("sum_value"),
+        F.lit(None).cast("bigint").alias("n"),
+        F.lit(True).alias("is_sentinel"),
+        F.lit(now).cast("bigint").alias("synced_version"),
+    )
+    write_delta(rows.unionByName(sentinel_row), state_path, mode="overwrite")
+    return {
+        "synced_version": now,
+        "commits_applied": now - last,
+        "refreshed": True,
+    }
+
+
+def read_materialized_agg(
+    spark: SparkSession, state_path: str, keys: list[str]
+) -> DataFrame:
+    """The materialized aggregate, sentinel bookkeeping row excluded."""
+    return (
+        read_delta(spark, state_path)
+        .filter(~F.col("is_sentinel"))
+        .select(*keys, "sum_value", "n")
+    )

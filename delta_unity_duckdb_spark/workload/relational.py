@@ -1502,3 +1502,45 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = load_table(spark, sf_dir, "part")
     return skyline2d(p, "p_retailprice", "p_size").orderBy("x", "y")
+
+
+@query(
+    "incremental_agg_refresh",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_value,
+           COUNT(*) AS n
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def incremental_agg_refresh(spark, sf_dir):
+    """Incremental materialized-view maintenance: customer lands in a
+    Delta table across THREE separate commits; after each, the
+    materialized per-segment SUM/COUNT is refreshed by aggregating ONLY
+    that commit's rows (append-only CDC) and merging into the exact-
+    DECIMAL state. The returned final state must equal a from-scratch
+    aggregate over the full table — which is exactly the oracle. Refresh
+    cost is proportional to the new commit, not the table
+    (operators/incremental.py); the reference re-read everything every
+    sync (delta_to_postgres_scd.py:51-105)."""
+    import tempfile
+
+    from delta_unity_duckdb_spark.operators.incremental import (
+        read_materialized_agg,
+        refresh_incremental_agg,
+    )
+    from delta_unity_duckdb_spark.sources.delta_log import write_delta
+    from delta_unity_duckdb_spark.sources.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    src = tempfile.mkdtemp(prefix="inc_src_")
+    state = tempfile.mkdtemp(prefix="inc_state_")
+    for part in range(3):
+        write_delta(cust.filter(F.col("c_custkey") % 3 == part), src)
+        refresh_incremental_agg(
+            spark, src, state, keys=["c_mktsegment"], sum_col="c_acctbal"
+        )
+    return (
+        read_materialized_agg(spark, state, ["c_mktsegment"])
+        .orderBy("c_mktsegment")
+    )
