@@ -929,3 +929,56 @@ def source_mixture_weights(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------- E6+: dataset split assignment
+@query(
+    "dataset_split_assign",
+    oracle="""
+    WITH assigned AS (
+      SELECT doc_id,
+             LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '')) AS n_tok,
+             CASE WHEN ((doc_id * 2654435761) % 4294967296) % 10 < 8 THEN 'train'
+                  WHEN ((doc_id * 2654435761) % 4294967296) % 10 = 8 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           (COUNT(*) * 1000000) // (SELECT COUNT(*) FROM documents) AS share_ppm
+    FROM assigned GROUP BY split ORDER BY split
+    """,
+)
+def dataset_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split assignment (80/10/10): each doc
+    routes by a Knuth multiplicative hash of its id — pure int64
+    arithmetic (``(id * 2654435761) mod 2^32 mod 10``), so the SAME doc
+    lands in the SAME split on any engine, any partitioning, any rerun;
+    no RNG state, no sampling drift between pipeline stages. Reported
+    per split: doc/token counts and the realized share (ppm).
+
+    Scale: assignment is a stateless row-local expression (fuses into the
+    scan); the rollup shuffles 3 groups. The scalar total joins back as a
+    1-row broadcast.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 10
+    assigned = d.select(
+        F.size(w).alias("n_tok"),
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test").alias("split"),
+    )
+    total = d.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "split",
+            "n_docs",
+            "n_tokens",
+            F.expr("(n_docs * 1000000) div total").alias("share_ppm"),
+        )
+        .orderBy("split")
+    )
