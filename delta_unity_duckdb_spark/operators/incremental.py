@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from delta_unity_duckdb_spark.functions.numeric import dec
 from delta_unity_duckdb_spark.sources.delta_log import (
+    DeltaProtocolError,
     read_delta,
     read_delta_changes,
     table_version,
@@ -58,11 +59,21 @@ def refresh_incremental_agg(
     if now <= last:
         return {"synced_version": last, "commits_applied": 0, "refreshed": False}
 
+    rebuilt = False
     if last < 0:
         # first sync: the "change set" is the whole snapshot at `now`
         changes = read_delta(spark, table_path, version=now)
     else:
-        changes = read_delta_changes(spark, table_path, last, now)
+        try:
+            changes = read_delta_changes(spark, table_path, last, now)
+        except DeltaProtocolError:
+            # A non-append commit (overwrite / restore / compaction)
+            # invalidates incremental state — same contract as Delta CDF
+            # without the CDF flag. Fall back to a full rebuild from the
+            # current snapshot; incremental resumes from there.
+            changes = read_delta(spark, table_path, version=now)
+            data = None
+            rebuilt = True
     partial = changes.groupBy(*keys).agg(
         F.sum(dec(sum_col)).cast(_SUM_TYPE).alias("d_sum"),
         F.count(F.lit(1)).alias("d_n"),
@@ -111,6 +122,7 @@ def refresh_incremental_agg(
         "synced_version": now,
         "commits_applied": now - last,
         "refreshed": True,
+        "rebuilt": rebuilt,
     }
 
 

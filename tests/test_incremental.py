@@ -77,3 +77,26 @@ def test_multi_commit_catchup_in_one_refresh(spark, tmp_path):
     from delta_unity_duckdb_spark.sources.delta_log import read_delta
 
     assert _state(spark, state, ["k"]) == _full(read_delta(spark, src), ["k"], "v")
+
+
+def test_non_append_commit_triggers_full_rebuild(spark, tmp_path):
+    """An overwrite between refreshes invalidates incremental state; the
+    refresh must detect it (CDC raises on removes) and rebuild from the
+    current snapshot instead of silently double-counting."""
+    src, state = str(tmp_path / "src4"), str(tmp_path / "state4")
+    df = spark.range(40).select(
+        (F.col("id") % 2).cast("string").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    write_delta(df, src)
+    refresh_incremental_agg(spark, src, state, ["k"], "v")
+
+    replacement = spark.range(100, 120).select(
+        (F.col("id") % 2).cast("string").alias("k"), F.col("id").cast("double").alias("v")
+    )
+    write_delta(replacement, src, mode="overwrite")
+    r = refresh_incremental_agg(spark, src, state, ["k"], "v")
+    assert r["refreshed"] and r["rebuilt"]
+
+    from delta_unity_duckdb_spark.sources.delta_log import read_delta
+
+    assert _state(spark, state, ["k"]) == _full(read_delta(spark, src), ["k"], "v")
