@@ -1544,3 +1544,50 @@ def incremental_agg_refresh(spark, sf_dir):
         read_materialized_agg(spark, state, ["c_mktsegment"])
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "winsorized_stats",
+    oracle="""
+    WITH bounds AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS lo,
+             quantile_cont(l_extendedprice, 0.95) AS hi
+      FROM lineitem GROUP BY l_returnflag),
+    clipped AS (
+      SELECT l.l_returnflag,
+             LEAST(GREATEST(l.l_extendedprice, b.lo), b.hi) AS cv
+      FROM lineitem l JOIN bounds b USING (l_returnflag))
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(cv AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS winsorized_sum,
+           ROUND(MIN(cv), 4) AS clip_lo, ROUND(MAX(cv), 4) AS clip_hi
+    FROM clipped GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized aggregation — the outlier-robust cleaning step: clip
+    each value to its group's [p05, p95] band, then aggregate the clipped
+    column in exact DECIMAL. Percentile bounds are a tiny per-group frame
+    (one row per returnflag) that BROADCASTS back onto the fact scan, so
+    the clip is a map-side expression — the fact table shuffles once for
+    the bounds aggregate and once for the final rollup, never for the
+    join. Both engines use PERCENTILE_CONT linear interpolation on
+    identical doubles."""
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("hi"),
+    )
+    cv = F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
+    return (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .select("l_returnflag", cv.alias("cv"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("cv")).cast("decimal(38,6)").alias("winsorized_sum"),
+            F.round(F.min("cv"), 4).alias("clip_lo"),
+            F.round(F.max("cv"), 4).alias("clip_hi"),
+        )
+        .orderBy("l_returnflag")
+    )
