@@ -23,6 +23,11 @@ CHECKED = [
     "contamination_check",   # broadcast probe + ppm division
     "inverted_index",        # ranked collect posting lists
     "tfidf_top_terms",       # two-level agg on one key
+    "distribution_drift",    # cumulative bucket CDFs
+    "equi_depth_histogram",  # NTILE with unique tie-break
+    "winsorized_stats",      # percentile bounds + clipped DECIMAL sum
+    "dataset_split_assign",  # hash routing must not depend on layout
+    "source_mixture_weights",  # sqrt-quantized normalization
 ]
 
 
