@@ -24,6 +24,111 @@ from pyspark.sql import functions as F
 _MERSENNE_P = (1 << 61) - 1
 
 
+def minhash_perms(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    """The (a, b) universal-hash coefficients — exposed so the DuckDB
+    oracle SQL embeds the SAME constants the Spark operator uses."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, 1 << 31), rng.randrange(0, 1 << 31))
+        for _ in range(num_perm)
+    ]
+
+
+def shingles_sql(table: str, id_expr: str, text_expr: str, n: int) -> str:
+    """DuckDB twin of ``_shingles`` + ``array_distinct``: word n-grams of
+    the whitespace-split lowercased text (same split regex, same joiner,
+    no empty-word filtering — byte-identical shingle strings)."""
+    return f"""
+    SELECT {id_expr} AS id,
+           list_distinct(list_transform(
+               range(1, len(words) - {n} + 2),
+               i -> array_to_string(list_slice(words, i, i + {n - 1}), ' '))) AS shingles
+    FROM (SELECT {id_expr}, string_split_regex(lower({text_expr}), '\\s+') AS words
+          FROM {table})
+    """
+
+
+def minhash_pairs_sql(
+    table: str = "documents",
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> str:
+    """DuckDB oracle producing the IDENTICAL candidate pairs as
+    ``minhash_near_dups`` (same shingles, same portable md5 hash, same
+    universal-hash constants, same banding) — select from it with
+    ORDER BY/LIMIT to mirror a workload query."""
+    from delta_unity_duckdb_spark.functions.hashing import hash31_sql
+
+    rpb = num_perm // bands
+    perms = minhash_perms(num_perm, seed)
+    min_exprs = ",\n             ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {_MERSENNE_P}))"
+        for a, b in perms
+    )
+    return f"""
+    WITH sh AS ({shingles_sql(table, id_expr, text_expr, shingle_n)}),
+    hs AS (
+      SELECT id, list_transform(shingles, s -> {hash31_sql('s')}) AS hs
+      FROM sh WHERE len(shingles) > 0),
+    sig AS (
+      SELECT id, [{min_exprs}] AS mh
+      FROM hs),
+    banded AS (
+      SELECT id, band,
+             array_to_string(list_slice(mh, band * {rpb} + 1, (band + 1) * {rpb}), ',') AS sigstr
+      FROM sig CROSS JOIN (SELECT UNNEST(range({bands})) AS band) b)
+    SELECT DISTINCT x.id AS id_a, y.id AS id_b
+    FROM banded x JOIN banded y
+      ON x.band = y.band AND x.sigstr = y.sigstr AND x.id < y.id
+    """
+
+
+def simhash_pairs_sql(
+    table: str = "documents",
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    bands: int = 4,
+    shingle_n: int = 2,
+) -> str:
+    """DuckDB oracle twin of ``simhash_near_dups``: per-shingle md5 hash
+    split into (hi, lo) 32-bit words, per-bit majority vote, 16-bit band
+    chunks, banded equality join."""
+    from delta_unity_duckdb_spark.functions.hashing import hash32_words_sql
+
+    bits = 64 // bands
+    hi, lo = hash32_words_sql("s")
+    return f"""
+    WITH sh AS ({shingles_sql(table, id_expr, text_expr, shingle_n)}),
+    shx AS (
+      SELECT id, UNNEST(shingles) AS s FROM sh WHERE len(shingles) > 0),
+    hw AS (
+      SELECT id, {hi} AS hi, {lo} AS lo FROM shx),
+    votes AS (
+      SELECT id, bit,
+             SUM(((CASE WHEN bit < 32 THEN lo >> bit
+                        ELSE hi >> (bit - 32) END) & 1)) AS v,
+             COUNT(*) AS n
+      FROM hw CROSS JOIN (SELECT UNNEST(range(64)) AS bit) b
+      GROUP BY id, bit),
+    bits AS (
+      SELECT id, bit, CASE WHEN v * 2 > n THEN 1 ELSE 0 END AS bitv
+      FROM votes),
+    chunks AS (
+      SELECT id, bit // {bits} AS band,
+             CAST(SUM(bitv * (CAST(1 AS BIGINT) << CAST(bit % {bits} AS INTEGER))) AS BIGINT) AS chunk
+      FROM bits GROUP BY id, bit // {bits})
+    SELECT DISTINCT x.id AS id_a, y.id AS id_b
+    FROM chunks x JOIN chunks y
+      ON x.band = y.band AND x.chunk = y.chunk AND x.id < y.id
+    """
+
+
 def dedup_exact(
     df: DataFrame, cols: list[str], order_col: str
 ) -> DataFrame:
@@ -62,16 +167,18 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, perm, minhash) — one row per document per permutation.
 
-    Shingles are hashed JVM-side (xxhash64); each permutation applies a
-    universal hash and takes the min via ``F.array_min`` — all map-side,
-    zero shuffles until the caller aggregates.
+    Shingles are hashed JVM-side with the md5-derived portable hash
+    (functions/hashing.py) so signatures — and therefore candidate pairs —
+    are engine-reproducible (the DuckDB oracle computes the identical
+    signatures); each permutation applies a universal hash and takes the
+    min via ``F.array_min`` — all map-side, zero shuffles until the caller
+    aggregates.
     """
-    import random
+    from delta_unity_duckdb_spark.functions.hashing import hash31
 
     # 31-bit hash inputs and coefficients keep a*h + b < 2^62 — no long
     # overflow under ANSI arithmetic, at any scale.
-    rng = random.Random(seed)
-    perms = [(rng.randrange(1, 1 << 31), rng.randrange(0, 1 << 31)) for _ in range(num_perm)]
+    perms = minhash_perms(num_perm, seed)
 
     sh = df.select(
         F.col(id_col).alias("id"),
@@ -79,7 +186,7 @@ def minhash_signatures(
     ).filter(F.size("shingles") > 0)
     hashed = sh.select(
         "id",
-        F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 31))).alias("hs"),
+        F.transform("shingles", lambda s: hash31(s)).alias("hs"),
     )
     sig_cols = [
         F.array_min(
@@ -143,17 +250,71 @@ def minhash_near_dups(
     )
 
 
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 2
+) -> DataFrame:
+    """(id, fp): 64-bit SimHash of word n-grams from the portable md5 hash
+    (two 32-bit words — functions/hashing.py — so the fingerprint is
+    engine-reproducible; the DuckDB twin is ``simhash_pairs_sql``).
+
+    Shape: explode shingles → ONE groupBy(id) computing all 64 bit-vote
+    sums as conditional aggregates (map-side partial agg, one shuffle,
+    whole-stage codegen). The earlier formulation — 64 ``F.aggregate``
+    folds over a struct array — re-walked the array 64× per row inside
+    one expression tree and was ~50× slower; per-bit SUMs over exploded
+    rows are the scale-correct plan.
+    """
+    from delta_unity_duckdb_spark.functions.hashing import hash32_words
+
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(_shingles(F.col(text_col), shingle_n))).alias("s"),
+    )
+    hi, lo = hash32_words(F.col("s"))
+    hw = sh.select("id", hi.alias("hi"), lo.alias("lo"))
+    # Bits 0-31 come from the lo word, 32-63 from hi — both non-negative
+    # longs, so plain shiftright extracts bits without unsigned types.
+    votes = hw.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(
+                F.shiftright(F.col("lo") if bit < 32 else F.col("hi"), bit % 32)
+                .bitwiseAND(F.lit(1))
+            ).alias(f"v{bit}")
+            for bit in range(64)
+        ],
+    )
+    fp = F.lit(0).cast("long")
+    for bit in range(64):
+        fp = fp + F.when(
+            F.col(f"v{bit}") * 2 > F.col("n"),
+            F.lit(1).cast("long") * (2**bit if bit < 63 else -(2**63)),
+        ).otherwise(0)
+    return votes.select("id", fp.alias("fp"))
+
+
 def simhash64(text_col, shingle_n: int = 2):
-    """64-bit SimHash of word n-grams, pure JVM expressions: per-shingle
-    xxhash64, per-bit majority vote via bit arithmetic in an aggregate fold."""
+    """Column-expression SimHash (portable md5 bits, majority vote via an
+    aggregate fold). Prefer ``simhash_fingerprints`` for whole-table runs —
+    this form re-walks the shingle array once per bit and only suits
+    single-column contexts where a DataFrame op can't be used."""
+    from delta_unity_duckdb_spark.functions.hashing import hash32_words
+
     sh = F.array_distinct(_shingles(text_col, shingle_n))
-    hashes = F.transform(sh, lambda s: F.xxhash64(s))
-    # For each of 64 bits: count of set bits*2 > n → bit set in fingerprint.
+    hi_lo = F.transform(
+        sh,
+        lambda s: F.struct(
+            hash32_words(s)[0].alias("hi"), hash32_words(s)[1].alias("lo")
+        ),
+    )
     bit_votes = [
         F.aggregate(
-            hashes,
+            hi_lo,
             F.lit(0),
-            lambda acc, h: acc + F.shiftright(h, bit).bitwiseAND(F.lit(1)).cast("int"),
+            lambda acc, h: acc
+            + F.shiftright(h["lo"] if bit < 32 else h["hi"], bit % 32)
+            .bitwiseAND(F.lit(1))
+            .cast("int"),
         )
         for bit in range(64)
     ]
@@ -169,7 +330,7 @@ def simhash_near_dups(
 ) -> DataFrame:
     """Near-dup candidates where a 16-bit SimHash band matches exactly
     (Hamming-distance blocking). Equi-join on (band, chunk) — no cross join."""
-    fp = df.select(F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("fp"))
+    fp = simhash_fingerprints(df, id_col, text_col)
     bits = 64 // bands
     chunks = fp.select(
         "id",

@@ -279,3 +279,126 @@ def pagerank(
         )
     e.unpersist()
     return ranks.select("node", "rank")
+
+
+PAGERANK_SCALE = 10**15
+
+
+def pagerank_int(
+    edges: DataFrame,
+    iterations: int = 8,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = PAGERANK_SCALE,
+) -> DataFrame:
+    """PageRank in scaled-integer (fixed-point) arithmetic. Returns
+    (node, rank_scaled) with rank_scaled = rank × ``scale`` as BIGINT.
+
+    Every step is int64 floor arithmetic on non-negative values —
+    associative sums, no rounding mode, no decimal implementation details
+    — so ANY engine replaying the recurrence gets bit-identical ranks
+    (the DuckDB oracle unrolls the same ``iterations`` as chained CTEs).
+    Total mass ≈ ``scale`` (1e15), far under int64; per-iteration mass
+    leaks a few units to floor division, identically on every engine.
+
+    Same distributed shape as ``pagerank``: per iteration one
+    edges⋈ranks join + grouped sum, one 1-row dangling-mass broadcast,
+    lineage truncated per round (localCheckpoint).
+    """
+    e = edges.select("src", "dst").persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_total = nodes.count()
+    out_deg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("out_degree")
+    )
+    base = nodes.join(out_deg, "node", "left").localCheckpoint(eager=True)
+
+    tele = (damping_den - damping_num) * scale // (damping_den * n_total)
+    ranks = base.select(
+        "node", "out_degree", F.lit(scale // n_total).cast("long").alias("rank")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(iterations):
+        dangling = ranks.filter(F.col("out_degree").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0)).cast("long").alias("dmass")
+        )
+        contribs = (
+            e.join(ranks, e.src == ranks.node)
+            .select("dst", F.expr("rank div out_degree").alias("c"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").cast("long").alias("contrib"))
+        )
+        ranks = (
+            base.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "out_degree",
+                (
+                    F.lit(tele).cast("long")
+                    + F.expr(
+                        f"({damping_num} * (coalesce(contrib, 0)"
+                        f" + (dmass div {n_total}))) div {damping_den}"
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return ranks.select("node", F.col("rank").alias("rank_scaled"))
+
+
+def pagerank_int_sql(
+    edges_sql: str,
+    iterations: int = 8,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = PAGERANK_SCALE,
+) -> str:
+    """DuckDB oracle twin of ``pagerank_int``: the power iteration unrolled
+    as ``iterations`` chained CTEs over the edge list produced by
+    ``edges_sql`` (columns src, dst). Floor division on non-negative
+    integers matches Spark's ``div`` exactly."""
+    parts = [
+        f"""
+    WITH edges AS ({edges_sql}),
+    nodes AS (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    outd AS (SELECT src AS node, COUNT(*) AS out_degree FROM edges GROUP BY src),
+    base AS (SELECT node, out_degree FROM nodes LEFT JOIN outd USING (node)),
+    r0 AS (
+      SELECT node, out_degree,
+             CAST({scale} // (SELECT n FROM nn) AS BIGINT) AS rank
+      FROM base)"""
+    ]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        parts.append(
+            f""",
+    c{i} AS (
+      SELECT e.dst AS node, SUM(r.rank // r.out_degree) AS contrib
+      FROM edges e JOIN r{p} r ON e.src = r.node GROUP BY e.dst),
+    d{i} AS (
+      SELECT COALESCE(SUM(rank), 0) AS dmass FROM r{p}
+      WHERE out_degree IS NULL),
+    r{i} AS (
+      SELECT b.node, b.out_degree,
+             CAST(({damping_den} - {damping_num}) * {scale}
+                    // ({damping_den} * (SELECT n FROM nn))
+                  + ({damping_num} * (COALESCE(c.contrib, 0)
+                       + ((SELECT dmass FROM d{i}) // (SELECT n FROM nn))))
+                    // {damping_den} AS BIGINT) AS rank
+      FROM base b LEFT JOIN c{i} c USING (node))"""
+        )
+    parts.append(
+        f"""
+    SELECT node, CAST(rank AS BIGINT) AS rank_scaled FROM r{iterations}"""
+    )
+    return "".join(parts)

@@ -185,6 +185,118 @@ def cosine_pairs_lsh(
     )
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """DuckDB twin of ``_dot``: list_sum folds doubles in list order —
+    verified bit-identical to Spark's sequential F.aggregate at the
+    fixture scales (similarity_topk has hash-matched since round 1)."""
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return (
+        f"SQRT(list_sum(list_transform({a}, "
+        f"x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+
+
+def cosine_sim_sql(a: str, b: str) -> str:
+    return f"({_dot_sql(a, b)} / ({_norm_sql(a)} * {_norm_sql(b)}))"
+
+
+def lsh_planes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
+    """The random-hyperplane set — one definition shared by the Spark
+    operator and the DuckDB oracle (embedded as float literals, ``repr``
+    round-trips doubles exactly)."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
+
+
+def cosine_pairs_lsh_sql(
+    dim: int,
+    threshold: float,
+    num_planes: int = 16,
+    bands: int = 4,
+    seed: int = 42,
+    table: str = "embeddings",
+    id_expr: str = "vec_id",
+    vec_expr: str = "embedding",
+) -> str:
+    """DuckDB oracle twin of ``cosine_pairs_lsh``: identical hyperplanes
+    (same seed), identical sign-bit sketch, banded candidates, exact
+    cosine verify at the same rounding."""
+    planes = lsh_planes(dim, num_planes, seed)
+    bpb = num_planes // bands
+    bit_exprs = ",\n        ".join(
+        f"CASE WHEN {_dot_sql('vec', '[' + ', '.join(repr(w) for w in plane) + ']')}"
+        f" > 0 THEN 1 ELSE 0 END"
+        for plane in planes
+    )
+    band_val = " + ".join(
+        f"bt[band * {bpb} + {i + 1}] * {2 ** (bpb - 1 - i)}" for i in range(bpb)
+    )
+    return f"""
+    WITH v AS (SELECT {id_expr} AS id, {vec_expr} AS vec FROM {table}),
+    bits AS (
+      SELECT id, vec, [
+        {bit_exprs}
+      ] AS bt FROM v),
+    banded AS (
+      SELECT id, band, {band_val} AS bk
+      FROM bits CROSS JOIN (SELECT UNNEST(range({bands})) AS band) b),
+    cand AS (
+      SELECT DISTINCT x.id AS id_a, y.id AS id_b
+      FROM banded x JOIN banded y
+        ON x.band = y.band AND x.bk = y.bk AND x.id < y.id),
+    scored AS (
+      SELECT id_a, id_b,
+             ROUND({cosine_sim_sql('a.vec', 'b.vec')}, 4) AS cosine_sim
+      FROM cand JOIN v a ON a.id = cand.id_a JOIN v b ON b.id = cand.id_b)
+    SELECT id_a, id_b, cosine_sim FROM scored WHERE cosine_sim >= {threshold}
+    """
+
+
+def ivf_topk_sql(
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    table: str = "embeddings",
+    id_expr: str = "vec_id",
+    vec_expr: str = "embedding",
+) -> str:
+    """DuckDB oracle twin of ``ivf_topk`` (query = vec_id 0, candidates =
+    the rest): same deterministic centroid sample (id % 97 < nlist, first
+    nlist by id), same nearest-centroid assignment with (cdist, cid)
+    tie-break, same nprobe probe set, same final rounded top-k."""
+    return f"""
+    WITH q AS (SELECT {vec_expr} AS qvec FROM {table} WHERE {id_expr} = 0),
+    emb AS (SELECT {id_expr} AS id, {vec_expr} AS vec FROM {table} WHERE {id_expr} <> 0),
+    cents AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY id) AS cid, vec AS cvec
+      FROM emb WHERE id % 97 < {nlist}
+      QUALIFY cid <= {nlist}),
+    assigned AS (
+      SELECT id, vec, cid FROM (
+        SELECT e.id, e.vec, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.id
+                 ORDER BY -({cosine_sim_sql('e.vec', 'c.cvec')}), c.cid) AS rn
+        FROM emb e CROSS JOIN cents c) t
+      WHERE rn = 1),
+    probe AS (
+      SELECT cid FROM cents CROSS JOIN q
+      ORDER BY -({cosine_sim_sql('cvec', 'qvec')}), cid LIMIT {nprobe})
+    SELECT a.id AS {id_expr},
+           ROUND({cosine_sim_sql('a.vec', 'q.qvec')}, 4) AS cosine_sim
+    FROM assigned a JOIN probe USING (cid) CROSS JOIN q
+    ORDER BY cosine_sim DESC, a.id LIMIT {k}
+    """
+
+
 def knn_join(
     embeddings: DataFrame,
     queries: DataFrame,

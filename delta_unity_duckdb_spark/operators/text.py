@@ -98,27 +98,33 @@ def detect_language(text: Column) -> Column:
 
 def doc_fingerprint(text: Column) -> Column:
     """Deterministic rolling polynomial hash of the normalized token stream
-    (E: document fingerprinting): h = (h*31 + xxhash(tok) mod 2^31) mod 2^56.
-    The moduli keep every intermediate < 2^61 — no ANSI long overflow."""
+    (E: document fingerprinting): h = (h*31 + hash31(tok)) mod 2^56.
+    The moduli keep every intermediate < 2^61 — no ANSI long overflow.
+    hash31 is the md5-derived portable hash (functions/hashing.py), so the
+    fingerprint is reproducible on ANY engine — the DuckDB twin is
+    list_reduce over the same token hashes (workload/llm.py text_profile
+    oracle)."""
+    from delta_unity_duckdb_spark.functions.hashing import hash31
+
     mod = F.lit(1 << 56)
     return F.aggregate(
         tokens(text),
         F.lit(0).cast("long"),
-        lambda acc, t: F.pmod(
-            acc * F.lit(31).cast("long") + F.pmod(F.xxhash64(t), F.lit(1 << 31)),
-            mod,
-        ),
+        lambda acc, t: F.pmod(acc * F.lit(31).cast("long") + hash31(t), mod),
     )
 
 
 def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """One-pass per-document feature extraction."""
+    """One-pass per-document feature extraction. Quality is exported
+    FLOOR-quantized (quality_e4) per the repo's cross-engine rule — ROUND
+    on a double tie-breaks differently per engine; FLOOR of the
+    bit-identical raw double cannot."""
     t = F.col(text_col)
     return df.select(
         F.col(id_col),
         whitespace_token_count(t).alias("n_tokens_ws"),
         bpe_ish_token_count(t).alias("n_tokens_bpe"),
-        quality_score(t).alias("quality"),
+        F.floor(quality_score_raw(t) * 10000).cast("long").alias("quality_e4"),
         detect_language(t).alias("lang_pred"),
         doc_fingerprint(t).alias("fingerprint"),
     )

@@ -356,10 +356,13 @@ def version_at_timestamp(table_path: str, ts) -> int:
     if not versions:
         raise FileNotFoundError(f"no commits in {log_dir}")
     best: int | None = None
+    prev_effective: int | None = None
     for v in versions:
         cpath = _commit_path(log_dir, v)
         commit_ts: int | None = None
         with open(cpath) as fh:
+            # external Delta writers are not required to put commitInfo
+            # first — scan every action of the commit for it
             for line in fh:
                 line = line.strip()
                 if not line:
@@ -367,9 +370,16 @@ def version_at_timestamp(table_path: str, ts) -> int:
                 action = json.loads(line)
                 if "commitInfo" in action:
                     commit_ts = action["commitInfo"].get("timestamp")
-                break  # commitInfo is always the first action we write
+                    break
         if commit_ts is None:
             commit_ts = int(os.path.getmtime(cpath) * 1000)
+        # Delta's monotonicity adjustment: writer clock skew can emit
+        # out-of-order commitInfo timestamps; the effective timestamp of a
+        # version is clamped to be >= its predecessor's so the
+        # version-by-timestamp mapping stays well ordered
+        if prev_effective is not None and commit_ts < prev_effective:
+            commit_ts = prev_effective
+        prev_effective = commit_ts
         if commit_ts <= ts:
             best = v
         else:
@@ -1058,38 +1068,55 @@ def read_delta_changes(
         if not os.path.exists(cpath):
             raise FileNotFoundError(f"missing commit {v} in {log_dir}")
         with open(cpath) as fh:
-            for line in fh:
-                line = line.strip()
-                if not line:
-                    continue
-                action = json.loads(line)
-                if "remove" in action:
-                    raise DeltaProtocolError(
-                        f"commit {v} removes files — not append-only; "
-                        "resnapshot instead of incremental read"
-                    )
-                if "metaData" in action:
-                    base.metadata = action["metaData"]
-                if "add" not in action:
-                    continue
-                add = action["add"]
-                df = spark.read.schema(data_schema).parquet(
-                    os.path.join(table_path, add["path"])
+            commit_actions = [
+                json.loads(line) for line in fh if line.strip()
+            ]
+        # action order within a commit is writer-defined — apply the
+        # commit's metaData (if any) before reading its adds
+        commit_actions.sort(key=lambda a: 0 if "metaData" in a else 1)
+        for action in commit_actions:
+            if "remove" in action:
+                raise DeltaProtocolError(
+                    f"commit {v} removes files — not append-only; "
+                    "resnapshot instead of incremental read"
                 )
-                for c in part_cols:
-                    raw = add.get("partitionValues", {}).get(c)
-                    df = df.withColumn(c, F.lit(raw).cast(field_type[c]))
-                branches.append(
-                    df.select([f.name for f in schema.fields]).withColumn(
-                        "_commit_version", F.lit(v).cast("long")
-                    )
+            if "metaData" in action:
+                # schema evolution inside the CDC range: adds committed
+                # with (or after) the new metaData carry the evolved
+                # schema — re-derive the read schema HERE, or the new
+                # column's values would silently read as dropped
+                base.metadata = action["metaData"]
+                schema = base.schema
+                part_cols = base.partition_columns
+                data_fields = [
+                    f for f in schema.fields if f.name not in part_cols
+                ]
+                data_schema = StructType(data_fields)
+                field_type = {f.name: f.dataType for f in schema.fields}
+            if "add" not in action:
+                continue
+            add = action["add"]
+            df = spark.read.schema(data_schema).parquet(
+                os.path.join(table_path, add["path"])
+            )
+            for c in part_cols:
+                raw = add.get("partitionValues", {}).get(c)
+                df = df.withColumn(c, F.lit(raw).cast(field_type[c]))
+            branches.append(
+                df.select([f.name for f in schema.fields]).withColumn(
+                    "_commit_version", F.lit(v).cast("long")
                 )
+            )
     if not branches:
         empty = spark.createDataFrame([], schema).withColumn(
             "_commit_version", F.lit(None).cast("long")
         )
         return empty
-    return reduce(lambda a, b: a.unionByName(b), branches)
+    # allowMissingColumns: pre-evolution batches surface NULL for columns
+    # added mid-range (Delta CDF semantics for merge_schema appends)
+    return reduce(
+        lambda a, b: a.unionByName(b, allowMissingColumns=True), branches
+    )
 
 
 def optimize_delta(
@@ -1236,8 +1263,25 @@ def write_checkpoint(spark: SparkSession, table_path: str, version: int | None =
     meta_t = StructType(
         [
             StructField("id", StringType()),
+            StructField("name", StringType()),
+            StructField("description", StringType()),
+            StructField(
+                "format",
+                StructType(
+                    [
+                        StructField("provider", StringType()),
+                        StructField("options", MapType(StringType(), StringType())),
+                    ]
+                ),
+            ),
             StructField("schemaString", StringType()),
             StructField("partitionColumns", ArrayType(StringType())),
+            # configuration MUST round-trip through checkpoints: CHECK
+            # constraints live in delta.constraints.* keys, and a snapshot
+            # rebuilt from a checkpoint that dropped them would silently
+            # stop enforcing (and the next overwrite would erase them)
+            StructField("configuration", MapType(StringType(), StringType())),
+            StructField("createdTime", LongType()),
         ]
     )
     add_t = StructType(
@@ -1265,8 +1309,16 @@ def write_checkpoint(spark: SparkSession, table_path: str, version: int | None =
             None,
             (
                 meta.get("id"),
+                meta.get("name"),
+                meta.get("description"),
+                (
+                    (meta.get("format") or {}).get("provider", "parquet"),
+                    dict((meta.get("format") or {}).get("options") or {}),
+                ),
                 meta.get("schemaString"),
                 list(meta.get("partitionColumns") or []),
+                dict(meta.get("configuration") or {}),
+                meta.get("createdTime"),
             ),
             None,
         ),

@@ -24,7 +24,7 @@ from delta_unity_duckdb_spark.workload.registry import query
     SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -34,7 +34,7 @@ def tumbling_window(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "5 minutes"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec("value")).cast("decimal(38,6)").alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec("value")).cast("double").alias("sum_value"))
         .select(
             F.col("window.start").alias("window_start"),
             "event_type",
@@ -56,7 +56,7 @@ def tumbling_window(spark, sf_dir):
       FROM events
     )
     SELECT window_start, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
     FROM phased GROUP BY 1
     """,
 )
@@ -66,7 +66,7 @@ def sliding_window(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.window("ts", "10 minutes", "5 minutes"))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec("value")).cast("decimal(38,6)").alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec("value")).cast("double").alias("sum_value"))
         .select(F.col("window.start").alias("window_start"), "n", "sum_value")
     )
 
@@ -89,7 +89,7 @@ def sliding_window(spark, sf_dir):
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
       FROM marked)
     SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
     FROM sessions GROUP BY user_id, session_no
     """,
 )
@@ -100,7 +100,7 @@ def session_window(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy(F.session_window("ts", "5 minutes"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(dec("value")).cast("decimal(38,6)").alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(dec("value")).cast("double").alias("sum_value"))
         .select(
             "user_id",
             F.col("session_window.start").alias("session_start"),
@@ -180,7 +180,7 @@ def asof_join_events(spark, sf_dir):
            date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
            time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS bucket_5m,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_value
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
     FROM events
     GROUP BY GROUPING SETS ((1), (1, 2), (1, 2, 3))
     """,
@@ -203,7 +203,7 @@ def hypertable_rollup(spark, sf_dir):
         bucketed.rollup("day", "hour", "bucket_5m")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(dec("value")).cast("decimal(38,6)").alias("sum_value"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
         )
         .filter(F.col("day").isNotNull())
     )
@@ -217,7 +217,7 @@ def hypertable_rollup(spark, sf_dir):
       SELECT event_type,
              time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS bucket,
              COUNT(*) AS n,
-             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_value
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2),
     bounds AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM b),
     spine AS (
@@ -250,7 +250,7 @@ def timeseries_gapfill(spark, sf_dir):
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(dec("value")).cast("decimal(38,6)").alias("sum_value"),
+            F.sum(dec("value")).cast("double").alias("sum_value"),
         )
     )
     bounds = buckets.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
@@ -330,14 +330,18 @@ def ewma_trailing(spark, sf_dir):
         F.col("cents").alias("c0"),
         *[F.lag("cents", j).over(w).alias(f"c{j}") for j in range(1, 8)],
     )
+    # FLOOR division, not `div`: Spark's `div` truncates toward zero while
+    # DuckDB's `//` floors, so they diverge whenever the weighted sum goes
+    # negative (negative event amounts → negative cents). The identity
+    # floor(a/b) = (a - pmod(a,b)) div b (b > 0) is exact int64 floor on
+    # BOTH signs, keeping the formula engine-portable on any domain.
+    s = "(c0*128 + c1*64 + c2*32 + c3*16 + c4*8 + c5*4 + c6*2 + c7)"
     return (
         lags.filter(F.col("rn") >= 8)
         .select(
             "user_id",
             "event_id",
-            F.expr(
-                "(c0*128 + c1*64 + c2*32 + c3*16 + c4*8 + c5*4 + c6*2 + c7) div 255"
-            ).alias("ewma_cents"),
+            F.expr(f"({s} - pmod({s}, 255)) div 255").alias("ewma_cents"),
         )
         .orderBy("user_id", "event_id")
         .limit(500)
@@ -434,8 +438,9 @@ def user_jaccard_pairs(spark, sf_dir):
       FROM counts
       WINDOW w AS (PARTITION BY event_type ORDER BY bucket),
              t AS (PARTITION BY event_type))
-    SELECT event_type, MAX(tref) AS n_ref, MAX(tcur) AS n_cur,
-           MAX(ABS((cref * 1000000) // tref - (ccur * 1000000) // tcur)) AS ks_ppm
+    SELECT event_type, CAST(MAX(tref) AS BIGINT) AS n_ref,
+           CAST(MAX(tcur) AS BIGINT) AS n_cur,
+           CAST(MAX(ABS((cref * 1000000) // tref - (ccur * 1000000) // tcur)) AS BIGINT) AS ks_ppm
     FROM cum GROUP BY event_type ORDER BY event_type
     """,
 )

@@ -81,12 +81,25 @@ def graph_descendants_q(spark, sf_dir):
     return descendants(edges, roots, max_depth=64)
 
 
-@query("graph_cypher_load")
+@query(
+    "graph_cypher_load",
+    # The corpus is a deterministic fixture: 40 chains × 4 Mission nodes
+    # (ids 500000 + c*100 + h, distinct across chains since h < 100) and
+    # 3 IS_PARENT_TO edges per chain; MERGE semantics dedup repeated node
+    # mentions. The oracle derives the expected counts from the SAME
+    # (n_chains, chain_len) parameters — independent of the parser.
+    oracle="""
+    SELECT CAST(40 * 4 AS BIGINT) AS n_vertices,
+           CAST(40 * 3 AS BIGINT) AS n_edges
+    """,
+)
 def graph_cypher_load(spark, sf_dir):
     """D1-D3: parse a Cypher MERGE corpus (same shape as the reference's
     cypher_queries_clean.json) into vertices/edges and verify counts —
     the reference's post-load verification (load_memgraph.py:78-95) as one
-    DataFrame. Rows-only: corpus parsing has no SQL twin."""
+    DataFrame. The oracle is the closed-form node/edge count of the
+    deterministic corpus, so a parse miss (dropped statement, failed MERGE
+    dedup, miscounted edge) hash-mismatches."""
     from delta_unity_duckdb_spark.operators.cypher import (
         corpus_to_graph,
         synthetic_corpus,
@@ -165,17 +178,36 @@ def graph_degree_distribution_q(spark, sf_dir):
     )
 
 
-@query("graph_pagerank")
+_PAGERANK_EDGES_SQL = """
+      SELECT src, dst FROM (
+        SELECT o_orderkey AS src,
+               LEAD(o_orderkey) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderkey) AS dst
+        FROM orders) t WHERE dst IS NOT NULL"""
+
+
+def _pagerank_oracle() -> str:
+    from delta_unity_duckdb_spark.operators.graph import pagerank_int_sql
+
+    return (
+        pagerank_int_sql(_PAGERANK_EDGES_SQL, iterations=4)
+        + "\n    ORDER BY rank_scaled DESC, node LIMIT 20"
+    )
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle())
 def graph_pagerank_q(spark, sf_dir):
-    """PageRank over the per-customer order-chain graph (rows-only:
-    iterative fixed-point has no SQL twin; invariants — mass conservation,
-    monotone rank along chains, partition-count independence — are pinned
-    in tests/test_graph_cc.py). Top-20 by exact-decimal rank, so the
-    ordering itself is deterministic."""
+    """PageRank over the per-customer order-chain graph, in fixed-point
+    integer arithmetic (operators/graph.py pagerank_int): every step is
+    int64 floor math, so the DuckDB oracle unrolls the SAME 4 iterations
+    as chained CTEs and value-matches exactly — the iterative operator is
+    fully oracle-checked, not rows-only. Invariants (mass conservation,
+    partition-count independence) stay pinned in tests/test_graph_cc.py.
+    Top-20 with (rank, node) tie-break, so the ordering is deterministic."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from delta_unity_duckdb_spark.operators.graph import pagerank
+    from delta_unity_duckdb_spark.operators.graph import pagerank_int
     from delta_unity_duckdb_spark.sources.tables import load_table
 
     o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
@@ -185,8 +217,8 @@ def graph_pagerank_q(spark, sf_dir):
         F.lead("o_orderkey").over(w).alias("dst"),
     ).filter(F.col("dst").isNotNull())
     return (
-        pagerank(edges, iterations=4)
-        .orderBy(F.desc("rank"), "node")
+        pagerank_int(edges, iterations=4)
+        .orderBy(F.desc("rank_scaled"), "node")
         .limit(20)
     )
 

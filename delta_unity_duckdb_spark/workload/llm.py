@@ -68,7 +68,7 @@ def wordcount(spark, sf_dir):
     oracle="""
     SELECT lang, source, COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents GROUP BY lang, source
     """,
 )
@@ -99,12 +99,52 @@ def token_counts(spark, sf_dir):
     )
 
 
-# ---------------------------------------------------------------- E: quality + lang-id + fingerprint (rows-only)
-@query("text_profile")
+# ---------------------------------------------------------------- E: quality + lang-id + fingerprint
+@query(
+    "text_profile",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             LENGTH(text) AS n_chars,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
+             LENGTH(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct
+      FROM documents),
+    scored AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens_ws,
+             CAST(COALESCE(list_sum(list_transform(
+                    regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'),
+                    p -> CAST(CEIL(LENGTH(p) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_tokens_bpe,
+             CAST(FLOOR((LEAST(n_chars / 200.0, 1.0)
+                    + (1.0 - LEAST(punct / GREATEST(n_chars, 1) * 5.0, 1.0))
+                    + CASE WHEN len(toks) > 0
+                           THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                           ELSE 0.0 END) / 3.0 * 10000) AS BIGINT) AS quality_e4,
+             list_max([
+               struct_pack(score := CAST(len(list_intersect(list_distinct(toks), ['the','and','of','to','in','is','that','it'])) AS DOUBLE) / 8.0, lang := 'en'),
+               struct_pack(score := CAST(len(list_intersect(list_distinct(toks), ['der','die','das','und','ist','nicht','ein','zu'])) AS DOUBLE) / 8.0, lang := 'de'),
+               struct_pack(score := CAST(len(list_intersect(list_distinct(toks), ['le','la','les','et','est','un','une','que'])) AS DOUBLE) / 8.0, lang := 'fr'),
+               struct_pack(score := CAST(len(list_intersect(list_distinct(toks), ['el','la','los','y','es','un','una','que'])) AS DOUBLE) / 8.0, lang := 'es'),
+               struct_pack(score := CAST(len(list_intersect(list_distinct(toks), ['的','是','了','在','我','有','和','不'])) AS DOUBLE) / 8.0, lang := 'zh')
+             ]) AS best,
+             list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(toks,
+                   tk -> (CAST(('0x' || substr(md5(tk), 1, 15)) AS BIGINT) % 2147483648))),
+               (acc, h) -> (acc * 31 + h) % 72057594037927936) AS fingerprint
+      FROM t)
+    SELECT doc_id, n_tokens_ws, n_tokens_bpe, quality_e4,
+           CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred,
+           fingerprint
+    FROM scored ORDER BY doc_id LIMIT 500
+    """,
+)
 def text_profile(spark, sf_dir):
-    """Language-ID heuristic, quality score, BPE-ish token count, rolling-hash
-    fingerprint — engine-specific expressions, no faithful SQL twin; checked
-    by unit tests instead."""
+    """One-pass doc profile: whitespace + BPE-ish token counts, floor-
+    quantized quality, stopword-profile language ID, and the md5-portable
+    rolling-hash fingerprint — every column now engine-exact, so the whole
+    profile is oracle-checked (round 1 kept it rows-only because the
+    fingerprint used Spark-private xxhash64)."""
     d = load_table(spark, sf_dir, "documents")
     return T.text_profile(d).orderBy("doc_id").limit(500)
 
@@ -133,30 +173,57 @@ def similarity_topk(spark, sf_dir):
     return S.cosine_topk(e.filter(F.col("vec_id") != 0), q, k=10)
 
 
-# ---------------------------------------------------------------- E2/E4: LSH ops (rows-only)
-@query("minhash_near_dups")
+# ---------------------------------------------------------------- E2/E4: LSH ops
+@query(
+    "minhash_near_dups",
+    oracle=f"""
+    WITH pairs AS ({D.minhash_pairs_sql(num_perm=32, bands=8)})
+    SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b LIMIT 1000
+    """,
+)
 def minhash_near_dups(spark, sf_dir):
-    """MinHash+LSH near-dup candidate pairs (E2). Probabilistic blocking —
-    no SQL oracle; recall/precision asserted in tests against exact Jaccard."""
+    """MinHash+LSH near-dup candidate pairs (E2). The md5-portable shingle
+    hash (functions/hashing.py) makes the signatures — and therefore the
+    candidate pairs — engine-exact, so the DuckDB oracle computes the
+    IDENTICAL banding (operators/dedup.py minhash_pairs_sql shares the
+    constants); recall vs exact Jaccard stays asserted in tests."""
     d = load_table(spark, sf_dir, "documents")
     pairs = D.minhash_near_dups(d, "doc_id", "text", num_perm=32, bands=8)
     return pairs.orderBy("id_a", "id_b").limit(1000)
 
 
-@query("simhash_near_dups")
+@query(
+    "simhash_near_dups",
+    oracle=f"""
+    WITH pairs AS ({D.simhash_pairs_sql()})
+    SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b LIMIT 1000
+    """,
+)
 def simhash_near_dups(spark, sf_dir):
+    """SimHash banded near-dup candidates (E2) — md5-portable fingerprint,
+    oracle computes the identical per-bit majority votes and band chunks."""
     d = load_table(spark, sf_dir, "documents")
     return D.simhash_near_dups(d, "doc_id", "text").orderBy("id_a", "id_b").limit(1000)
 
 
-@query("embedding_pairs_lsh")
+@query(
+    "embedding_pairs_lsh",
+    oracle=f"""
+    WITH lsh AS ({S.cosine_pairs_lsh_sql(dim=64, threshold=0.35, num_planes=24, bands=6)})
+    SELECT id_a, id_b, cosine_sim FROM lsh ORDER BY id_a, id_b LIMIT 1000
+    """,
+)
 def embedding_pairs_lsh(spark, sf_dir):
     """Random-hyperplane LSH similarity join (E4), exact-verified ≥0.35.
 
-    The fixture embeddings are near-orthogonal random vectors (max pairwise
-    cosine ≈ 0.46), so the threshold sits below that to make the check
-    non-vacuous; production near-dup thresholds (0.9+) just change the
-    constant."""
+    The hyperplanes are a seeded shared definition
+    (operators/similarity.py lsh_planes), so the DuckDB oracle computes
+    the IDENTICAL sign-bit sketch, banding, and rounded cosine verify —
+    a full value check of the approximate path, not just a recall bound.
+    The fixture embeddings are near-orthogonal random vectors (max
+    pairwise cosine ≈ 0.46), so the threshold sits below that to make the
+    check non-vacuous; production near-dup thresholds (0.9+) just change
+    the constant."""
     e = load_table(spark, sf_dir, "embeddings")
     return (
         S.cosine_pairs_lsh(e, threshold=0.35, num_planes=24, bands=6)
@@ -165,12 +232,17 @@ def embedding_pairs_lsh(spark, sf_dir):
     )
 
 
-@query("similarity_topk_ivf")
+@query(
+    "similarity_topk_ivf",
+    oracle=S.ivf_topk_sql(k=10, nlist=16, nprobe=4),
+)
 def similarity_topk_ivf(spark, sf_dir):
     """IVF-style approximate top-k (E3 scale path): probe the nprobe
     nearest of nlist centroid partitions instead of scanning everything.
-    Deterministic (hash-sampled centroids) but approximate — rows-only;
-    recall vs brute force is asserted in tests."""
+    The centroid sample, assignment tie-breaks, and probe set are all
+    deterministic arithmetic, so the DuckDB oracle replays the exact
+    same approximate search (operators/similarity.py ivf_topk_sql);
+    recall vs brute force stays asserted in tests."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
     return S.ivf_topk(e.filter(F.col("vec_id") != 0), q, k=10, nlist=16, nprobe=4)
@@ -529,13 +601,36 @@ def corpus_curation(spark, sf_dir):
     )
 
 
-@query("near_dup_clusters")
+@query(
+    "near_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({D.minhash_pairs_sql(num_perm=32, bands=8)}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs),
+    reach AS (
+      SELECT u AS node, u AS r FROM edges
+      UNION
+      SELECT e.v AS node, rr.r
+      FROM reach rr JOIN edges e ON e.u = rr.node),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id AS id,
+           COALESCE(c.component, d.doc_id) AS cluster,
+           (d.doc_id = COALESCE(c.component, d.doc_id)) AS is_survivor
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ORDER BY id LIMIT 2000
+    """,
+)
 def near_dup_clusters_q(spark, sf_dir):
     """Near-dup clustering (E2 capstone): MinHash candidate pairs →
-    connected components → one survivor per duplicate family. Transitive
-    closure fixes the under-removal of pair-based dedup (A~B~C chains).
-    Probabilistic blocking — rows-only; transitivity and survivor
-    uniqueness are asserted in unit tests."""
+    connected components (pointer-jumping) → one survivor per duplicate
+    family. Transitive closure fixes the under-removal of pair-based dedup
+    (A~B~C chains). The md5-portable MinHash makes the pair graph
+    engine-exact, so the oracle recomputes the same components with a
+    recursive-CTE transitive closure + MIN label — a full value check of
+    cluster assignment AND survivor choice; transitivity and survivor
+    uniqueness stay asserted in unit tests."""
     d = load_table(spark, sf_dir, "documents")
     return (
         D.near_dup_clusters(d, "doc_id", "text")
@@ -824,7 +919,7 @@ def contamination_check(spark, sf_dir):
         FROM documents) t
       WHERE word <> '')
     SELECT word, COUNT(*) AS df,
-           LIST_SLICE(LIST(doc_id ORDER BY doc_id), 1, 10) AS postings
+           ARRAY_TO_STRING(LIST_SLICE(LIST(doc_id ORDER BY doc_id), 1, 10), ',') AS postings
     FROM dg GROUP BY word ORDER BY df DESC, word LIMIT 50
     """,
 )
@@ -852,8 +947,14 @@ def inverted_index(spark, sf_dir):
         .groupBy("word")
         .agg(
             F.count(F.lit(1)).alias("df"),
-            F.sort_array(
-                F.collect_list(F.when(F.col("rn") <= 10, F.col("doc_id")))
+            # serialized (comma-joined) postings: array-typed output columns
+            # crash the driver's pandas canonicalizer (round-1 finding), so
+            # the posting list leaves the engine as a STRING on both sides
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(F.when(F.col("rn") <= 10, F.col("doc_id")))
+                ).cast("array<string>"),
+                ",",
             ).alias("postings"),
         )
         .orderBy(F.desc("df"), "word")
@@ -877,7 +978,7 @@ def inverted_index(spark, sf_dir):
              CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS qs
       FROM per_source)
     SELECT source, n_docs, n_tokens,
-           (qs * 1000000) // SUM(qs) OVER () AS weight_ppm
+           CAST((qs * 1000000) // CAST(SUM(qs) OVER () AS BIGINT) AS BIGINT) AS weight_ppm
     FROM q ORDER BY source
     """,
 )

@@ -53,6 +53,97 @@ def df_multiset(rows, colnames):
     return Counter(tuple(_norm(r[i]) for i in order) for r in rows)
 
 
+# ---------------------------------------------------------------- strict
+# driver-mirror comparison: the per-round driver canonicalizes through
+# pandas (spark_df.toPandas() vs duckdb .df()) and hashes TYPE-sensitively
+# — int64 662 != float64 662.0, decimal.Decimal objects never equal floats,
+# and list-valued cells crash pandas sort_values. cell_sig tags each cell;
+# tags ending in '!' violate the output convention (BIGINT / DOUBLE /
+# STRING / BOOL / DATE-as-TIMESTAMP only) even when values agree.
+
+
+def cell_sig(v):
+    import decimal as _dec
+    import json as _json
+
+    import numpy as np
+    import pandas as pd
+
+    if v is None:
+        return ("null",)
+    if isinstance(v, bool) or type(v).__name__ == "bool_":
+        return ("bool", bool(v))
+    if isinstance(v, (int,)) or isinstance(v, np.integer):
+        return ("int", int(v))
+    if isinstance(v, float) or isinstance(v, np.floating):
+        f = float(v)
+        if math.isnan(f):
+            return ("float", "nan")
+        return ("float", f.hex())
+    if isinstance(v, _dec.Decimal):
+        return ("decimal!", str(v))
+    if isinstance(v, pd.Timestamp):
+        if pd.isna(v):
+            return ("null",)
+        return ("ts", v.isoformat())
+    if isinstance(v, dt.datetime):
+        return ("ts", v.replace(tzinfo=None).isoformat())
+    if isinstance(v, dt.date):
+        # object-dtype date: DuckDB surfaces DATE as datetime64 — spark-side
+        # date objects hash differently; convention says emit TIMESTAMP
+        return ("date!", v.isoformat())
+    if isinstance(v, str):
+        return ("str", v)
+    if isinstance(v, (list, tuple, dict)) or isinstance(v, np.ndarray):
+        return ("array!", _json.dumps(v, default=str))
+    if v is pd.NaT:
+        return ("null",)
+    return (type(v).__name__ + "!", str(v))
+
+
+def _canon_sigs(pdf):
+    from collections import Counter as _Counter
+
+    cols = sorted(pdf.columns)
+    sigs = _Counter()
+    violations = set()
+    for row in pdf[cols].itertuples(index=False, name=None):
+        rs = tuple(cell_sig(v) for v in row)
+        for s in rs:
+            if s[0].endswith("!"):
+                violations.add(s[0])
+        sigs[rs] += 1
+    return sigs, violations
+
+
+def strict_compare(spark_df, con, sql: str) -> dict:
+    """Pandas-level, type-sensitive mirror of the driver's correctness
+    check. ``hash_match`` + empty ``violations`` here predicts a
+    driver-green CORRECTNESS row."""
+    spdf = spark_df.toPandas()
+    ddf = con.execute(sql).df()
+    out = {
+        "rows_match": len(spdf) == len(ddf),
+        "cols_match": sorted(spdf.columns) == sorted(ddf.columns),
+        "spark_rows": len(spdf),
+        "duck_rows": len(ddf),
+        "spark_cols": list(spdf.columns),
+        "duck_cols": list(ddf.columns),
+    }
+    ss, sv = _canon_sigs(spdf)
+    ds, dv = _canon_sigs(ddf)
+    out["violations"] = sorted(sv | {f"duck:{x}" for x in dv})
+    out["hash_match"] = bool(
+        out["rows_match"] and out["cols_match"] and ss == ds
+    )
+    if not out["hash_match"] and out["rows_match"] and out["cols_match"]:
+        out["diff_sample"] = {
+            "spark_only": [list(map(list, k)) for k in list((ss - ds).keys())[:3]],
+            "duck_only": [list(map(list, k)) for k in list((ds - ss).keys())[:3]],
+        }
+    return out
+
+
 def compare(spark_df, con, sql: str) -> dict:
     spark_cols = spark_df.columns
     spark_rows = [tuple(r) for r in spark_df.collect()]
