@@ -16,6 +16,7 @@ from delta_unity_duckdb_spark.workload import (  # noqa: F401
     media,
     relational,
     scd,
+    sketches,
     streamq,
     tpch_shapes,
 )
