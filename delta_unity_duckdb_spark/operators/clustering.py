@@ -1,0 +1,161 @@
+"""Fixed-point k-means over embedding columns — semantic clustering for
+corpus curation (topic bucketing, cluster-balanced sampling, semantic
+dedup blocking).
+
+Why fixed-point: float k-means is nondeterministic under Spark — the
+centroid-update SUM of doubles depends on partition order, and a 1-ulp
+wobble can flip an assignment, so results would differ run-to-run AND
+engine-to-engine. Here every embedding element is floor-quantized to an
+int64 grid (``FLOOR(x·10^5)``, the repo's quantization convention —
+functions/numeric.py), distances are exact integer sums, and centroid
+updates use the portable floor-division identity
+``floor(s/n) = (s − pmod(s,n)) DIV n`` (workload/events.py:336). Every
+iteration is therefore EXACTLY reproducible on any engine and any
+partitioning — the DuckDB oracle (``kmeans_sql``) replays the identical
+iterations value-for-value.
+
+Scale shape (100 TB): centroids are k rows — every assignment pass is a
+broadcast nested-loop over k candidates followed by a per-vector top-1
+(WindowGroupLimit prunes below the sort), and the update is ONE
+(cid, pos) hash-aggregate with map-side combine (≤ k·dim groups).
+Nothing quadratic, nothing driver-side; iterations add plan depth, not
+shuffled volume.
+
+Reference parity: clustering is a north-star extension (SURVEY.md §2-E,
+BASELINE.json north_star) — the reference has no ML-adjacent surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SCALE = 100_000  # 1e-5 grid: |q| ≤ ~1e5·|x|; dist sums stay « int64 max
+
+
+def quantize_vec(col: Column, scale: int = SCALE) -> Column:
+    """array<float> → array<bigint> on the floor grid (no ROUND tie-break)."""
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * scale).cast("long")
+    )
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    """Exact integer squared L2 distance of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest centroid per vector: broadcast the k centroids, rank the k
+    candidates per vector with a deterministic (dist, cid) tie-break.
+    WindowGroupLimit keeps only the top row per vector before the sort
+    materializes."""
+    w = Window.partitionBy("vid").orderBy("dist", "cid")
+    return (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("dist", _sqdist(F.col("q"), F.col("cq")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vid", "q", "cid", "dist")
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """New centroids: element-wise exact-integer mean (floor) per cluster.
+    ONE hash-aggregate over (cid, pos) — ≤ k·dim groups, map-side
+    combined — then reassembly into ordered arrays."""
+    by_pos = assigned.select(
+        "cid", F.posexplode("q").alias("pos", "v")
+    ).groupBy("cid", "pos").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    val = F.expr("(s - pmod(s, n)) DIV n")  # portable floor(s/n), n > 0
+    return (
+        by_pos.select("cid", "pos", val.alias("val"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                lambda st: st["val"],
+            ).alias("cq")
+        )
+    )
+
+
+def kmeans_fixed_point(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    scale: int = SCALE,
+) -> DataFrame:
+    """Deterministic k-means: returns the final assignment
+    (vid, cid, dist). Init = the k lowest-id vectors (cid 1..k); then
+    ``iters`` rounds of assign→update; the returned frame is the
+    assignment under the final centroids."""
+    e = emb.select(
+        F.col(id_col).alias("vid"), quantize_vec(F.col(vec_col), scale).alias("q")
+    )
+    cents = (
+        e.filter(F.col("vid") < k)
+        .select(
+            F.row_number().over(Window.orderBy("vid")).alias("cid"),
+            F.col("q").alias("cq"),
+        )
+    )
+    for _ in range(iters):
+        cents = _update(_assign(e, cents))
+    return _assign(e, cents).select("vid", "cid", "dist")
+
+
+def kmeans_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    scale: int = SCALE,
+) -> str:
+    """DuckDB twin replaying the identical fixed-point iterations.
+    Returns a query producing (vid, cid, dist) — compose the final
+    SELECT around it."""
+    assign = (
+        "SELECT vid, q, cid, dist FROM ("
+        "  SELECT e.vid, e.q, c.cid,"
+        "         CAST(list_sum(list_transform(list_zip(e.q, c.cq),"
+        "              p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT) AS dist,"
+        "         ROW_NUMBER() OVER (PARTITION BY e.vid ORDER BY"
+        "           list_sum(list_transform(list_zip(e.q, c.cq),"
+        "              p -> (p[1]-p[2])*(p[1]-p[2]))), c.cid) AS rn"
+        "  FROM e CROSS JOIN {cents} c) WHERE rn = 1"
+    )
+    update = (
+        "SELECT cid, list(val ORDER BY pos) AS cq FROM ("
+        "  SELECT cid, pos, (s - ((s % n) + n) % n) // n AS val FROM ("
+        "    SELECT cid, pos, CAST(SUM(v) AS BIGINT) AS s, COUNT(*) AS n"
+        "    FROM (SELECT cid, generate_subscripts(q, 1) AS pos,"
+        "                 unnest(q) AS v FROM {src})"
+        "    GROUP BY cid, pos)"
+        ") GROUP BY cid"
+    )
+    ctes = [
+        f"e AS (SELECT {id_col} AS vid,"
+        f" list_transform({vec_col}, x -> CAST(FLOOR(CAST(x AS DOUBLE) * {scale})"
+        f" AS BIGINT)) AS q FROM {table})",
+        f"c0 AS (SELECT ROW_NUMBER() OVER (ORDER BY vid) AS cid, q AS cq"
+        f" FROM e WHERE vid < {k})",
+    ]
+    prev = "c0"
+    for i in range(iters):
+        ctes.append(f"a{i} AS ({assign.format(cents=prev)})")
+        ctes.append(f"c{i + 1} AS ({update.format(src=f'a{i}')})")
+        prev = f"c{i + 1}"
+    ctes.append(f"final AS ({assign.format(cents=prev)})")
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT vid, cid, dist FROM final"
+    )

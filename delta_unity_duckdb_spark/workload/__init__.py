@@ -10,6 +10,7 @@ query eventually earns a driver-verified row.
 """
 
 from delta_unity_duckdb_spark.workload import (  # noqa: F401
+    curation,
     events,
     graphq,
     llm,
