@@ -16,6 +16,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from delta_unity_duckdb_spark.functions.numeric import dec
+from delta_unity_duckdb_spark.operators.sketches import (
+    hll_estimate,
+    hll_sketch,
+    hll_sql,
+)
 from delta_unity_duckdb_spark.streaming.events import (
     read_events_stream,
     run_available_now,
@@ -355,3 +360,41 @@ def stream_static_join(spark, sf_dir):
         )
     )
     return run_available_now(agg, output_mode="complete")
+
+
+@query(
+    "stream_hll_distinct",
+    oracle=hll_sql(
+        "events",
+        "time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))",
+        "user_id",
+        6,
+    )
+    + " ORDER BY g",
+)
+def stream_hll_distinct(spark, sf_dir):
+    """Streaming distinct-user estimation per 10-minute window via
+    HyperLogLog registers — the canonical streaming-sketch shape: the
+    STREAMING STATE IS THE SKETCH (windows × 2^p register maxima, a
+    bounded watermark-evictable aggregation; exact streaming DISTINCT
+    would hold every user id per window forever), and the estimate is a
+    stateless read-side fold over the sink. Because the registers are
+    md5-portable and the estimate is exact-integer arithmetic, the
+    DuckDB oracle replays the identical batch computation — streaming
+    vs batch agreement AND engine agreement in one check."""
+    e = read_events_stream(spark, sf_dir)
+    windowed = e.withWatermark("ts", "10 minutes").select(
+        F.window("ts", "10 minutes").alias("win"), "user_id"
+    )
+    registers = hll_sketch(windowed, ["win"], "user_id", p=6)
+    sunk = run_available_now(registers, output_mode="complete")
+    return (
+        hll_estimate(sunk, ["win"], p=6)
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("g"),
+            "registers_used",
+            "hll_raw",
+            "hll_distinct",
+        )
+        .orderBy("g")
+    )

@@ -120,3 +120,38 @@ def test_stream_dedup_within_watermark(spark, sf_dir, batch_events):
     got = run_available_now(deduped, output_mode="append")
     assert got.count() == batch_events.count()
     assert got.distinct().count() == batch_events.count()
+
+
+def test_stream_hll_registers_equal_batch_sketch(spark, sf_dir, batch_events):
+    """The streaming HLL state must be EXACTLY the batch sketch of the
+    same input (mergeable state ⇒ micro-batch order cannot matter), and
+    it must be bounded: ≤ 2^p rows per window however many users appear."""
+    from pyspark.sql import functions as F
+
+    from delta_unity_duckdb_spark.operators.sketches import hll_sketch
+    from delta_unity_duckdb_spark.streaming.events import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    e = read_events_stream(spark, sf_dir)
+    windowed = e.withWatermark("ts", "10 minutes").select(
+        F.window("ts", "10 minutes").alias("win"), "user_id"
+    )
+    streamed = run_available_now(
+        hll_sketch(windowed, ["win"], "user_id", p=6), output_mode="complete"
+    )
+    batch = hll_sketch(
+        batch_events.select(
+            F.window("ts", "10 minutes").alias("win"), "user_id"
+        ),
+        ["win"],
+        "user_id",
+        p=6,
+    )
+    key = lambda df: sorted(
+        (r["win"]["start"], r["reg"], r["max_rho"]) for r in df.collect()
+    )
+    assert key(streamed) == key(batch)
+    per_window = streamed.groupBy("win").count().agg(F.max("count")).collect()
+    assert per_window[0][0] <= 64
