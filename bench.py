@@ -52,6 +52,16 @@ HEADLINE = [
     "skyline_pareto",
     "user_jaccard_pairs",
     "distribution_drift",
+    # round-2 additions: sketches + clustering + curation
+    "hll_distinct_groups",
+    "kmv_distinct_merge",
+    "kmv_set_ops",
+    "cms_heavy_hitters",
+    "bloom_join_stats",
+    "kmeans_clusters",
+    "semantic_dedup_blocks",
+    "cluster_balanced_sample",
+    "pii_redact",
 ]
 
 

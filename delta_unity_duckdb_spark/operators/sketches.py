@@ -401,3 +401,126 @@ def bloom_positions_sql(
     src: str, key_expr: str, carry: str, m: int = 1 << 16
 ) -> str:
     return _positions_union_sql(src, key_expr, carry, _BLOOM_A, _BLOOM_B, m)
+
+
+# -------------------------------------------------------------- histogram
+def hist_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+) -> DataFrame:
+    """Fixed-boundary histogram sketch: (group…, bin, cnt), ≤ bins+2 rows
+    per group (two overflow bins). The mergeable quantile structure —
+    merge = counter SUM per (group, bin) — so per-day histograms roll up
+    to any range without revisiting raw values, which GK/KLL-style
+    order-dependent sketches cannot do deterministically. Accuracy is
+    bounded by bin width rather than rank error: the right trade when the
+    value domain is known (prices, latencies, scores)."""
+    width = (hi - lo) / bins
+    v = F.col(value_col).cast("double")
+    b = (
+        F.when(v < lo, F.lit(-1))
+        .when(v >= hi, F.lit(bins))
+        .otherwise(F.floor((v - F.lit(lo)) / F.lit(width)))
+        .cast("long")
+    )
+    return (
+        df.select(*group_cols, b.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_quantiles(
+    sketch: DataFrame,
+    group_cols: list[str],
+    qs: list[float],
+    lo: float,
+    hi: float,
+    bins: int,
+) -> DataFrame:
+    """(group…, q, n, est): interpolated quantile estimates from the
+    histogram. rank = floor(q·(n−1)); the estimate places the rank
+    uniformly inside its bin. All arithmetic is a fixed sequence of IEEE
+    ops over exact integers, so estimates are engine-exact."""
+    width = (hi - lo) / bins
+    w_cum = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*[F.col(c) for c in group_cols])
+    c = sketch.select(
+        *group_cols,
+        "bin",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    qdf = c.crossJoin(
+        F.broadcast(
+            c.sparkSession.createDataFrame([(q,) for q in qs], "q double")
+        )
+    )
+    rnk = F.floor(F.col("q") * (F.col("n") - 1).cast("double")).cast("long")
+    sel = qdf.withColumn("rnk", rnk).filter(
+        (F.col("rnk") >= F.col("cum") - F.col("cnt"))
+        & (F.col("rnk") < F.col("cum"))
+    )
+    est = F.lit(lo) + F.lit(width) * (
+        F.col("bin").cast("double")
+        + (
+            (F.col("rnk") - (F.col("cum") - F.col("cnt"))).cast("double")
+            + F.lit(0.5)
+        )
+        / F.col("cnt").cast("double")
+    )
+    return sel.select(
+        *group_cols,
+        "q",
+        F.col("n").cast("bigint").alias("n"),
+        est.alias("est"),
+    )
+
+
+def hist_quantiles_sql(
+    table: str,
+    group_expr: str,
+    value_expr: str,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    bins: int,
+) -> str:
+    width = (hi - lo) / bins
+    qlist = ", ".join(repr(q) for q in qs)
+    return f"""
+    WITH h AS (
+      SELECT {group_expr} AS g,
+             CASE WHEN CAST({value_expr} AS DOUBLE) < {lo!r} THEN -1
+                  WHEN CAST({value_expr} AS DOUBLE) >= {hi!r} THEN {bins}
+                  ELSE CAST(FLOOR((CAST({value_expr} AS DOUBLE) - {lo!r})
+                                  / {width!r}) AS BIGINT) END AS bin
+      FROM {table}),
+    sk AS (SELECT g, bin, COUNT(*) AS cnt FROM h GROUP BY g, bin),
+    c AS (
+      SELECT g, bin, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY g ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum,
+             CAST(SUM(cnt) OVER (PARTITION BY g) AS BIGINT) AS n
+      FROM sk),
+    sel AS (
+      SELECT c.*, qq.q,
+             CAST(FLOOR(qq.q * CAST(c.n - 1 AS DOUBLE)) AS BIGINT) AS rnk
+      FROM c CROSS JOIN (SELECT unnest([{qlist}]) AS q) qq)
+    SELECT g, q, n,
+           {lo!r} + {width!r} * (CAST(bin AS DOUBLE)
+             + (CAST(rnk - (cum - cnt) AS DOUBLE) + 0.5)
+               / CAST(cnt AS DOUBLE)) AS est
+    FROM sel
+    WHERE rnk >= cum - cnt AND rnk < cum
+    """

@@ -1083,3 +1083,73 @@ def dataset_split_assign(spark, sf_dir):
         )
         .orderBy("split")
     )
+
+
+# ------------------------------------------------- E5: bigram LM surprisal
+@query(
+    "bigram_surprisal",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS w
+      FROM documents),
+    bg AS (
+      SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram
+      FROM toks, UNNEST(RANGE(1, LEN(w))) AS t(i)),
+    lm AS (SELECT bigram, COUNT(*) AS c FROM bg GROUP BY bigram),
+    scored AS (
+      SELECT bg.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(length(bin(lm.c))) AS BIGINT) AS familiarity_bits
+      FROM bg JOIN lm ON bg.bigram = lm.bigram
+      GROUP BY bg.doc_id)
+    SELECT doc_id, n_bigrams,
+           (familiarity_bits * 1000000) // n_bigrams AS familiarity_ppm
+    FROM scored ORDER BY familiarity_ppm ASC, doc_id LIMIT 100
+    """,
+)
+def bigram_surprisal(spark, sf_dir):
+    """Language-model quality proxy without a language model: score each
+    document by the average corpus familiarity of its word bigrams, where
+    familiarity(bigram) = bit_length(corpus count) — an integer stand-in
+    for log2(freq) that both engines compute identically via
+    length(bin(n)) (no libm). Low scores = documents made of rare
+    transitions (OOD / noisy text) — the cheap first-pass perplexity
+    filter of a curation pipeline. Shape at 100 TB: one explode + one
+    (bigram) count shuffle + one broadcast-size LM join back; the avg is
+    a portable integer floor division in ppm."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    bg = (
+        d.select("doc_id", w.alias("w"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("w") >= 2,
+                    F.expr(
+                        "transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1]))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("bigram"),
+        )
+    )
+    lm = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c"))
+    scored = (
+        bg.join(lm, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum(F.length(F.bin("c"))).cast("bigint").alias("familiarity_bits"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_bigrams",
+            F.expr(
+                "(familiarity_bits * 1000000) DIV n_bigrams"
+            ).alias("familiarity_ppm"),
+        )
+        .orderBy("familiarity_ppm", "doc_id")
+        .limit(100)
+    )

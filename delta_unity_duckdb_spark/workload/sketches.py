@@ -216,3 +216,181 @@ def bloom_join_stats(spark, sf_dir):
             .alias("false_positives"),
         )
     )
+
+
+# ---------------------------------------------------------- KMV set ops
+_KSET = 64
+_H60_MAX = 1 << 60
+
+
+@query(
+    "kmv_set_ops",
+    oracle=f"""
+    WITH lab AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'A' ELSE 'B' END AS g,
+             o_custkey
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+    sk AS ({SK.kmv_sql("lab", "g", "o_custkey", _KSET)}),
+    kths AS (
+      SELECT MIN(CASE WHEN n_kept < {_KSET} THEN {_H60_MAX} ELSE kth_min END)
+               AS theta
+      FROM sk),
+    kept AS (
+      SELECT DISTINCT g, {SK.hash60_sql("CAST(o_custkey AS VARCHAR)")} AS h
+      FROM lab),
+    keptrk AS (
+      SELECT g, h, ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+      FROM kept),
+    below AS (
+      SELECT k.g, k.h FROM keptrk k, kths t
+      WHERE k.rn <= {_KSET} AND k.h < t.theta),
+    common AS (
+      SELECT COUNT(*) AS n_common FROM below a JOIN below b
+      ON a.h = b.h AND a.g = 'A' AND b.g = 'B'),
+    uni AS (SELECT COUNT(DISTINCT h) AS n_union FROM below),
+    truth AS (
+      SELECT COUNT(*) AS true_inter FROM
+        (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT') x
+        JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH') y
+        USING (o_custkey))
+    SELECT CAST(t.theta AS BIGINT) AS theta,
+           CAST(c.n_common AS BIGINT) AS n_common_kept,
+           ROUND(c.n_common * CAST({float(_H60_MAX)!r} AS DOUBLE)
+                 / CAST(t.theta AS DOUBLE), 2) AS inter_est,
+           ROUND(u.n_union * CAST({float(_H60_MAX)!r} AS DOUBLE)
+                 / CAST(t.theta AS DOUBLE), 2) AS union_est,
+           CAST(tr.true_inter AS BIGINT) AS true_intersection
+    FROM kths t, common c, uni u, truth tr
+    """,
+)
+def kmv_set_ops(spark, sf_dir):
+    """Theta-sketch set expressions — the capability HLL cannot provide:
+    estimate |A∩B| and |A∪B| for the urgent-vs-high-priority customer
+    sets from their KMV sketches alone. Both sketches share one portable
+    hash, so below a common threshold θ = min(θ_A, θ_B) each kept hash is
+    a uniform sample of the union; the intersection estimate is
+    |kept_A ∩ kept_B| / θ-fraction. At 100 TB the sketches are built in
+    one pass (k rows each) and every set expression afterwards touches
+    ≤ 2k rows — no re-scan of the fact table per question asked. True
+    intersection included for the accuracy check in tests."""
+    o = load_table(spark, sf_dir, "orders")
+    lab = o.filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    ).select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", "A")
+        .otherwise("B")
+        .alias("g"),
+        "o_custkey",
+    )
+    sk = SK.kmv_sketch(lab, ["g"], "o_custkey", k=_KSET)
+    kth = SK.kmv_estimate(sk, ["g"], k=_KSET).select(
+        F.when(F.col("n_kept") < _KSET, F.lit(_H60_MAX))
+        .otherwise(F.col("kth_min"))
+        .alias("theta_g")
+    )
+    kths = kth.groupBy().agg(F.min("theta_g").alias("theta"))
+    below = sk.crossJoin(F.broadcast(kths)).filter(F.col("h") < F.col("theta"))
+    a = below.filter(F.col("g") == "A").select("h")
+    b = below.filter(F.col("g") == "B").select(F.col("h").alias("h2"))
+    common = a.join(b, a["h"] == b["h2"]).agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    uni = below.select("h").distinct().agg(F.count(F.lit(1)).alias("n_union"))
+    x = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
+    y = o.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey").distinct()
+    truth = x.join(y, "o_custkey").agg(F.count(F.lit(1)).alias("true_inter"))
+    return (
+        kths.crossJoin(common)
+        .crossJoin(uni)
+        .crossJoin(truth)
+        .select(
+            F.col("theta").cast("bigint").alias("theta"),
+            F.col("n_common").cast("bigint").alias("n_common_kept"),
+            F.round(
+                F.col("n_common") * F.lit(float(_H60_MAX)) / F.col("theta").cast("double"), 2
+            ).alias("inter_est"),
+            F.round(
+                F.col("n_union") * F.lit(float(_H60_MAX)) / F.col("theta").cast("double"), 2
+            ).alias("union_est"),
+            F.col("true_inter").cast("bigint").alias("true_intersection"),
+        )
+    )
+
+
+# ------------------------------------------------- incremental HLL + CDC
+@query(
+    "hll_incremental_refresh",
+    oracle=SK.hll_sql("events", "event_type", "user_id", _HLL_P)
+    + " ORDER BY g",
+)
+def hll_incremental_refresh(spark, sf_dir):
+    """Incremental distinct-count maintenance over a Delta change feed —
+    the composition that makes sketches matter at 100 TB: the events
+    table arrives as three Delta commits; the HLL register table is
+    bootstrapped from v0 and then refreshed by sketching ONLY each
+    commit's added rows (sources/delta_log.py read_delta_changes) and
+    register-MAX-merging — never rescanning history. Because merge is
+    exact, the maintained sketch is bit-identical to sketching the full
+    table, which is exactly what the oracle checks (DuckDB replays the
+    whole-table sketch; any drift between the incremental path and the
+    batch path fails the hash)."""
+    import tempfile
+
+    from delta_unity_duckdb_spark.sources.delta_log import (
+        read_delta,
+        read_delta_changes,
+        write_delta,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    t = tempfile.mkdtemp(prefix="hll_cdc_")
+    for i in range(3):  # three append commits (v0, v1, v2)
+        write_delta(ev.filter(F.col("event_id") % 3 == i), t)
+    acc = SK.hll_sketch(
+        read_delta(spark, t, version=0), ["event_type"], "user_id", p=_HLL_P
+    )
+    for v in (1, 2):
+        batch = read_delta_changes(spark, t, from_version=v - 1, to_version=v)
+        acc = SK.hll_merge(
+            acc,
+            SK.hll_sketch(batch, ["event_type"], "user_id", p=_HLL_P),
+            ["event_type"],
+        )
+    return (
+        SK.hll_estimate(acc, ["event_type"], p=_HLL_P)
+        .withColumnRenamed("event_type", "g")
+        .orderBy("g")
+    )
+
+
+# ------------------------------------------------------ quantile histogram
+_H_LO, _H_HI, _H_BINS = 0.0, 1000.0, 200
+
+
+@query(
+    "hist_quantile_sketch",
+    oracle=SK.hist_quantiles_sql(
+        "events", "event_type", "value", [0.5, 0.9, 0.99], _H_LO, _H_HI, _H_BINS
+    )
+    + " ORDER BY g, q",
+)
+def hist_quantile_sketch(spark, sf_dir):
+    """p50/p90/p99 of event value per type from a fixed-boundary
+    histogram sketch — the mergeable quantile structure: per-day
+    (group, bin) counters SUM together, so quantiles over any date range
+    come from merged counters instead of re-sorting raw values (exact
+    percentiles at 100 TB are a full sort per group; order-dependent
+    GK/KLL merges aren't deterministic). ≤ bins+2 rows per group,
+    map-side combined; estimates are a fixed IEEE op sequence over exact
+    integer counters — engine-exact, hence a full value oracle."""
+    e = load_table(spark, sf_dir, "events")
+    sk = SK.hist_sketch(e, ["event_type"], "value", _H_LO, _H_HI, _H_BINS)
+    return (
+        SK.hist_quantiles(
+            sk, ["event_type"], [0.5, 0.9, 0.99], _H_LO, _H_HI, _H_BINS
+        )
+        .withColumnRenamed("event_type", "g")
+        .orderBy("g", "q")
+    )

@@ -223,3 +223,52 @@ def test_cms_probe_broadcasts_counters(spark, sf_dir):
     est = SK.cms_estimate(counters, tc.select("word"), "word", width=256)
     plan = est._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_kmv_set_ops_accuracy(spark, sf_dir):
+    """Theta-sketch intersection estimate lands within sampling error of
+    the true intersection (RSE ~ 1/sqrt(k) on the union scale)."""
+    from delta_unity_duckdb_spark.workload.sketches import kmv_set_ops
+
+    r = kmv_set_ops(spark, sf_dir).collect()[0]
+    true = r["true_intersection"]
+    assert r["n_common_kept"] >= 0
+    assert r["union_est"] > 0
+    if true > 0:
+        # allow generous 4-sigma band on the union-scaled estimator
+        assert abs(r["inter_est"] - true) / max(true, 1) < 1.0, dict(r.asDict())
+
+
+def test_hist_sketch_merge_is_counter_sum(spark, sf_dir):
+    """Per-half histograms SUM to the whole-table histogram exactly —
+    mergeable quantiles across days/partitions."""
+    e = load_table(spark, sf_dir, "events")
+    lo = e.filter(F.col("event_id") % 2 == 0)
+    hi = e.filter(F.col("event_id") % 2 == 1)
+    whole = SK.hist_sketch(e, ["event_type"], "value", 0.0, 1000.0, 50)
+    summed = (
+        SK.hist_sketch(lo, ["event_type"], "value", 0.0, 1000.0, 50)
+        .unionByName(SK.hist_sketch(hi, ["event_type"], "value", 0.0, 1000.0, 50))
+        .groupBy("event_type", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    assert _rows(whole, "event_type", "bin") == _rows(summed, "event_type", "bin")
+
+
+def test_hist_quantiles_within_bin_width_of_exact(spark, sf_dir):
+    """Estimate error is bounded by bin width (5.0 here) for in-range data."""
+    e = load_table(spark, sf_dir, "events")
+    sk = SK.hist_sketch(e, ["event_type"], "value", 0.0, 1000.0, 200)
+    est = {
+        (r["event_type"], r["q"]): r["est"]
+        for r in SK.hist_quantiles(
+            sk, ["event_type"], [0.5, 0.9], 0.0, 1000.0, 200
+        ).collect()
+    }
+    exact = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+    ).collect()
+    for r in exact:
+        assert abs(est[(r["event_type"], 0.5)] - r["p50"]) <= 5.0
+        assert abs(est[(r["event_type"], 0.9)] - r["p90"]) <= 5.0
