@@ -402,3 +402,70 @@ def pagerank_int_sql(
     SELECT node, CAST(rank AS BIGINT) AS rank_scaled FROM r{iterations}"""
     )
     return "".join(parts)
+
+
+def kcore(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """k-core decomposition by iterated degree pruning: drop every vertex
+    with degree < k, recompute, repeat. ``rounds`` is fixed (not
+    run-to-fixpoint) so the computation is a deterministic unrollable
+    plan — the DuckDB oracle replays the identical rounds; on the test
+    graphs 8 rounds reaches the fixpoint anyway (asserted in tests).
+
+    ``edges`` must be the symmetric (doubled) edge list. Each round is
+    one degree aggregation + two semi-equi-joins, localCheckpoint-ed to
+    truncate lineage — at 100 TB each round is a keyed shuffle of the
+    SURVIVING edges only, and the edge set only shrinks.
+    """
+    alive = edges.select("src", "dst").localCheckpoint(eager=True)
+    for _ in range(rounds):
+        keep = (
+            alive.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= k)
+            .select("src")
+        )
+        alive = (
+            alive.join(keep, "src")
+            .join(keep.withColumnRenamed("src", "dst"), "dst")
+            .localCheckpoint(eager=True)
+        )
+    return alive
+
+
+def kcore_sql(edges_cte: str, k: int, rounds: int) -> str:
+    """DuckDB twin of ``kcore``: the fixed pruning rounds unrolled as a
+    CTE chain (same trick as clustering.kmeans_sql for iterative
+    algorithms). ``edges_cte`` must define a CTE named ``a0`` holding the
+    symmetric edge list (src, dst); returns SQL producing one row
+    (n_core_vertices, n_core_edges, min_degree, max_degree).
+
+    Every round CTE is ``MATERIALIZED``: DuckDB inlines plain CTEs, and
+    each round references the previous one twice, so 8 inlined rounds
+    would re-evaluate the base scan 2^8 times (observed as a
+    too-many-open-files explosion). Materialization is the SQL analogue
+    of the Spark side's per-round localCheckpoint."""
+    ctes = [edges_cte.replace(" AS (", " AS MATERIALIZED (", 1)]
+    prev = "a0"
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"k{i} AS MATERIALIZED (SELECT src FROM"
+            f" (SELECT src, COUNT(*) AS d FROM {prev}"
+            f" GROUP BY src) WHERE d >= {k})"
+        )
+        ctes.append(
+            f"a{i} AS MATERIALIZED (SELECT a.src, a.dst FROM {prev} a"
+            f" JOIN k{i} x ON a.src = x.src JOIN k{i} y ON a.dst = y.src)"
+        )
+        prev = f"a{i}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+    dfin AS (SELECT src, COUNT(*) AS d FROM {prev} GROUP BY src)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_core_vertices,
+           CAST((SELECT COUNT(*) FROM {prev}) // 2 AS BIGINT) AS n_core_edges,
+           CAST(COALESCE(MIN(d), 0) AS BIGINT) AS min_degree,
+           CAST(COALESCE(MAX(d), 0) AS BIGINT) AS max_degree
+    FROM dfin
+    """
+    )

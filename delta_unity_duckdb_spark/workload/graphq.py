@@ -3,7 +3,12 @@ full DuckDB oracles over the same derived orders→lineitem hierarchy."""
 
 from __future__ import annotations
 
-from delta_unity_duckdb_spark.operators.graph import build_graph, graph_counts, one_hop
+from delta_unity_duckdb_spark.operators.graph import (
+    build_graph,
+    graph_counts,
+    kcore_sql,
+    one_hop,
+)
 from delta_unity_duckdb_spark.workload.registry import query
 
 
@@ -280,3 +285,74 @@ def graph_triangles_q(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     return n_vertices.crossJoin(n_edges).crossJoin(n_triangles)
+
+
+_KCORE_EDGES_SQL = """a0 AS (
+      SELECT src, dst FROM (
+        SELECT a.p AS src, b.p AS dst FROM
+          (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) a
+          JOIN
+          (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem) b
+          ON a.o = b.o AND a.p <> b.p
+      )
+      WHERE (CAST(('0x' || substr(md5(
+               CAST(LEAST(src, dst) AS VARCHAR) || '-' ||
+               CAST(GREATEST(src, dst) AS VARCHAR)), 1, 15)) AS BIGINT) % 10) = 0
+      GROUP BY src, dst)"""
+
+
+@query(
+    "graph_kcore",
+    oracle=kcore_sql(_KCORE_EDGES_SQL, k=6, rounds=12),
+)
+def graph_kcore(spark, sf_dir):
+    """6-core of the part co-occurrence graph (parts sharing an order,
+    edges hash-sampled at 10% so expected degree is SF-independent):
+    iterated degree-< k pruning, 12 fixed rounds (converged at every
+    fixture SF — same result as 16), DuckDB oracle replaying
+    the identical unrolled rounds. The core/periphery split is the
+    classic graph-cleaning pass (drop weakly-connected noise vertices
+    before community/embedding work). Each round shuffles only surviving
+    edges; the sampling hash is the portable md5 hash on the UNORDERED
+    pair so both edge directions live or die together."""
+    from pyspark.sql import functions as F
+
+    from delta_unity_duckdb_spark.functions.hashing import hash60
+    from delta_unity_duckdb_spark.operators.graph import kcore
+    from delta_unity_duckdb_spark.sources.tables import load_table
+
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    pair_key = F.concat(
+        F.least(F.col("a.p"), F.col("b.p")).cast("string"),
+        F.lit("-"),
+        F.greatest(F.col("a.p"), F.col("b.p")).cast("string"),
+    )
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") != F.col("b.p")))
+        .select(
+            F.col("a.p").alias("src"),
+            F.col("b.p").alias("dst"),
+            hash60(pair_key).alias("_hk"),
+        )
+        .filter(F.pmod(F.col("_hk"), F.lit(10)) == 0)
+        .select("src", "dst")
+        .distinct()
+    )
+    core = kcore(edges, k=6, rounds=12)
+    deg = core.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    stats = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_core_vertices"),
+        F.coalesce(F.min("d"), F.lit(0)).cast("bigint").alias("min_degree"),
+        F.coalesce(F.max("d"), F.lit(0)).cast("bigint").alias("max_degree"),
+    )
+    n_edges = core.agg(
+        F.expr("CAST(count(1) DIV 2 AS BIGINT)").alias("n_core_edges")
+    )
+    return stats.crossJoin(n_edges).select(
+        "n_core_vertices", "n_core_edges", "min_degree", "max_degree"
+    )

@@ -15,8 +15,14 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from delta_unity_duckdb_spark.functions.hashing import hash31
 from delta_unity_duckdb_spark.functions.numeric import dec
 from delta_unity_duckdb_spark.operators.sketches import (
+    _CMS_A,
+    _CMS_B,
+    _P,
+    cms_estimate,
+    cms_positions_sql,
     hll_estimate,
     hll_sketch,
     hll_sql,
@@ -397,4 +403,60 @@ def stream_hll_distinct(spark, sf_dir):
             "hll_distinct",
         )
         .orderBy("g")
+    )
+
+
+@query(
+    "stream_cms_top_users",
+    oracle=f"""
+    WITH tc AS (
+      SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id),
+    pos AS ({cms_positions_sql("tc", "user_id", "user_id, n", 1024)}),
+    counters AS (
+      SELECT row_i, pos, CAST(SUM(n) AS BIGINT) AS cnt
+      FROM pos GROUP BY row_i, pos),
+    ppos AS ({cms_positions_sql("tc", "user_id", "user_id, n", 1024)}),
+    est AS (
+      SELECT p.user_id, MIN(c.cnt) AS cms_est
+      FROM ppos p JOIN counters c ON p.row_i = c.row_i AND p.pos = c.pos
+      GROUP BY p.user_id)
+    SELECT user_id, CAST(cms_est AS BIGINT) AS cms_est
+    FROM est ORDER BY cms_est DESC, user_id LIMIT 20
+    """,
+)
+def stream_cms_top_users(spark, sf_dir):
+    """Streaming heavy-hitter tracking: the Count-Min counter matrix IS
+    the streaming aggregation state — a FIXED depth×width grid of SUM
+    counters (update-compatible, bounded forever) where exact per-user
+    streaming counts would grow state with the user population. The
+    top-20 probe is a stateless read-side min-over-rows against the
+    drained counters. Counters are portable-hash-addressed, so the
+    DuckDB oracle rebuilds the identical matrix from the batch table —
+    streaming≡batch≡cross-engine in one value hash."""
+    from delta_unity_duckdb_spark.sources.tables import load_table
+
+    e = read_events_stream(spark, sf_dir)
+    h = hash31(F.col("user_id").cast("string"))
+    slots = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row_i"),
+                ((F.lit(a) * h + F.lit(b)) % F.lit(_P) % F.lit(1024)).alias(
+                    "pos"
+                ),
+            )
+            for i, (a, b) in enumerate(zip(_CMS_A, _CMS_B))
+        ]
+    )
+    counters = (
+        e.select(F.explode(slots).alias("rp"))
+        .groupBy(F.col("rp.row_i").alias("row_i"), F.col("rp.pos").alias("pos"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sunk = run_available_now(counters, output_mode="complete")
+    probe = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    return (
+        cms_estimate(sunk, probe, "user_id", width=1024)
+        .orderBy(F.desc("cms_est"), "user_id")
+        .limit(20)
     )

@@ -72,3 +72,45 @@ class TestPagerank:
         r1 = {r["node"]: r["rank"] for r in pagerank(e1, iterations=3).collect()}
         r2 = {r["node"]: r["rank"] for r in pagerank(e2, iterations=3).collect()}
         assert r1 == r2  # exact decimal equality, not approx
+
+
+def test_kcore_fixpoint_and_nesting(spark, sf_dir):
+    """12 pruning rounds reach the fixpoint on the fixture graph (extra
+    rounds change nothing), every core vertex meets the degree bound, and
+    cores nest: the (k+1)-core is a subgraph of the k-core."""
+    from pyspark.sql import functions as F
+
+    from delta_unity_duckdb_spark.functions.hashing import hash60
+    from delta_unity_duckdb_spark.operators.graph import kcore
+    from delta_unity_duckdb_spark.sources.tables import load_table
+
+    op = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    pk = F.concat(
+        F.least(F.col("a.p"), F.col("b.p")).cast("string"),
+        F.lit("-"),
+        F.greatest(F.col("a.p"), F.col("b.p")).cast("string"),
+    )
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") != F.col("b.p")))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"), hash60(pk).alias("hk"))
+        .filter(F.pmod(F.col("hk"), F.lit(10)) == 0)
+        .select("src", "dst")
+        .distinct()
+    )
+    def edge_set(df):
+        return {(r["src"], r["dst"]) for r in df.collect()}
+
+    c12 = edge_set(kcore(edges, k=6, rounds=12))
+    c14 = edge_set(kcore(edges, k=6, rounds=14))
+    assert c12 == c14  # fixpoint
+    if c12:
+        from collections import Counter
+        deg = Counter(s for s, _ in c12)
+        assert min(deg.values()) >= 6
+    c7 = edge_set(kcore(edges, k=7, rounds=12))
+    assert c7 <= c12  # nesting
