@@ -62,6 +62,8 @@ HEADLINE = [
     "semantic_dedup_blocks",
     "cluster_balanced_sample",
     "pii_redact",
+    "llm_pipeline_end_to_end",
+    "graph_kcore",
 ]
 
 

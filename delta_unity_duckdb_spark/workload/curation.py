@@ -226,3 +226,159 @@ def pii_redact(spark, sf_dir):
         .orderBy("doc_id")
         .limit(500)
     )
+
+
+# ------------------------------------------------- end-to-end pipeline
+from delta_unity_duckdb_spark.operators import dedup as D  # noqa: E402
+
+_P_EMAIL = _EMAIL_RE
+_P_PHONE = _PHONE_RE
+
+
+@query(
+    "llm_pipeline_end_to_end",
+    oracle=f"""
+    WITH RECURSIVE
+    base AS (
+      SELECT doc_id, lang, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, lang, text FROM documents WHERE doc_id % 20 = 0),
+    dirty AS (
+      SELECT doc_id, lang,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+      FROM base),
+    red AS (
+      SELECT doc_id, lang,
+             regexp_replace(regexp_replace(text, '{_P_EMAIL}', '<EMAIL>', 'g'),
+                            '{_P_PHONE}', '<PHONE>', 'g') AS text
+      FROM dirty),
+    tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM red),
+    tw AS (
+      SELECT doc_id, word, COUNT(*) AS c FROM tok
+      WHERE word <> '' GROUP BY doc_id, word),
+    stats AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok, MAX(c) AS max_tf
+      FROM tw GROUP BY doc_id),
+    qual AS (
+      SELECT r.doc_id, r.lang, r.text, s.n_tok
+      FROM red r JOIN stats s USING (doc_id)
+      WHERE s.n_tok BETWEEN 20 AND 200
+        AND (s.max_tf * 1000000) // s.n_tok < 250000),
+    ex AS (
+      SELECT doc_id, lang, text, n_tok FROM (
+        SELECT q.*, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM qual q) WHERE rn = 1),
+    pairs AS ({D.minhash_pairs_sql("ex", "doc_id", "text", num_perm=32, bands=8)}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b AS u, id_a AS v FROM pairs),
+    reach AS (
+      SELECT u AS node, u AS r FROM edges
+      UNION
+      SELECT e.v AS node, rr.r FROM reach rr JOIN edges e ON e.u = rr.node),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    keep AS (
+      SELECT e.doc_id, e.lang, e.n_tok FROM ex e
+      LEFT JOIN comp c ON c.node = e.doc_id
+      WHERE COALESCE(c.component, e.doc_id) = e.doc_id),
+    routed AS (
+      SELECT lang, n_tok,
+             CASE WHEN ((doc_id * 2654435761) % 4294967296) % 10 < 8 THEN 'train'
+                  WHEN ((doc_id * 2654435761) % 4294967296) % 10 = 8 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM keep)
+    SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM routed GROUP BY split, lang ORDER BY split, lang
+    """,
+)
+def llm_pipeline_end_to_end(spark, sf_dir):
+    """The whole curation pipeline as ONE oracle-paired dataflow — the
+    engine's capstone composition: re-crawled corpus (every 20th doc
+    duplicated under a new id) → PII injection twin → redaction →
+    quality gate (token-count bounds + repetition ppm) → exact dedup
+    (collapses the re-crawl copies; redaction makes them byte-identical
+    again) → MinHash near-dup clustering with one survivor per family →
+    deterministic train/val/test routing → per-(split, lang) doc/token
+    mix sheet. Every stage reuses a proven operator and stays
+    engine-exact, so the DuckDB oracle replays the ENTIRE chain and one
+    value hash verifies stage ordering, not just each stage alone.
+    Scale shape: narrow maps + keyed shuffles; the only iteration
+    (connected components) is pointer-jumping over the candidate-pair
+    graph, never all-pairs."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    recrawl = d.filter(F.col("doc_id") % 20 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    base = d.unionByName(recrawl)
+    dirty = base.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    red = dirty.select(
+        "doc_id",
+        "lang",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _P_EMAIL, "<EMAIL>"),
+            _P_PHONE,
+            "<PHONE>",
+        ).alias("text"),
+    )
+    tw = (
+        red.select(
+            "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = tw.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tok"), F.max("c").alias("max_tf")
+    )
+    qual = (
+        red.join(stats, "doc_id")
+        .filter(
+            F.col("n_tok").between(20, 200)
+            & (F.expr("(max_tf * 1000000) DIV n_tok") < 250000)
+        )
+        .select("doc_id", "lang", "text", "n_tok")
+    )
+    ex = D.dedup_exact(qual, ["text"], "doc_id")
+    survivors = (
+        D.near_dup_clusters(ex, "doc_id", "text", num_perm=32, bands=8)
+        .filter(F.col("is_survivor"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    keep = ex.join(survivors, "doc_id")
+    routed = keep.select(
+        "lang",
+        "n_tok",
+        F.when(
+            (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 10 < 8,
+            "train",
+        )
+        .when(
+            (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 10 == 8,
+            "val",
+        )
+        .otherwise("test")
+        .alias("split"),
+    )
+    return (
+        routed.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("split", "lang")
+    )
