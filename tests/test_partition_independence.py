@@ -28,6 +28,18 @@ CHECKED = [
     "winsorized_stats",      # percentile bounds + clipped DECIMAL sum
     "dataset_split_assign",  # hash routing must not depend on layout
     "source_mixture_weights",  # sqrt-quantized normalization
+    # round-2 sketch/clustering surface: every estimate is exact-integer
+    # arithmetic, so layout must never leak into a register, counter,
+    # minimum, centroid, or core membership
+    "hll_distinct_groups",
+    "kmv_set_ops",
+    "cms_heavy_hitters",
+    "bloom_join_stats",
+    "hist_quantile_sketch",
+    "kmeans_clusters",
+    "cluster_balanced_sample",
+    "bigram_surprisal",
+    "graph_kcore",
 ]
 
 

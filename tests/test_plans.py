@@ -284,3 +284,43 @@ def test_basket_pairs_keyed_join_no_cartesian(plans):
     p = plans["basket_pairs"]
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+# ---------------------------------------------------- round-2 surface
+def test_pii_redact_is_zero_shuffle_map(plans):
+    """Redaction is a narrow map + top-k: any Exchange would mean the
+    regexp work shuffles 100 TB of text for no reason."""
+    p = plans["pii_redact"]
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange" not in p
+
+
+def test_kmeans_broadcasts_centroids_and_prunes_top1(plans):
+    """Assignment must broadcast the k centroids (never shuffle the
+    vectors against them) and prune the per-vector rank below the sort."""
+    p = plans["kmeans_clusters"]
+    assert "BroadcastNestedLoopJoin" in p
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+
+
+def test_sketch_builds_partial_aggregate_before_shuffle(plans):
+    """Register/counter builds must map-side combine — the property that
+    keeps sketch shuffles at groups x m rows at any input size."""
+    assert "partial_max" in plans["hll_distinct_groups"]
+    assert "partial_count" in plans["hist_quantile_sketch"]
+    assert "partial_sum" in plans["cms_heavy_hitters"]
+
+
+def test_bloom_probe_broadcasts_position_set(plans):
+    p = plans["bloom_join_stats"]
+    assert "BroadcastHashJoin" in p
+
+
+def test_bigram_surprisal_single_lm_shuffle(plans):
+    """One bigram-count shuffle + a join back + top-k; the LM join may
+    broadcast (small fixture) or sort-merge (at scale) but never
+    cartesian."""
+    p = plans["bigram_surprisal"]
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
