@@ -8,6 +8,7 @@ recomputation in tests/.
 from __future__ import annotations
 
 import pandas as pd
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from delta_unity_duckdb_spark.operators import dedup as D
@@ -368,9 +369,8 @@ def udf_pandas_scalar(spark, sf_dir):
     )
 
 
-@query(
-    "lang_id",
-    oracle=r"""
+# shared CTE: stopword-profile language ID with true label riding along
+_LANG_ID_SQL = r"""
     WITH t AS (
       SELECT doc_id, lang AS lang_true,
              list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
@@ -388,9 +388,10 @@ def udf_pandas_scalar(spark, sf_dir):
       FROM t)
     SELECT doc_id, lang_true,
            CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred
-    FROM scored ORDER BY doc_id LIMIT 1000
-    """,
-)
+    FROM scored"""
+
+
+@query("lang_id", oracle=_LANG_ID_SQL + " ORDER BY doc_id LIMIT 1000")
 def lang_id(spark, sf_dir):
     """n-gram/stopword language ID (E5): per-language profile hit ratio,
     argmax via array_max over (score, lang) structs — lexicographic struct
@@ -1152,4 +1153,50 @@ def bigram_surprisal(spark, sf_dir):
         )
         .orderBy("familiarity_ppm", "doc_id")
         .limit(100)
+    )
+
+
+# ------------------------------------------- E5: language-ID evaluation
+@query(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH preds AS ({_LANG_ID_SQL})
+    SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST((COUNT(*) * 1000000)
+             // CAST(SUM(COUNT(*)) OVER (PARTITION BY lang_true) AS BIGINT)
+             AS BIGINT) AS row_share_ppm
+    FROM preds GROUP BY lang_true, lang_pred
+    ORDER BY lang_true, lang_pred
+    """,
+)
+def lang_id_confusion(spark, sf_dir):
+    """Classifier evaluation as a dataflow: the confusion matrix of the
+    stopword language-ID against the corpus's true labels, with per-row
+    shares in integer ppm (portable floor division over a windowed
+    total). The eval-harness pattern every model-adjacent pipeline needs
+    — predictions and labels never leave the engine."""
+    d = load_table(spark, sf_dir, "documents")
+    preds = d.select(
+        F.col("lang").alias("lang_true"),
+        T.detect_language(F.col("text")).alias("lang_pred"),
+    )
+    counts = preds.groupBy("lang_true", "lang_pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("lang_true")
+    return (
+        counts.select(
+            "lang_true",
+            "lang_pred",
+            "n",
+            F.expr("n * 1000000").alias("_num"),
+            F.sum("n").over(w).alias("_tot"),
+        )
+        .select(
+            "lang_true",
+            "lang_pred",
+            "n",
+            F.expr("_num DIV _tot").alias("row_share_ppm"),
+        )
+        .orderBy("lang_true", "lang_pred")
     )

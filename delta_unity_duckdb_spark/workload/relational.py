@@ -1591,3 +1591,77 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------- C: LATERAL join
+@query(
+    "lateral_topn_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey,
+           t.o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+    WHERE c.c_mktsegment = 'BUILDING'
+    ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey LIMIT 500
+    """,
+)
+def lateral_topn_join(spark, sf_dir):
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    modern-SQL top-N-per-group idiom the reference's DuckDB passthrough
+    accepts verbatim. Spark's Catalyst decorrelates the lateral into a
+    join + per-group rank (no per-customer re-execution), which is the
+    plan a hand-written window query would produce — declarative parity
+    with zero imperative code."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("lat_customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+        FROM lat_customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM lat_orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 3) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey LIMIT 500
+        """
+    )
+
+
+# ---------------------------------------------------------------- C: distribution windows
+@query(
+    "window_percent_cume",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           NTH_VALUE(o_totalprice, 2) OVER
+             (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_lowest
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderpriority, o_totalprice, o_orderkey LIMIT 400
+    """,
+)
+def window_percent_cume(spark, sf_dir):
+    """Distribution-position window functions (PERCENT_RANK / CUME_DIST /
+    NTH_VALUE with an unbounded frame) — the remaining window family the
+    full-SQL surface exposes. percent_rank is (rank−1)/(n−1): one exact
+    integer division per row, rounded identically on both engines; the
+    unique (price, key) ordering removes tie ambiguity."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        o.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.nth_value("o_totalprice", 2).over(wfull).alias("second_lowest"),
+        )
+        .orderBy("o_orderpriority", F.col("pct_rank"), "o_orderkey")
+        .limit(400)
+    )
