@@ -157,7 +157,7 @@ def _shingles(text_col, n: int = 3):
     )
 
 
-def minhash_signatures(
+def minhash_signatures_wide(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -165,14 +165,24 @@ def minhash_signatures(
     shingle_n: int = 3,
     seed: int = 42,
 ) -> DataFrame:
-    """(id, perm, minhash) — one row per document per permutation.
+    """(id, mh_0 .. mh_{num_perm-1}) — one row per document, one column per
+    permutation.
+
+    Shape: explode distinct shingles → ONE portable md5 hash per shingle →
+    ONE groupBy(id) computing all num_perm universal-hash MINs as plain
+    aggregates. The min aggregates partially combine map-side, so the
+    shuffle carries ~one wide row per document per input partition — not
+    the shingle stream. This halves the runtime of the earlier
+    all-array-expression form (num_perm ``F.transform``/``array_min``
+    walks re-traversed the shingle array once per permutation, allocating
+    an intermediate array each time); per-row aggregate MINs are tight
+    codegen loops. Same trick as ``simhash_fingerprints``.
 
     Shingles are hashed JVM-side with the md5-derived portable hash
     (functions/hashing.py) so signatures — and therefore candidate pairs —
     are engine-reproducible (the DuckDB oracle computes the identical
-    signatures); each permutation applies a universal hash and takes the
-    min via ``F.array_min`` — all map-side, zero shuffles until the caller
-    aggregates.
+    signatures). Docs with zero shingles vanish at the explode, matching
+    the oracle's ``len(shingles) > 0`` filter.
     """
     from delta_unity_duckdb_spark.functions.hashing import hash31
 
@@ -182,24 +192,38 @@ def minhash_signatures(
 
     sh = df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(_shingles(F.col(text_col), shingle_n)).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
-    hashed = sh.select(
-        "id",
-        F.transform("shingles", lambda s: hash31(s)).alias("hs"),
+        F.explode(
+            F.array_distinct(_shingles(F.col(text_col), shingle_n))
+        ).alias("s"),
     )
-    sig_cols = [
-        F.array_min(
-            F.transform("hs", lambda h: (h * a + b) % F.lit(_MERSENNE_P))
-        ).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(perms)
-    ]
-    wide = hashed.select("id", *sig_cols)
-    # long-form for banding
+    hashed = sh.select("id", hash31(F.col("s")).alias("h"))
+    return hashed.groupBy("id").agg(
+        *[
+            F.min((F.col("h") * a + b) % F.lit(_MERSENNE_P)).alias(f"mh_{i}")
+            for i, (a, b) in enumerate(perms)
+        ]
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, perm, minhash) — long-form view of the wide signatures (one row
+    per document per permutation), for callers that want to aggregate or
+    inspect per-permutation values. Candidate generation does NOT go
+    through this form — ``minhash_near_dups`` bands the wide row directly.
+    """
+    num = num_perm
+    wide = minhash_signatures_wide(df, id_col, text_col, num_perm, shingle_n, seed)
     pairs = F.array(
         *[
             F.struct(F.lit(i).alias("perm"), F.col(f"mh_{i}").alias("mh"))
-            for i in range(num_perm)
+            for i in range(num)
         ]
     )
     return wide.select("id", F.explode(pairs).alias("pm")).select(
@@ -224,15 +248,45 @@ def minhash_near_dups(
     ``max_bucket_size`` drops degenerate buckets (boilerplate) that would
     otherwise explode quadratically — dropped buckets are reported by the
     caller via counts, never silently at scale.
+
+    Banding reads the band slices straight out of the WIDE signature row
+    (xxhash64 over the slice columns) — a narrow map, so candidate
+    generation costs zero shuffles before the bucket equi-join itself.
+    The earlier long-form layout (explode to num_perm rows → groupBy(id,
+    band) collect_list) paid a full shuffle of num_perm × N rows just to
+    reassemble slices that were already adjacent in the wide row.
     """
     rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_n, seed)
+    wide = minhash_signatures_wide(df, id_col, text_col, num_perm, shingle_n, seed)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.lit(b),
+                    *[
+                        F.col(f"mh_{i}")
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    # ``banded`` has THREE consumers (bucket-size census + both sides of
+    # the self-join). Materialize it once: without this, each consumer
+    # re-runs the full signature map (md5 over every shingle) — the old
+    # long-form groupBy got this for free via shuffle-exchange reuse, but
+    # paid a num_perm × N shuffle for it. A checkpoint of the compact
+    # (id, band, bucket) rows keeps the zero-shuffle map AND single
+    # execution; at cluster scale this is a cache/checkpoint of
+    # bands × N small rows — linear, spillable.
     banded = (
-        sigs.withColumn("band", (F.col("perm") / rows_per_band).cast("int"))
-        .groupBy("id", "band")
-        .agg(F.sort_array(F.collect_list(F.struct("perm", "mh"))).alias("sig"))
-        .withColumn("bucket", F.xxhash64(F.to_json(F.struct("band", "sig"))))
-        .select("id", "band", "bucket")
+        wide.select("id", F.explode(band_structs).alias("bb"))
+        .select(
+            "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+        .localCheckpoint(eager=True)
     )
     bucket_sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("sz"))
     small = bucket_sizes.filter(F.col("sz") <= max_bucket_size).select("band", "bucket")

@@ -160,6 +160,9 @@ def connected_components(edges: DataFrame, max_iter: int = 32) -> DataFrame:
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    prev_sum = labels.agg(
+        F.sum(F.col("component").cast("decimal(38,0)"))
+    ).collect()[0][0]
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.dst == labels.node)
@@ -185,15 +188,19 @@ def connected_components(edges: DataFrame, max_iter: int = 32) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
-        converged = (
-            jump.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .isEmpty()
-        )
+        # Labels only ever DECREASE (min over neighborhood + shortcut), so
+        # the label sum is strictly monotone until the fixpoint: an
+        # unchanged sum ⇔ no label moved ⇔ converged. One cheap aggregate
+        # over the freshly checkpointed frame, instead of a join-based
+        # diff against the previous round.
+        # decimal(38,0) so the probe cannot overflow at 1e10+ nodes
+        new_sum = jump.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).collect()[0][0]
         labels = jump
-        if converged:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     sym.unpersist()
     return labels
 
@@ -415,8 +422,17 @@ def kcore(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     one degree aggregation + two semi-equi-joins, localCheckpoint-ed to
     truncate lineage — at 100 TB each round is a keyed shuffle of the
     SURVIVING edges only, and the edge set only shrinks.
+
+    Early exit: pruning is monotone (the edge set only shrinks), so an
+    unchanged edge count means no vertex fell below k this round — the
+    fixpoint is reached and every remaining round is the identity. The
+    oracle may unroll MORE rounds than we execute; converged rounds are
+    idempotent, so the results agree. The count() probes run over
+    already-checkpointed blocks (no recompute) and replace up to
+    ``rounds - converged_at`` full pruning rounds of scheduling cost.
     """
     alive = edges.select("src", "dst").localCheckpoint(eager=True)
+    prev_n = alive.count()
     for _ in range(rounds):
         keep = (
             alive.groupBy("src")
@@ -429,6 +445,10 @@ def kcore(edges: DataFrame, k: int, rounds: int) -> DataFrame:
             .join(keep.withColumnRenamed("src", "dst"), "dst")
             .localCheckpoint(eager=True)
         )
+        n = alive.count()
+        if n == prev_n:
+            break
+        prev_n = n
     return alive
 
 

@@ -321,10 +321,13 @@ def cms_estimate(
     addressed = probes.select(
         key_col, F.explode(rows).alias("rp")
     ).select(key_col, F.col("rp.row_i").alias("row_i"), F.col("rp.pos").alias("pos"))
+    # LEFT join + COALESCE(cnt, 0): a probe key whose addressed slot holds
+    # no counter row must estimate 0 (an inner join would silently drop it,
+    # or take the MIN over fewer than depth rows — wrong for unseen keys).
     return (
-        addressed.join(F.broadcast(counters), ["row_i", "pos"])
+        addressed.join(F.broadcast(counters), ["row_i", "pos"], "left")
         .groupBy(key_col)
-        .agg(F.min("cnt").cast("bigint").alias("cms_est"))
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("bigint").alias("cms_est"))
     )
 
 

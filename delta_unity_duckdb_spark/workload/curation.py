@@ -56,15 +56,24 @@ def kmeans_clusters(spark, sf_dir):
     )
 
 
+_MAX_BLOCK = 1024
+
+
 @query(
     "semantic_dedup_blocks",
     oracle=f"""
     WITH assign AS (
       SELECT vid, cid FROM ({C.kmeans_sql(k=_K, iters=_ITERS)})
     ),
+    sizes AS (
+      SELECT cid, COUNT(*) AS sz FROM assign GROUP BY cid),
     ev AS (
-      SELECT a.cid, e.vec_id, e.embedding FROM embeddings e
-      JOIN assign a ON e.vec_id = a.vid)
+      SELECT a.cid, e.vec_id, e.embedding,
+             ({hash60_sql("CAST(e.vec_id AS VARCHAR)")})
+               % ((s.sz + {_MAX_BLOCK - 1}) // {_MAX_BLOCK}) AS sub
+      FROM embeddings e
+      JOIN assign a ON e.vec_id = a.vid
+      JOIN sizes s ON s.cid = a.cid)
     SELECT x.vec_id AS id_a, y.vec_id AS id_b, CAST(x.cid AS BIGINT) AS cid,
            ROUND(
              list_sum(list_transform(list_zip(x.embedding, y.embedding),
@@ -74,7 +83,8 @@ def kmeans_clusters(spark, sf_dir):
                 * SQRT(list_sum(list_transform(y.embedding,
                       v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))),
              4) AS cosine_sim
-    FROM ev x JOIN ev y ON x.cid = y.cid AND x.vec_id < y.vec_id
+    FROM ev x JOIN ev y
+      ON x.cid = y.cid AND x.sub = y.sub AND x.vec_id < y.vec_id
     WHERE ROUND(
              list_sum(list_transform(list_zip(x.embedding, y.embedding),
                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
@@ -88,26 +98,50 @@ def kmeans_clusters(spark, sf_dir):
 )
 def semantic_dedup_blocks(spark, sf_dir):
     """Cluster-blocked near-dup pairs: candidate pairs are generated ONLY
-    within a k-means cluster, replacing the quadratic all-pairs join with
-    k block-local joins (the semantic analogue of LSH banding — at 100 TB
-    the equi-join on cid is the candidate generator, and block size is
-    bounded by the cluster balance the sampler below enforces)."""
+    within a k-means cluster (the semantic analogue of LSH banding). A
+    fixed k alone does NOT bound block size — each cluster is ~N/k rows,
+    so the block-local self-join would still be O(N²/k) at 100 TB. The
+    guard: clusters larger than ``_MAX_BLOCK`` are sharded into
+    ceil(sz/_MAX_BLOCK) deterministic sub-blocks by the portable hash of
+    the vector id (the ``max_bucket_size`` pattern from dedup.py), so
+    every join block is ≤ _MAX_BLOCK rows and the pair join is O(N ·
+    _MAX_BLOCK) — linear in the corpus. Cross-shard pairs inside an
+    oversized cluster are intentionally forfeited recall, the standard
+    LSH-style trade; the oracle shards identically so the check stays
+    value-exact. At the fixture SFs every cluster fits in one shard, so
+    the guard is semantics-neutral there."""
     e = load_table(spark, sf_dir, "embeddings")
     a = C.kmeans_fixed_point(e, k=_K, iters=_ITERS).select("vid", "cid")
-    ev = e.join(a, e["vec_id"] == a["vid"]).select("cid", "vec_id", "embedding")
+    sizes = a.groupBy("cid").agg(F.count(F.lit(1)).alias("sz"))
+    nsub = F.expr(f"(sz + {_MAX_BLOCK - 1}) DIV {_MAX_BLOCK}")
+    a = a.join(F.broadcast(sizes), "cid").select(
+        "vid",
+        "cid",
+        F.pmod(hash60(F.col("vid").cast("string")), nsub).alias("sub"),
+    )
+    ev = e.join(a, e["vec_id"] == a["vid"]).select(
+        "cid", "sub", "vec_id", "embedding"
+    )
     x = ev.select(
         F.col("cid"),
+        F.col("sub"),
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("va"),
     )
     y = ev.select(
         F.col("cid").alias("cid2"),
+        F.col("sub").alias("sub2"),
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("vb"),
     )
     sim = F.round(cosine_sim(F.col("va"), F.col("vb")), 4)
     return (
-        x.join(y, (x["cid"] == y["cid2"]) & (x["id_a"] < y["id_b"]))
+        x.join(
+            y,
+            (x["cid"] == y["cid2"])
+            & (x["sub"] == y["sub2"])
+            & (x["id_a"] < y["id_b"]),
+        )
         .select(
             "id_a", "id_b", F.col("cid").cast("bigint").alias("cid"),
             sim.alias("cosine_sim"),
@@ -353,7 +387,14 @@ def llm_pipeline_end_to_end(spark, sf_dir):
         )
         .select("doc_id", "lang", "text", "n_tok")
     )
-    ex = D.dedup_exact(qual, ["text"], "doc_id")
+    # ``ex`` feeds THREE consumers (MinHash pair generation, the cluster
+    # left-join inside near_dup_clusters, and the survivor join below).
+    # Materialize it once — the engine-side analogue of a MATERIALIZED
+    # CTE, which is exactly what the DuckDB oracle does with ``ex`` —
+    # instead of re-running the scan → redact → tokenize → quality chain
+    # three times. localCheckpoint also truncates lineage so the CC
+    # rounds downstream re-plan from a compact scan, not the full chain.
+    ex = D.dedup_exact(qual, ["text"], "doc_id").localCheckpoint(eager=True)
     survivors = (
         D.near_dup_clusters(ex, "doc_id", "text", num_perm=32, bands=8)
         .filter(F.col("is_survivor"))

@@ -14,20 +14,65 @@ from delta_unity_duckdb_spark.operators.multimodal import (
 from delta_unity_duckdb_spark.workload.registry import query
 
 
-@query("multimodal_features")
+def _features_oracle_sql(n: int = 48) -> str:
+    """Independent replay of the closed-form media fixture + stub kernel
+    in pure Python hashlib, emitted as literal VALUES rows.
+
+    DuckDB's ``sha256`` only accepts VARCHAR, so the digest-of-binary
+    chain can't be expressed in SQL directly; the replay here recomputes
+    every expected row from the fixture parameters alone (asset i ⇒
+    content = sha256("asset-i") × 4 ⇒ sha256 + first-8-bytes feature) —
+    it shares no code path with the Spark query, so a mapInPandas bug
+    (row misalignment, batch truncation, serialization drift) still
+    hash-mismatches. The decode KERNEL itself remains the documented
+    codec stub; what this oracle certifies is the distributed plumbing."""
+    import hashlib
+
+    rows = []
+    for i in range(n):
+        modality = ("image", "audio", "video")[i % 3]
+        content = hashlib.sha256(f"asset-{i}".encode()).digest() * 4
+        sha = hashlib.sha256(content).hexdigest()
+        feat = ",".join(str(b) for b in hashlib.sha256(content).digest()[:8])
+        rows.append(
+            f"('a{i:04d}', '{modality}', 128, '{sha}', '{feat}')"
+        )
+    return (
+        "SELECT asset_id, modality, CAST(n_bytes AS BIGINT) AS n_bytes,"
+        " sha256, feature_q FROM (VALUES "
+        + ", ".join(rows)
+        + ") t(asset_id, modality, n_bytes, sha256, feature_q)"
+        " ORDER BY asset_id"
+    )
+
+
+@query("multimodal_features", oracle=_features_oracle_sql(48))
 def multimodal_features(spark, sf_dir):
     """binary → feature vectors via Arrow-batched mapInPandas (1:1).
 
-    Rows-only BY DESIGN (the one remaining oracle-less entry): the feature
-    kernel is the documented codec stub (operators/multimodal.py — no
-    PIL/ffmpeg in the container), so a SQL twin would only re-verify the
-    stub's arithmetic, not decode correctness. Shape/determinism are
-    pinned in tests/test_multimodal.py; the frame-sampling sibling
-    (multimodal_frame_stats) IS oracle-checked. The feature array leaves
-    as JSON text per the output convention (registry.normalize_output)."""
+    The feature kernel is the documented codec stub (operators/
+    multimodal.py — no PIL/ffmpeg in the container), so value-level
+    verification targets the PLUMBING: fixture → mapInPandas → 1:1 row
+    alignment → typed output, against an independent Python-hashlib
+    replay of the closed-form fixture (see ``_features_oracle_sql``).
+    ``feature_q`` re-quantizes the stub's b/255.0 floats back to the
+    exact digest bytes ((b/255.0)*255 rounds to b for every b in 0..255),
+    so the compared text is integer-exact — no float-formatting
+    divergence between engines. The raw double feature path stays
+    pinned in tests/test_multimodal.py."""
     media = make_fake_media(spark, n=48)
-    return extract_features(media).select(
-        "asset_id", "modality", "n_bytes", "sha256", "feature"
+    return (
+        extract_features(media)
+        .select(
+            "asset_id",
+            "modality",
+            "n_bytes",
+            "sha256",
+            F.transform(
+                "feature", lambda x: F.round(x * 255).cast("bigint")
+            ).alias("feature_q"),
+        )
+        .orderBy("asset_id")
     )
 
 

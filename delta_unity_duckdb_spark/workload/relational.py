@@ -1662,6 +1662,10 @@ def window_percent_cume(spark, sf_dir):
             F.round(F.cume_dist().over(w), 6).alias("cume"),
             F.nth_value("o_totalprice", 2).over(wfull).alias("second_lowest"),
         )
-        .orderBy("o_orderpriority", F.col("pct_rank"), "o_orderkey")
+        # Sort by the RAW price (the oracle's order), not the rounded
+        # pct_rank: beyond ~2M rows/partition adjacent ranks round to the
+        # same 6-decimal value and the two engines could pick different
+        # rows at the LIMIT boundary.
+        .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
         .limit(400)
     )

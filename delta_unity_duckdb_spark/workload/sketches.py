@@ -112,8 +112,8 @@ _CMS_TOKS = """
     top AS (SELECT word, n FROM tc ORDER BY n DESC, word LIMIT 20),
     tpos AS ({SK.cms_positions_sql("top", "word", "word, n", _CMS_W)}),
     est AS (
-      SELECT t.word, MIN(c.cnt) AS cms_est
-      FROM tpos t JOIN counters c ON t.row_i = c.row_i AND t.pos = c.pos
+      SELECT t.word, MIN(COALESCE(c.cnt, 0)) AS cms_est
+      FROM tpos t LEFT JOIN counters c ON t.row_i = c.row_i AND t.pos = c.pos
       GROUP BY t.word)
     SELECT top.word AS word, CAST(top.n AS BIGINT) AS true_n,
            CAST(est.cms_est AS BIGINT) AS cms_est
