@@ -14,12 +14,14 @@ iteration is therefore EXACTLY reproducible on any engine and any
 partitioning — the DuckDB oracle (``kmeans_sql``) replays the identical
 iterations value-for-value.
 
-Scale shape (100 TB): centroids are k rows — every assignment pass is a
-broadcast nested-loop over k candidates followed by a per-vector top-1
-(WindowGroupLimit prunes below the sort), and the update is ONE
-(cid, pos) hash-aggregate with map-side combine (≤ k·dim groups).
-Nothing quadratic, nothing driver-side; iterations add plan depth, not
-shuffled volume.
+Scale shape (100 TB): centroids are k rows of driver state (as in
+MLlib): each assignment pass is a vectorized Arrow map against the
+broadcast centroid block — zero joins, zero shuffles — and the update is
+ONE (cid, pos) hash-aggregate with map-side combine (≤ k·dim groups).
+Nothing quadratic; per-iteration shuffle volume is k·dim rows however
+large the corpus. A fully distributed join+window form
+(``kmeans_fixed_point``) remains for centroid sets too large to hold on
+the driver.
 
 Reference parity: clustering is a north-star extension (SURVEY.md §2-E,
 BASELINE.json north_star) — the reference has no ML-adjacent surface.
@@ -111,6 +113,121 @@ def kmeans_fixed_point(
     for _ in range(iters):
         cents = _update(_assign(e, cents))
     return _assign(e, cents).select("vid", "cid", "dist")
+
+
+def _assign_arrow(e: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """Assignment against driver-held centroids as a VECTORIZED Arrow map:
+    one ``mapInPandas`` pass computing the full n×k exact-int64 distance
+    matrix per record batch in numpy (no joins, no windows, no shuffle —
+    the narrowest possible assignment). Exactness: inputs are quantized
+    int64, numpy int64 arithmetic is exact, and ``argmin`` takes the FIRST
+    minimum — centroids are ordered by cid, so ties break to the lowest
+    cid exactly like the (dist, cid) struct ordering in ``_assign``
+    (equivalence pinned in tests). Batch memory is rows×k×dim×8B — chunk
+    the batch loop before going past k·dim ≈ 10⁶."""
+    import pandas as pd
+
+    cent_arr = [list(cq) for _, cq in cents]
+    cid_arr = [cid for cid, _ in cents]
+
+    def run(batches):
+        import numpy as np
+
+        C = np.array(cent_arr, dtype=np.int64)
+        cids = np.array(cid_arr, dtype=np.int32)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np.stack([np.asarray(q, dtype=np.int64) for q in pdf["q"]])
+            d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            best = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vid": pdf["vid"],
+                    "q": pdf["q"],
+                    "cid": cids[best],
+                    "dist": d2[np.arange(len(best)), best],
+                }
+            )
+
+    return e.mapInPandas(run, schema="vid long, q array<bigint>, cid int, dist long")
+
+
+def _assign_literal(e: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
+    """Assignment against DRIVER-HELD centroids: k is small by definition,
+    so the centroids ship as literal arrays inside the plan and the
+    nearest-centroid choice is ``array_min`` over k (dist, cid) structs —
+    a NARROW MAP with zero joins, zero windows, zero shuffles. This is
+    how MLlib's k-means assigns too (centroids are driver state broadcast
+    into a map); the join+window form in ``_assign`` remains for callers
+    whose centroid set is itself distributed. Struct ordering compares
+    dist first then cid — the identical deterministic tie-break."""
+    cand = F.array(
+        *[
+            F.struct(
+                _sqdist(
+                    F.col("q"), F.array(*[F.lit(v) for v in cq])
+                ).alias("dist"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cq in cents
+        ]
+    )
+    best = F.array_min(cand)
+    return e.select(
+        "vid", "q", best["cid"].alias("cid"), best["dist"].alias("dist")
+    )
+
+
+def kmeans_fixed_point_literal(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    scale: int = SCALE,
+) -> DataFrame:
+    """``kmeans_fixed_point`` with the centroids held on the driver —
+    value-identical (same exact-integer arithmetic, same floor means,
+    same tie-breaks; pinned by tests against the distributed form), but
+    each iteration is ONE job: the assignment runs as the vectorized
+    Arrow kernel (``_assign_arrow`` — numpy int64 distance matrix, no
+    join/window/shuffle), and the k·dim floor-mean aggregate collects k
+    tiny centroid rows back to the driver for the next round — exactly
+    MLlib's centroids-as-driver-state loop. The only shuffle per
+    iteration is the ≤ k·dim-group mean — the minimum any k-means can
+    do. Use this form whenever the k×dim centroid block fits a task
+    comfortably (k·dim ≤ ~10⁶); beyond that, the fully distributed
+    ``kmeans_fixed_point``."""
+    e = emb.select(
+        F.col(id_col).alias("vid"), quantize_vec(F.col(vec_col), scale).alias("q")
+    ).localCheckpoint(eager=True)
+    init = (
+        e.filter(F.col("vid") < k)
+        .select(
+            F.row_number().over(Window.orderBy("vid")).alias("cid"),
+            F.col("q").alias("cq"),
+        )
+        .collect()
+    )
+    cents = [(r["cid"], list(r["cq"])) for r in init]
+    for _ in range(iters):
+        assigned = _assign_arrow(e, cents)
+        by_pos = (
+            assigned.select("cid", F.posexplode("q").alias("pos", "v"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select("cid", "pos", F.expr("(s - pmod(s, n)) DIV n").alias("val"))
+            .collect()
+        )
+        new: dict[int, dict[int, int]] = {}
+        for r in by_pos:
+            new.setdefault(r["cid"], {})[r["pos"]] = r["val"]
+        cents = [
+            (cid, [vals[p] for p in sorted(vals)])
+            for cid, vals in sorted(new.items())
+        ]
+    return _assign_arrow(e, cents).select("vid", "cid", "dist")
 
 
 def kmeans_sql(

@@ -76,7 +76,9 @@ def one_hop(
         # Materialize the k edges (tiny), resolve BOTH endpoints with ONE
         # pass over the vertex table, then join the (≤2k)-row vertex
         # subset — instead of streaming the full vertex table through two
-        # separate lookup joins.
+        # separate lookup joins. (A collect-and-rebuild variant measured
+        # ~2× slower here: Python-side row conversion plus broadcasting a
+        # LocalRelation costs more than the two checkpoint jobs.)
         e = edges.orderBy("dst").limit(limit).localCheckpoint(eager=True)
         needed = (
             e.select(F.col("src").alias("id"))
@@ -149,10 +151,62 @@ def connected_components(edges: DataFrame, max_iter: int = 32) -> DataFrame:
     component) pairs — linear state, AQE-coalescible. Labels are
     ``localCheckpoint``-ed per round to truncate lineage (else round N
     replays rounds 1..N-1).
+
+    Small-graph fast path: when the edge list is tiny relative to the
+    cluster (``small_graph_edges``, default 2M pairs ≈ tens of MB — the
+    same order as a broadcast-join threshold) and node ids are integral,
+    the pairs are collected and solved with driver-side union-find in one
+    pass, exactly as AQE converts a small shuffle join into a broadcast:
+    the iterative rounds each cost a scheduling floor that dwarfs the
+    actual work at this size. Results are identical (min-id labels,
+    deterministic); the distributed pointer-jumping loop remains the
+    path for graphs above the threshold — candidate-pair graphs at
+    100 TB stay distributed. String-id graphs always take the
+    distributed path (Python and UTF8 binary collation could disagree
+    on non-ASCII min labels).
     """
+    from pyspark.sql.types import IntegralType
+
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    small_graph_edges = 2_000_000
+    if isinstance(edges.schema["src"].dataType, IntegralType):
+        pair_rows = edges.select("src", "dst").limit(small_graph_edges + 1).collect()
+        if len(pair_rows) <= small_graph_edges:
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent[r] != r:
+                    r = parent[r]
+                while parent[x] != r:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for r_ in pair_rows:
+                u, v = r_[0], r_[1]
+                if u not in parent:
+                    parent[u] = u
+                if v not in parent:
+                    parent[v] = v
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    parent[ru] = rv
+            comp_min: dict = {}
+            for n_ in parent:
+                r_ = find(n_)
+                if r_ not in comp_min or n_ < comp_min[r_]:
+                    comp_min[r_] = n_
+            spark = edges.sparkSession
+            out_schema = (
+                edges.select(
+                    F.col("src").alias("node"), F.col("src").alias("component")
+                ).schema
+            )
+            return spark.createDataFrame(
+                [(n_, comp_min[find(n_)]) for n_ in parent], schema=out_schema
+            )
     sym = sym.persist()
     labels = (
         sym.select(F.col("src").alias("node"))
@@ -431,6 +485,50 @@ def kcore(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     already-checkpointed blocks (no recompute) and replace up to
     ``rounds - converged_at`` full pruning rounds of scheduling cost.
     """
+    from pyspark.sql.types import IntegralType
+
+    # Small-graph fast path (same contract as connected_components'): a
+    # pruning round is a full pass over the surviving edges, so on a graph
+    # that fits comfortably in driver memory the per-round Spark job floor
+    # dominates the arithmetic by orders of magnitude. Collect once, run
+    # the IDENTICAL simultaneous-pruning rounds vectorized in numpy
+    # (bincount degrees over dense-mapped ids), return via Arrow. Results
+    # are exactly the distributed rounds' (same round semantics, same
+    # early exit); graphs above the threshold stay fully distributed.
+    small_graph_edges = 2_000_000
+    if isinstance(edges.schema["src"].dataType, IntegralType):
+        probe = edges.select("src", "dst").limit(small_graph_edges + 1).toPandas()
+        if len(probe) == 0:
+            return edges.select("src", "dst")
+        if len(probe) <= small_graph_edges:
+            import numpy as np
+            import pandas as pd
+
+            s_raw = probe["src"].to_numpy(np.int64)
+            d_raw = probe["dst"].to_numpy(np.int64)
+            nodes = np.unique(np.concatenate([s_raw, d_raw]))
+            s_i = np.searchsorted(nodes, s_raw)
+            d_i = np.searchsorted(nodes, d_raw)
+            for _ in range(rounds):
+                deg = np.bincount(s_i, minlength=len(nodes))
+                keep = deg >= k
+                mask = keep[s_i] & keep[d_i]
+                if mask.all():
+                    break
+                s_i, d_i = s_i[mask], d_i[mask]
+            if len(s_i) == 0:  # everything pruned — typed empty frame
+                return edges.select("src", "dst").limit(0)
+            spark = edges.sparkSession
+            out = spark.createDataFrame(
+                pd.DataFrame({"src": nodes[s_i], "dst": nodes[d_i]})
+            )
+            src_t = edges.schema["src"].dataType.simpleString()
+            dst_t = edges.schema["dst"].dataType.simpleString()
+            return out.select(
+                F.col("src").cast(src_t).alias("src"),
+                F.col("dst").cast(dst_t).alias("dst"),
+            )
+
     alive = edges.select("src", "dst").localCheckpoint(eager=True)
     prev_n = alive.count()
     for _ in range(rounds):

@@ -70,6 +70,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_table_cpu_bound(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """``load_table`` + a parallelism-floor guard for CPU-heavy consumers.
+
+    Parquet scans parallelize at row-group granularity: a file written as
+    ONE giant row group executes as ONE task no matter how many byte-range
+    splits the planner makes, so a CPU-bound aggregate (wide DECIMAL sums,
+    regex, portable-hash) over it runs single-threaded. When the footer
+    shows such a degenerate layout (row groups ≪ cores) AND the table is
+    big enough for a redistribution to pay for itself, round-robin
+    repartition right after the scan. On well-laid-out tables — any real
+    lakehouse table, where 100 TB is thousands of row groups — the guard
+    is a no-op and the scan stays shuffle-free, which is why callers with
+    prunable filters should keep using plain ``load_table`` (a repartition
+    above the scan would block predicate pushdown).
+    """
+    df = load_table(spark, sf_dir, name)
+    try:
+        import pyarrow.parquet as pa_pq
+
+        pq_path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(pq_path):
+            return df
+        meta = pa_pq.ParquetFile(pq_path).metadata
+        cores = spark.sparkContext.defaultParallelism
+        total = sum(
+            meta.row_group(i).total_byte_size for i in range(meta.num_row_groups)
+        )
+        if meta.num_row_groups * 2 < cores and total > 4 * 1024 * 1024:
+            return df.repartition(cores)
+    except Exception:
+        pass
+    return df
+
+
 def _read_delta_any(spark: SparkSession, path: str) -> DataFrame:
     """Delta read that works with OR without delta-spark: prefer the full
     connector when its extension is loaded, else replay the transaction

@@ -23,64 +23,66 @@ from delta_unity_duckdb_spark.workload import (  # noqa: F401
 )
 from delta_unity_duckdb_spark.workload.registry import ORACLE, QUERIES
 
-# Round-2 driver window (50 slots). Grouped by why each needs verification:
+# Round-3 driver window (50 slots): every slot goes to a query that has
+# NEVER earned a driver-green row (r01+r02 greens stay valid; all of these
+# are local-strict green under tools/strict_check.py). The ~40 remaining
+# never-checked queries rotate in next round.
 _PRIORITY = [
-    # round-1 hash-red (DECIMAL/HUGEINT typing) — now cast per the output
-    # convention; must flip to green
-    "tumbling_window",
-    "sliding_window",
-    "session_window",
-    "hypertable_rollup",
-    "timeseries_gapfill",
-    "distribution_drift",
-    "lang_profile",
-    "source_mixture_weights",
-    # round-1 harness errors (array-typed output columns) — now serialized
-    "inverted_index",
-    "multimodal_features",
-    # round-1 rows-only — oracles added this round
-    "graph_pagerank",
-    "graph_cypher_load",
-    "text_profile",
-    "near_dup_clusters",
-    "minhash_near_dups",
-    "simhash_near_dups",
-    "embedding_pairs_lsh",
-    "similarity_topk_ivf",
-    "multimodal_frame_stats",
-    # reference-flagship SCD2 + streaming twins (no driver row yet)
-    "scd2_sync",
-    "snapshot_diff_orders",
-    "stream_tumbling_window",
-    "stream_session_window",
-    "stream_stateful_totals",
-    "stream_sliding_window",
-    "stream_stream_join",
-    "stream_dedup",
-    "stream_scd2_sync",
-    "stream_static_join",
-    # §2-B relational core (driver never reached these in round 1)
-    "topk_group_count",
-    "projection",
-    "count_star",
-    "conditional_agg",
-    "filter_eq",
-    "filter_range_in_like_null",
-    "sort_limit",
-    "nullsafe_change",
-    "group_aggs",
-    "rollup_agg",
-    "cube_agg",
-    "join_inner",
-    "join_left",
-    "join_semi",
-    "join_anti",
-    "self_join",
-    "window_rank",
-    "window_frame_sum",
-    "window_lag_lead",
-    "case_expr",
-    "describe_schema",
+    # §2-C full-SQL function classes — zero driver rows so far
+    "set_ops",
+    "distinct_pairs",
+    "string_funcs",
+    "regex_funcs",
+    "date_funcs",
+    "math_funcs",
+    "array_funcs",
+    "map_funcs",
+    "json_extract",
+    "cte_subquery",
+    "exists_subquery",
+    "correlated_scalar_agg",
+    "sample_mod",
+    "stratified_sample",
+    "join_right",
+    "join_full",
+    "join_cross",
+    "grouping_sets",
+    "pivot_agg",
+    "percentile_agg",
+    "string_agg_group",
+    "unpivot_melt",
+    "window_ntile_stats",
+    "window_first_last",
+    # A1 Delta-log parity evidence (reference delta-unity-duckdb.js:330)
+    "delta_time_travel",
+    "delta_merge_upsert",
+    "delta_restore",
+    "delta_schema_evolution",
+    # round-2/3 flagships
+    "llm_pipeline_end_to_end",
+    "graph_kcore",
+    "kmeans_clusters",
+    "semantic_dedup_blocks",
+    "cluster_balanced_sample",
+    "pii_redact",
+    "lateral_topn_join",
+    "window_percent_cume",
+    "lang_id_confusion",
+    "multimodal_features",  # gained a value-level oracle this round
+    # TPC-H headliners
+    "pricing_summary",
+    "multiway_join_topk",
+    "table_profile",
+    # sketch family (batch + streaming twins)
+    "hll_distinct_groups",
+    "kmv_distinct_merge",
+    "cms_heavy_hitters",
+    "bloom_join_stats",
+    "kmv_set_ops",
+    "hll_incremental_refresh",
+    "hist_quantile_sketch",
+    "stream_hll_distinct",
+    "stream_cms_top_users",
 ]
 
 

@@ -43,7 +43,7 @@ def kmeans_clusters(spark, sf_dir):
     IDENTICAL iterations — an iterative ML algorithm under a full
     value-level differential check."""
     e = load_table(spark, sf_dir, "embeddings")
-    a = C.kmeans_fixed_point(e, k=_K, iters=_ITERS)
+    a = C.kmeans_fixed_point_literal(e, k=_K, iters=_ITERS)
     return (
         a.groupBy("cid")
         .agg(
@@ -111,7 +111,14 @@ def semantic_dedup_blocks(spark, sf_dir):
     value-exact. At the fixture SFs every cluster fits in one shard, so
     the guard is semantics-neutral there."""
     e = load_table(spark, sf_dir, "embeddings")
-    a = C.kmeans_fixed_point(e, k=_K, iters=_ITERS).select("vid", "cid")
+    # The final assignment feeds two consumers (the size census and the
+    # pair-join input); materialize the N tiny (vid, cid) rows once so the
+    # iterative k-means chain executes once, not per consumer.
+    a = (
+        C.kmeans_fixed_point_literal(e, k=_K, iters=_ITERS)
+        .select("vid", "cid")
+        .localCheckpoint(eager=True)
+    )
     sizes = a.groupBy("cid").agg(F.count(F.lit(1)).alias("sz"))
     nsub = F.expr(f"(sz + {_MAX_BLOCK - 1}) DIV {_MAX_BLOCK}")
     a = a.join(F.broadcast(sizes), "cid").select(
@@ -119,22 +126,33 @@ def semantic_dedup_blocks(spark, sf_dir):
         "cid",
         F.pmod(hash60(F.col("vid").cast("string")), nsub).alias("sub"),
     )
+    # Precompute each vector's norm ONCE here instead of inside the pair
+    # expression: cosine per pair then needs a single dot-product array
+    # walk, not three. Same doubles in the same order as cosine_sim
+    # (norm(v) is deterministic wherever it's computed), so the rounded
+    # values — and the oracle hash — are unchanged.
+    from delta_unity_duckdb_spark.operators.similarity import _dot, _norm
+
     ev = e.join(a, e["vec_id"] == a["vid"]).select(
-        "cid", "sub", "vec_id", "embedding"
+        "cid", "sub", "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
     )
     x = ev.select(
         F.col("cid"),
         F.col("sub"),
         F.col("vec_id").alias("id_a"),
         F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
     )
     y = ev.select(
         F.col("cid").alias("cid2"),
         F.col("sub").alias("sub2"),
         F.col("vec_id").alias("id_b"),
         F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
     )
-    sim = F.round(cosine_sim(F.col("va"), F.col("vb")), 4)
+    sim = F.round(
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
+    )
     return (
         x.join(
             y,
@@ -179,7 +197,7 @@ def cluster_balanced_sample(spark, sf_dir):
     toward whatever sorted first). The cap bounds every cluster's
     contribution regardless of how skewed the corpus is."""
     e = load_table(spark, sf_dir, "embeddings")
-    a = C.kmeans_fixed_point(e, k=_K, iters=_ITERS).select("vid", "cid")
+    a = C.kmeans_fixed_point_literal(e, k=_K, iters=_ITERS).select("vid", "cid")
     w = Window.partitionBy("cid").orderBy(
         hash60(F.col("vid").cast("string")), "vid"
     )

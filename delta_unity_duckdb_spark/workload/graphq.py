@@ -327,13 +327,16 @@ def graph_kcore(spark, sf_dir):
         .distinct()
     )
     a, b = op.alias("a"), op.alias("b")
+    # Generate each unordered pair ONCE (a.p < b.p) so the sampling hash
+    # runs over half the rows, then symmetrize by a column swap — the
+    # (least, greatest) key of the old both-directions build is exactly
+    # this (p_lo, p_hi) concat, so the sampled pair set is identical and
+    # both directions still live or die together.
     pair_key = F.concat(
-        F.least(F.col("a.p"), F.col("b.p")).cast("string"),
-        F.lit("-"),
-        F.greatest(F.col("a.p"), F.col("b.p")).cast("string"),
+        F.col("a.p").cast("string"), F.lit("-"), F.col("b.p").cast("string")
     )
-    edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") != F.col("b.p")))
+    half = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
         .select(
             F.col("a.p").alias("src"),
             F.col("b.p").alias("dst"),
@@ -342,6 +345,9 @@ def graph_kcore(spark, sf_dir):
         .filter(F.pmod(F.col("_hk"), F.lit(10)) == 0)
         .select("src", "dst")
         .distinct()
+    )
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     core = kcore(edges, k=6, rounds=12)
     deg = core.groupBy("src").agg(F.count(F.lit(1)).alias("d"))

@@ -763,7 +763,11 @@ def pricing_summary(spark, sf_dir):
     computed IN decimal from decimal-cast raw columns: the fixture data is
     ≤4-decimal so input casts are exact, and decimal arithmetic is
     associative — bit-identical at any partition count or engine."""
-    li = _t(spark, sf_dir, "lineitem")
+    from delta_unity_duckdb_spark.sources.tables import load_table_cpu_bound
+
+    # Wide DECIMAL accumulation is CPU-bound: guard against degenerate
+    # single-row-group layouts that would run it on one core.
+    li = load_table_cpu_bound(spark, sf_dir, "lineitem")
     disc_price = dmoney("l_extendedprice") * (1 - drate("l_discount"))
     charge = disc_price * (1 + drate("l_tax"))
     return (
@@ -1274,10 +1278,22 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profiling: per-column row/null/distinct counts and
     min/max, the summary a pipeline computes before trusting a new drop of
     data. The oracle spells it as 4 UNION ALL scans; the Spark plan reads
-    the table ONCE — all four columns' statistics in a single aggregate
-    (Catalyst plans the multi-COUNT(DISTINCT) as one expand + shuffle),
-    then a zero-shuffle ``stack`` unpivot to one row per column. At 100 TB
-    that is 1 scan instead of 4.
+    the table TWICE regardless of column count — once for the cheap
+    streaming aggregates (count/min/max of every column in a single
+    aggregate, then a zero-shuffle ``stack`` unpivot), once for ALL the
+    distinct counts together: unpivot to (column, value) pairs and run a
+    plain two-phase groupBy — partial (column, value) dedup map-side,
+    count per column after one shuffle of the surviving pairs.
+
+    Why not one pass with multi-``countDistinct``: Catalyst rewrites N
+    distinct aggregates in one Aggregate into an EXPAND that replicates
+    every input row N+1 times before the shuffle — measured 8× slower
+    than this two-scan plan at sf0.1, and at 100 TB the expand multiplies
+    the shuffle the same way. The unpivoted single-distinct form never
+    replicates: the map-side partial aggregation collapses to the
+    distinct pairs per partition first. Values are compared as strings
+    only for the distinct COUNT (injective cast, count unchanged);
+    min/max stay in the native type exactly as the oracle computes them.
     """
     cols = ["l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber"]
     li = load_table(spark, sf_dir, "lineitem").select(*cols)
@@ -1285,18 +1301,42 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in cols:
         aggs += [
             F.count(c).alias(f"cnt_{c}"),
-            F.countDistinct(c).alias(f"nd_{c}"),
             F.min(c).cast("string").alias(f"min_{c}"),
             F.max(c).cast("string").alias(f"max_{c}"),
         ]
     one = li.agg(*aggs)
     stack_args = ", ".join(
-        f"'{c}', n_rows, n_rows - cnt_{c}, nd_{c}, min_{c}, max_{c}" for c in cols
+        f"'{c}', n_rows, n_rows - cnt_{c}, min_{c}, max_{c}" for c in cols
     )
-    return one.selectExpr(
+    prof = one.selectExpr(
         f"stack({len(cols)}, {stack_args}) AS "
-        "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
-    ).orderBy("column_name")
+        "(column_name, n_rows, n_nulls, min_value, max_value)"
+    )
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("column_name"),
+                    F.col(c).cast("string").alias("v"),
+                )
+                for c in cols
+            ]
+        )
+    )
+    nd = (
+        li.select(pairs.alias("p"))
+        .select("p.column_name", "p.v")
+        .groupBy("column_name")
+        .agg(F.count_distinct("v").alias("n_distinct"))
+    )
+    return (
+        prof.join(F.broadcast(nd), "column_name")
+        .select(
+            "column_name", "n_rows", "n_nulls", "n_distinct",
+            "min_value", "max_value",
+        )
+        .orderBy("column_name")
+    )
 
 
 @query(

@@ -282,7 +282,13 @@ def kmv_set_ops(spark, sf_dir):
         .alias("g"),
         "o_custkey",
     )
-    sk = SK.kmv_sketch(lab, ["g"], "o_custkey", k=_KSET)
+    # The ≤2k-row sketch feeds four consumers (θ probe, both set sides,
+    # union distinct): materialize once instead of re-scanning orders +
+    # re-hashing per consumer — at scale this IS the point of a sketch
+    # (build once, answer many set questions from k rows).
+    sk = SK.kmv_sketch(lab, ["g"], "o_custkey", k=_KSET).localCheckpoint(
+        eager=True
+    )
     kth = SK.kmv_estimate(sk, ["g"], k=_KSET).select(
         F.when(F.col("n_kept") < _KSET, F.lit(_H60_MAX))
         .otherwise(F.col("kth_min"))

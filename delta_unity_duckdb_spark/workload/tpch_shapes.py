@@ -460,7 +460,9 @@ def stats_moments(spark, sf_dir):
     exact sums make the same formula text produce bit-identical doubles
     in both. One shuffle of 8 decimal accumulators per group.
     """
-    li = _t(spark, sf_dir, "lineitem")
+    from delta_unity_duckdb_spark.sources.tables import load_table_cpu_bound
+
+    li = load_table_cpu_bound(spark, sf_dir, "lineitem")
     x = F.col("l_quantity").cast("decimal(9,4)")
     y = F.col("l_extendedprice").cast("decimal(12,4)")
     sums = li.groupBy("l_returnflag").agg(
@@ -1480,7 +1482,9 @@ def regr_aggs(spark, sf_dir):
     group, partition-order-independent), closed-form evaluation on the
     grouped scalars, FLOOR-quantized to micro-units for cross-engine hash
     stability (see functions.numeric ROUND hazard)."""
-    li = _t(spark, sf_dir, "lineitem")
+    from delta_unity_duckdb_spark.sources.tables import load_table_cpu_bound
+
+    li = load_table_cpu_bound(spark, sf_dir, "lineitem")
     x = F.col("l_quantity").cast("decimal(9,4)")
     y = F.col("l_extendedprice").cast("decimal(12,4)")
     sums = li.groupBy("l_returnflag").agg(

@@ -69,3 +69,22 @@ def test_kmeans_more_clusters_lower_wss(spark, sf_dir):
         .collect()[0][0]
     )
     assert w8 <= w2
+
+
+def test_literal_form_matches_distributed_form(spark, sf_dir):
+    """The driver-held-centroid Arrow form must be VALUE-IDENTICAL to the
+    fully distributed join+window form — same exact-integer distances,
+    same floor means, same lowest-cid tie-break (numpy argmin takes the
+    first minimum and centroids are cid-ordered). cid dtype differs
+    (int vs long) by construction; values must not."""
+    e = load_table(spark, sf_dir, "embeddings")
+    for iters in (0, 1, 2):
+        a = {
+            (r["vid"], int(r["cid"]), r["dist"])
+            for r in C.kmeans_fixed_point(e, k=4, iters=iters).collect()
+        }
+        b = {
+            (r["vid"], int(r["cid"]), r["dist"])
+            for r in C.kmeans_fixed_point_literal(e, k=4, iters=iters).collect()
+        }
+        assert a == b

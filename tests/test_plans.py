@@ -255,10 +255,15 @@ def test_triangles_wedge_joins_keyed(plans):
 
 
 def test_table_profile_single_scan(plans):
-    """Profiling four columns must read the table ONCE (single aggregate +
-    stack unpivot), not once per column like the UNION ALL oracle."""
+    """Profiling four columns must read the table a CONSTANT number of
+    times — one scan for the streaming aggregates (count/min/max of all
+    columns + stack unpivot) and one for ALL distinct counts together
+    (unpivoted two-phase groupBy) — never once per column like the UNION
+    ALL oracle, and never through the EXPAND a multi-countDistinct
+    aggregate would plan (row replication × N+1 before the shuffle)."""
     p = plans["table_profile"]
-    assert p.count("FileScan parquet") == 1
+    assert p.count("FileScan parquet") == 2
+    assert "Expand" not in p
 
 
 def test_ewma_single_window_shuffle(plans):
@@ -295,13 +300,15 @@ def test_pii_redact_is_zero_shuffle_map(plans):
     assert "Exchange" not in p
 
 
-def test_kmeans_broadcasts_centroids_and_prunes_top1(plans):
-    """Assignment must broadcast the k centroids (never shuffle the
-    vectors against them) and prune the per-vector rank below the sort."""
+def test_kmeans_assignment_is_narrow_arrow_map(plans):
+    """Assignment runs as the vectorized Arrow kernel against driver-held
+    centroids (MLlib-style): no join of vectors against centroids, no
+    per-vector window, no cartesian — the only plan operators touching
+    the vector set are the scan and the MapInPandas kernel."""
     p = plans["kmeans_clusters"]
-    assert "BroadcastNestedLoopJoin" in p
-    assert "WindowGroupLimit" in p
+    assert "MapInPandas" in p
     assert "CartesianProduct" not in p
+    assert "Join" not in p
 
 
 def test_sketch_builds_partial_aggregate_before_shuffle(plans):
