@@ -50,6 +50,43 @@ def shingles_sql(table: str, id_expr: str, text_expr: str, n: int) -> str:
     """
 
 
+def minhash_banded_sql(
+    table: str = "documents",
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of ``minhash_band_buckets`` for one table: a SELECT
+    yielding (id, band, sigstr) with sigstr equality ⇔ band-bucket
+    equality (the Spark side hashes the same slice with xxhash64; the
+    oracle compares the slice itself, so the two agree up to 64-bit hash
+    collisions — the same tolerance every minhash oracle here has).
+    Compose two of these to mirror cross-table (increment vs corpus)
+    candidate joins."""
+    from delta_unity_duckdb_spark.functions.hashing import hash31_sql
+
+    rpb = num_perm // bands
+    perms = minhash_perms(num_perm, seed)
+    min_exprs = ",\n             ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {_MERSENNE_P}))"
+        for a, b in perms
+    )
+    return f"""
+      SELECT id, band,
+             array_to_string(list_slice(mh, band * {rpb} + 1, (band + 1) * {rpb}), ',') AS sigstr
+      FROM (
+        SELECT id, [{min_exprs}] AS mh
+        FROM (
+          SELECT id, list_transform(shingles, s -> {hash31_sql('s')}) AS hs
+          FROM ({shingles_sql(table, id_expr, text_expr, shingle_n)})
+          WHERE len(shingles) > 0))
+      CROSS JOIN (SELECT UNNEST(range({bands})) AS band) b
+    """
+
+
 def minhash_pairs_sql(
     table: str = "documents",
     id_expr: str = "doc_id",
@@ -63,26 +100,11 @@ def minhash_pairs_sql(
     ``minhash_near_dups`` (same shingles, same portable md5 hash, same
     universal-hash constants, same banding) — select from it with
     ORDER BY/LIMIT to mirror a workload query."""
-    from delta_unity_duckdb_spark.functions.hashing import hash31_sql
-
-    rpb = num_perm // bands
-    perms = minhash_perms(num_perm, seed)
-    min_exprs = ",\n             ".join(
-        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {_MERSENNE_P}))"
-        for a, b in perms
+    banded = minhash_banded_sql(
+        table, id_expr, text_expr, num_perm, bands, shingle_n, seed
     )
     return f"""
-    WITH sh AS ({shingles_sql(table, id_expr, text_expr, shingle_n)}),
-    hs AS (
-      SELECT id, list_transform(shingles, s -> {hash31_sql('s')}) AS hs
-      FROM sh WHERE len(shingles) > 0),
-    sig AS (
-      SELECT id, [{min_exprs}] AS mh
-      FROM hs),
-    banded AS (
-      SELECT id, band,
-             array_to_string(list_slice(mh, band * {rpb} + 1, (band + 1) * {rpb}), ',') AS sigstr
-      FROM sig CROSS JOIN (SELECT UNNEST(range({bands})) AS band) b)
+    WITH banded AS ({banded})
     SELECT DISTINCT x.id AS id_a, y.id AS id_b
     FROM banded x JOIN banded y
       ON x.band = y.band AND x.sigstr = y.sigstr AND x.id < y.id
@@ -231,6 +253,45 @@ def minhash_signatures(
     )
 
 
+def minhash_band_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, band, bucket) — the LSH index rows: per document, one bucket
+    hash per band, read straight out of the WIDE signature row (xxhash64
+    over the band's signature slice). A narrow map with zero shuffles;
+    two documents are band-collision candidates iff they share a (band,
+    bucket) row. This is the frame a 100 TB pipeline PERSISTS as its
+    near-dup index: an increment is deduped against the corpus by
+    joining its bucket rows against the stored ones — never by
+    re-pairing the corpus with itself."""
+    rows_per_band = num_perm // bands
+    wide = minhash_signatures_wide(df, id_col, text_col, num_perm, shingle_n, seed)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.lit(b),
+                    *[
+                        F.col(f"mh_{i}")
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return wide.select("id", F.explode(band_structs).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def minhash_near_dups(
     df: DataFrame,
     id_col: str,
@@ -256,23 +317,6 @@ def minhash_near_dups(
     band) collect_list) paid a full shuffle of num_perm × N rows just to
     reassemble slices that were already adjacent in the wide row.
     """
-    rows_per_band = num_perm // bands
-    wide = minhash_signatures_wide(df, id_col, text_col, num_perm, shingle_n, seed)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.lit(b),
-                    *[
-                        F.col(f"mh_{i}")
-                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
-                    ],
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
-    )
     # ``banded`` has THREE consumers (bucket-size census + both sides of
     # the self-join). Materialize it once: without this, each consumer
     # re-runs the full signature map (md5 over every shingle) — the old
@@ -281,13 +325,9 @@ def minhash_near_dups(
     # (id, band, bucket) rows keeps the zero-shuffle map AND single
     # execution; at cluster scale this is a cache/checkpoint of
     # bands × N small rows — linear, spillable.
-    banded = (
-        wide.select("id", F.explode(band_structs).alias("bb"))
-        .select(
-            "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-        )
-        .localCheckpoint(eager=True)
-    )
+    banded = minhash_band_buckets(
+        df, id_col, text_col, num_perm, bands, shingle_n, seed
+    ).localCheckpoint(eager=True)
     bucket_sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("sz"))
     small = bucket_sizes.filter(F.col("sz") <= max_bucket_size).select("band", "bucket")
     b = banded.join(small, ["band", "bucket"])

@@ -22,6 +22,13 @@ from pyspark.sql import functions as F
 
 from delta_unity_duckdb_spark.sources.tables import load_table
 
+# Fast-path threshold shared by connected_components and kcore: graphs at
+# or below this many edges (and with integral node ids) are solved on the
+# driver — the same class of adaptive decision as AQE's broadcast-join
+# threshold. Tests set this to 0 to force the distributed path and pin
+# value-equivalence of the two implementations.
+SMALL_GRAPH_EDGES = 2_000_000
+
 
 def build_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """Derive (vertices, edges) from orders→lineitem (FIXTURES.md §3)."""
@@ -170,8 +177,10 @@ def connected_components(edges: DataFrame, max_iter: int = 32) -> DataFrame:
     sym = edges.select("src", "dst").unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    small_graph_edges = 2_000_000
-    if isinstance(edges.schema["src"].dataType, IntegralType):
+    small_graph_edges = SMALL_GRAPH_EDGES
+    if small_graph_edges > 0 and isinstance(
+        edges.schema["src"].dataType, IntegralType
+    ):
         pair_rows = edges.select("src", "dst").limit(small_graph_edges + 1).collect()
         if len(pair_rows) <= small_graph_edges:
             parent: dict = {}
@@ -495,8 +504,10 @@ def kcore(edges: DataFrame, k: int, rounds: int) -> DataFrame:
     # (bincount degrees over dense-mapped ids), return via Arrow. Results
     # are exactly the distributed rounds' (same round semantics, same
     # early exit); graphs above the threshold stay fully distributed.
-    small_graph_edges = 2_000_000
-    if isinstance(edges.schema["src"].dataType, IntegralType):
+    small_graph_edges = SMALL_GRAPH_EDGES
+    if small_graph_edges > 0 and isinstance(
+        edges.schema["src"].dataType, IntegralType
+    ):
         probe = edges.select("src", "dst").limit(small_graph_edges + 1).toPandas()
         if len(probe) == 0:
             return edges.select("src", "dst")

@@ -194,6 +194,78 @@ def minhash_near_dups(spark, sf_dir):
 
 
 @query(
+    "incremental_near_dup_ingest",
+    oracle=f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents),
+    inc AS (
+      SELECT doc_id + 500000 AS doc_id, text FROM documents
+      WHERE doc_id % 7 = 0),
+    bc AS ({D.minhash_banded_sql('corpus', 'doc_id', 'text', num_perm=32, bands=8)}),
+    bi AS ({D.minhash_banded_sql('inc', 'doc_id', 'text', num_perm=32, bands=8)}),
+    small AS (
+      SELECT band, sigstr FROM bc GROUP BY band, sigstr
+      HAVING COUNT(*) <= 1000),
+    cand AS (
+      SELECT DISTINCT i.id AS new_id, c.id AS corpus_id
+      FROM bi i
+      JOIN small s ON i.band = s.band AND i.sigstr = s.sigstr
+      JOIN bc c ON c.band = s.band AND c.sigstr = s.sigstr),
+    verdict AS (
+      SELECT i.doc_id AS new_id, MIN(c.corpus_id) AS dup_of
+      FROM inc i LEFT JOIN cand c ON c.new_id = i.doc_id
+      GROUP BY i.doc_id)
+    SELECT new_id, CAST(dup_of AS BIGINT) AS dup_of,
+           dup_of IS NOT NULL AS is_dup
+    FROM verdict ORDER BY new_id LIMIT 500
+    """,
+)
+def incremental_near_dup_ingest(spark, sf_dir):
+    """Incremental ingest dedup — the operation a LIVE 100 TB corpus runs
+    every batch: a re-crawl increment (every 7th doc under a new id) is
+    checked for near-duplicates against the EXISTING corpus by joining
+    the increment's LSH band buckets against the corpus's persisted
+    bucket index (``minhash_band_buckets`` — the frame a deployment
+    stores). The candidate join is increment × corpus through bucket
+    equality ONLY: no corpus self-pairing, no re-sketching of history,
+    cost linear in the increment. Degenerate corpus buckets (> 1000
+    members — boilerplate) are dropped by the census exactly as in
+    ``minhash_near_dups``; each new doc reports its lowest-id corpus
+    duplicate or none. Re-crawled texts are byte-identical so their
+    signatures collide on every band — the expected verdict, replayed
+    value-for-value by the oracle."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    inc = d.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 500000
+    )
+    bc = D.minhash_band_buckets(
+        d, "doc_id", "text", num_perm=32, bands=8
+    ).localCheckpoint(eager=True)
+    bi = D.minhash_band_buckets(inc, "doc_id", "text", num_perm=32, bands=8)
+    small = (
+        bc.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .filter(F.col("sz") <= 1000)
+        .select("band", "bucket")
+    )
+    cand = (
+        bi.withColumnRenamed("id", "new_id")
+        .join(small, ["band", "bucket"])
+        .join(bc.withColumnRenamed("id", "corpus_id"), ["band", "bucket"])
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    return (
+        inc.select(F.col("doc_id").alias("new_id"))
+        .join(cand, "new_id", "left")
+        .groupBy("new_id")
+        .agg(F.min("corpus_id").cast("bigint").alias("dup_of"))
+        .withColumn("is_dup", F.col("dup_of").isNotNull())
+        .orderBy("new_id")
+        .limit(500)
+    )
+
+
+@query(
     "simhash_near_dups",
     oracle=f"""
     WITH pairs AS ({D.simhash_pairs_sql()})

@@ -114,3 +114,38 @@ def test_kcore_fixpoint_and_nesting(spark, sf_dir):
         assert min(deg.values()) >= 6
     c7 = edge_set(kcore(edges, k=7, rounds=12))
     assert c7 <= c12  # nesting
+
+
+def test_fast_paths_match_distributed_paths(spark):
+    """The driver fast paths (union-find CC, numpy k-core) must be
+    VALUE-IDENTICAL to the distributed implementations on the same graph.
+    Forced by setting SMALL_GRAPH_EDGES to 0 (distributed) vs default
+    (fast): two triangles bridged by a chain + a 4-clique + isolates."""
+    import delta_unity_duckdb_spark.operators.graph as G
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 7), (7, 5),
+         (10, 11), (10, 12), (10, 13), (11, 12), (11, 13), (12, 13)],
+        "src long, dst long",
+    )
+    sym = edges.union(edges.selectExpr("dst as src", "src as dst"))
+
+    def cc_set(df):
+        return {(r["node"], r["component"]) for r in df.collect()}
+
+    def core_set(df):
+        return {(r["src"], r["dst"]) for r in df.collect()}
+
+    fast_cc = cc_set(G.connected_components(edges))
+    fast_core = core_set(G.kcore(sym, k=3, rounds=8))
+    orig = G.SMALL_GRAPH_EDGES
+    G.SMALL_GRAPH_EDGES = 0
+    try:
+        dist_cc = cc_set(G.connected_components(edges))
+        dist_core = core_set(G.kcore(sym, k=3, rounds=8))
+    finally:
+        G.SMALL_GRAPH_EDGES = orig
+    assert fast_cc == dist_cc
+    assert fast_core == dist_core
+    # sanity: the 4-clique is the only 3-core
+    assert {s for s, _ in fast_core} == {10, 11, 12, 13}

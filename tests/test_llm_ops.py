@@ -116,3 +116,17 @@ def test_near_dup_clusters_transitive_single_survivor(spark):
     from collections import Counter
     surv = Counter(c for c, s in out.values() if s)
     assert all(v == 1 for v in surv.values())
+
+
+def test_incremental_ingest_detects_every_recrawl(spark, sf_dir):
+    """Byte-identical re-crawled texts have identical MinHash signatures,
+    so every band collides: each increment doc must be flagged with its
+    own original as (one of) its duplicates — dup_of <= new_id - 500000
+    (a lower-id near-dup may win MIN, never a miss)."""
+    from delta_unity_duckdb_spark.workload.llm import incremental_near_dup_ingest
+
+    rows = incremental_near_dup_ingest(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["is_dup"], f"re-crawl {r['new_id']} not detected"
+        assert r["dup_of"] <= r["new_id"] - 500000
