@@ -40,6 +40,10 @@ CHECKED = [
     "cluster_balanced_sample",
     "bigram_surprisal",
     "graph_kcore",
+    # round-3: cross-table LSH index join + driver fast paths must not
+    # depend on layout either
+    "incremental_near_dup_ingest",
+    "semantic_dedup_blocks",
 ]
 
 
