@@ -1272,3 +1272,132 @@ def lang_id_confusion(spark, sf_dir):
         )
         .orderBy("lang_true", "lang_pred")
     )
+
+
+# ------------------------------------------- training-batch assembly ops
+@query(
+    "sequence_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                  AS BIGINT) AS n_tok
+      FROM documents),
+    offs AS (
+      SELECT doc_id, lang, n_tok,
+             COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM toks)
+    SELECT lang, CAST(off // 2048 AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM offs GROUP BY lang, off // 2048
+    ORDER BY lang, bin LIMIT 500
+    """,
+)
+def sequence_packing(spark, sf_dir):
+    """Training-sequence packing manifest: docs are packed into
+    2048-token bins per language in deterministic doc_id order — a doc
+    belongs to the bin its cumulative token offset starts in (the
+    order-preserving concat-then-split packing used when document order
+    must be reproducible; a bin overflows by at most one document's
+    tail). One window (running token sum) + one aggregate; at 100 TB the
+    window partitions by language shard — no global sort, no driver
+    state. The manifest (docs, tokens, id range per bin) is what the
+    loader reads to seek into the packed corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.filter(F.split("text", " "), lambda w: w != "")).cast(
+            "bigint"
+        ).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = toks.withColumn("off", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    return (
+        offs.withColumn("bin", F.expr("off DIV 2048"))
+        .groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+            F.max("doc_id").cast("bigint").alias("last_doc"),
+        )
+        .orderBy("lang", "bin")
+        .limit(500)
+    )
+
+
+@query(
+    "shard_manifest",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               AS h,
+             CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                  AS BIGINT) AS n_tok
+      FROM documents),
+    sh AS (
+      SELECT doc_id, n_tok, h % 16 AS shard,
+             ROW_NUMBER() OVER (PARTITION BY h % 16 ORDER BY h, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY h % 16) AS n
+      FROM toks)
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS head_doc,
+           CAST(MAX(CASE WHEN rn = n THEN doc_id END) AS BIGINT) AS tail_doc
+    FROM sh GROUP BY shard ORDER BY shard
+    """,
+)
+def shard_manifest(spark, sf_dir):
+    """Deterministic global shuffle for training: every doc is routed to
+    one of 16 output shards by the portable hash of its id and ORDERED
+    within the shard by (hash, id) — a seeded pseudo-random permutation
+    that is identical on any engine, any partitioning, any run (no
+    ``rand()``, whose draw order is partition-dependent). The manifest
+    reports per-shard doc/token totals plus the first and last doc under
+    the shuffle order, pinning the permutation's endpoints. At 100 TB
+    this is one hash-partitioned shuffle + per-shard sort — exactly the
+    write path of a `repartitionByRange`-style shard job."""
+    from delta_unity_duckdb_spark.functions.hashing import hash60
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        hash60(F.col("doc_id").cast("string")).alias("h"),
+        F.size(F.filter(F.split("text", " "), lambda w: w != "")).cast(
+            "bigint"
+        ).alias("n_tok"),
+    ).withColumn("shard", F.pmod("h", F.lit(16)))
+    ws = Window.partitionBy("shard").orderBy("h", "doc_id")
+    sh = toks.select(
+        "doc_id",
+        "n_tok",
+        "shard",
+        F.row_number().over(ws).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("shard")).alias("n"),
+    )
+    return (
+        sh.groupBy("shard")
+        .agg(
+            F.max("n").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id")))
+            .cast("bigint")
+            .alias("head_doc"),
+            F.max(F.when(F.col("rn") == F.col("n"), F.col("doc_id")))
+            .cast("bigint")
+            .alias("tail_doc"),
+        )
+        .withColumn("shard", F.col("shard").cast("bigint"))
+        .orderBy("shard")
+    )

@@ -130,3 +130,42 @@ def test_incremental_ingest_detects_every_recrawl(spark, sf_dir):
     for r in rows:
         assert r["is_dup"], f"re-crawl {r['new_id']} not detected"
         assert r["dup_of"] <= r["new_id"] - 500000
+
+
+def test_sequence_packing_conserves_tokens_and_orders_bins(spark, sf_dir):
+    """Packing must conserve the corpus token count exactly (every doc in
+    exactly one bin) and fill bins in contiguous order: within a
+    language, bin b+1's first_doc follows bin b's last_doc."""
+    from pyspark.sql import functions as F
+
+    from delta_unity_duckdb_spark.sources.tables import load_table
+    from delta_unity_duckdb_spark.workload.llm import sequence_packing
+
+    rows = sequence_packing(spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents")
+    total = d.select(
+        F.sum(F.size(F.filter(F.split("text", " "), lambda w: w != "")))
+    ).collect()[0][0]
+    assert sum(r["n_tokens"] for r in rows) == total
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, bins in by_lang.items():
+        bins.sort(key=lambda r: r["bin"])
+        for prev, nxt in zip(bins, bins[1:]):
+            assert prev["last_doc"] < nxt["first_doc"], lang
+
+
+def test_shard_manifest_routes_every_doc_once(spark, sf_dir):
+    """16 shards, every doc in exactly one; endpoints are real doc ids."""
+    from delta_unity_duckdb_spark.sources.tables import load_table
+    from delta_unity_duckdb_spark.workload.llm import shard_manifest
+
+    rows = shard_manifest(spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents")
+    n = d.count()
+    assert sum(r["n_docs"] for r in rows) == n
+    assert len(rows) == 16
+    ids = {r["doc_id"] for r in d.select("doc_id").collect()}
+    for r in rows:
+        assert r["head_doc"] in ids and r["tail_doc"] in ids
