@@ -1401,3 +1401,76 @@ def shard_manifest(spark, sf_dir):
         .withColumn("shard", F.col("shard").cast("bigint"))
         .orderBy("shard")
     )
+
+
+@query(
+    "dedup_signal_agreement",
+    oracle=f"""
+    WITH docs AS (
+      SELECT d.doc_id, d.text FROM documents d
+      JOIN embeddings e ON d.doc_id = e.vec_id),
+    tp AS ({D.minhash_pairs_sql('docs', 'doc_id', 'text', num_perm=32, bands=8)}),
+    sp AS (
+      SELECT id_a, id_b
+      FROM ({S.cosine_pairs_lsh_sql(dim=64, threshold=0.35, num_planes=24, bands=6)})),
+    uni AS (
+      SELECT COALESCE(t.id_a, s.id_a) AS id_a,
+             t.id_a IS NOT NULL AS in_text,
+             s.id_a IS NOT NULL AS in_sem
+      FROM tp t FULL OUTER JOIN sp s
+        ON t.id_a = s.id_a AND t.id_b = s.id_b)
+    SELECT CAST(SUM(CASE WHEN in_text AND in_sem THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_both,
+           CAST(SUM(CASE WHEN in_text AND NOT in_sem THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_text_only,
+           CAST(SUM(CASE WHEN in_sem AND NOT in_text THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_semantic_only,
+           CAST((SUM(CASE WHEN in_text AND in_sem THEN 1 ELSE 0 END) * 1000000)
+                // COUNT(*) AS BIGINT) AS agreement_ppm
+    FROM uni
+    """,
+)
+def dedup_signal_agreement(spark, sf_dir):
+    """Cross-signal dedup evaluation — the health check a curation
+    pipeline runs on its OWN detectors: do the lexical near-dup signal
+    (MinHash+LSH over text) and the semantic signal (random-hyperplane
+    cosine LSH over embeddings) flag the same pairs? Both candidate
+    generators are the proven banded equi-joins (never all-pairs); the
+    two pair sets FULL-OUTER-join on (id_a, id_b) and the agreement
+    lands as integer ppm. A collapsing agreement rate in production
+    means one detector drifted (tokenizer change, embedding model swap)
+    — this query is the monitor. Restricted to docs that have an
+    embedding so both signals see the same universe. (On the synthetic
+    fixtures the embeddings are random vectors uncorrelated with the
+    text, so the expected agreement is ~0 — the monitor correctly
+    reports that the two detectors fire on disjoint pairs; both margins
+    are non-zero, so the check is non-vacuous.)"""
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    docs = d.join(e.select(F.col("vec_id").alias("doc_id")), "doc_id").select(
+        "doc_id", "text"
+    )
+    tp = D.minhash_near_dups(docs, "doc_id", "text", num_perm=32, bands=8).select(
+        "id_a", "id_b", F.lit(True).alias("in_text")
+    )
+    sp = S.cosine_pairs_lsh(e, threshold=0.35, num_planes=24, bands=6).select(
+        "id_a", "id_b", F.lit(True).alias("in_sem")
+    )
+    uni = tp.join(sp, ["id_a", "id_b"], "full").select(
+        F.coalesce("in_text", F.lit(False)).alias("in_text"),
+        F.coalesce("in_sem", F.lit(False)).alias("in_sem"),
+    )
+    both = F.sum(F.when(F.col("in_text") & F.col("in_sem"), 1).otherwise(0))
+    return uni.agg(
+        both.cast("bigint").alias("n_both"),
+        F.sum(F.when(F.col("in_text") & ~F.col("in_sem"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_text_only"),
+        F.sum(F.when(F.col("in_sem") & ~F.col("in_text"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_semantic_only"),
+        F.expr(
+            "CAST((SUM(CASE WHEN in_text AND in_sem THEN 1 ELSE 0 END) * 1000000)"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("agreement_ppm"),
+    )

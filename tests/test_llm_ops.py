@@ -169,3 +169,24 @@ def test_shard_manifest_routes_every_doc_once(spark, sf_dir):
     ids = {r["doc_id"] for r in d.select("doc_id").collect()}
     for r in rows:
         assert r["head_doc"] in ids and r["tail_doc"] in ids
+
+
+def test_signal_agreement_margins_match_pair_sets(spark, sf_dir):
+    """The agreement table's margins must equal the two underlying pair
+    sets' sizes exactly (n_both + n_text_only = |minhash pairs|, etc.)."""
+    from delta_unity_duckdb_spark.operators import similarity as S
+    from delta_unity_duckdb_spark.sources.tables import load_table
+    from delta_unity_duckdb_spark.workload.llm import dedup_signal_agreement
+
+    r = dedup_signal_agreement(spark, sf_dir).collect()[0]
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    docs = d.join(
+        e.selectExpr("vec_id as doc_id"), "doc_id"
+    ).select("doc_id", "text")
+    n_text = D.minhash_near_dups(
+        docs, "doc_id", "text", num_perm=32, bands=8
+    ).count()
+    n_sem = S.cosine_pairs_lsh(e, threshold=0.35, num_planes=24, bands=6).count()
+    assert r["n_both"] + r["n_text_only"] == n_text
+    assert r["n_both"] + r["n_semantic_only"] == n_sem
