@@ -292,6 +292,62 @@ def minhash_band_buckets(
     )
 
 
+def minhash_band_buckets_map(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """STATELESS twin of ``minhash_band_buckets``: signatures via
+    per-row ``F.transform``/``array_min`` folds instead of the
+    explode+groupBy aggregate — a pure narrow map with no shuffle and no
+    state, producing the IDENTICAL (id, band, bucket) rows. This is the
+    form a Structured Streaming pipeline must use: the groupBy form is a
+    stateful aggregation, and chaining it before the index join and the
+    verdict aggregation would exceed streaming's stateful-operator
+    nesting. Batch callers prefer ``minhash_band_buckets`` (the
+    aggregate form measured ~2× faster on wide batches)."""
+    from delta_unity_duckdb_spark.functions.hashing import hash31
+
+    perms = minhash_perms(num_perm, seed)
+    rows_per_band = num_perm // bands
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(_shingles(F.col(text_col), shingle_n)).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    hashed = sh.select(
+        "id", F.transform("shingles", lambda s: hash31(s)).alias("hs")
+    )
+    sig_cols = [
+        F.array_min(
+            F.transform("hs", lambda h: (h * a + b) % F.lit(_MERSENNE_P))
+        ).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(perms)
+    ]
+    wide = hashed.select("id", *sig_cols)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.lit(b),
+                    *[
+                        F.col(f"mh_{i}")
+                        for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                    ],
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return wide.select("id", F.explode(band_structs).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def minhash_near_dups(
     df: DataFrame,
     id_col: str,

@@ -460,3 +460,72 @@ def stream_cms_top_users(spark, sf_dir):
         .orderBy(F.desc("cms_est"), "user_id")
         .limit(20)
     )
+
+
+# ------------------------------------------- streaming incremental dedup
+from delta_unity_duckdb_spark.operators import dedup as _D  # noqa: E402
+from delta_unity_duckdb_spark.workload.llm import incremental_near_dup_ingest  # noqa: E402
+from delta_unity_duckdb_spark.workload.registry import ORACLE as _ORACLE  # noqa: E402
+
+
+@query(
+    "stream_incremental_dedup",
+    # Streaming-batch equivalence: on complete input (availableNow) the
+    # verdict table must equal the batch query's, so the oracle is the
+    # SAME SQL the batch twin uses.
+    oracle=_ORACLE["incremental_near_dup_ingest"],
+)
+def stream_incremental_dedup(spark, sf_dir):
+    """Streaming ingest dedup — the LIVE form of
+    ``incremental_near_dup_ingest``: document micro-batches arrive on a
+    file-source stream, each doc's LSH band buckets are computed as a
+    PURE NARROW MAP (``minhash_band_buckets_map`` — the stateless
+    signature form; the batch groupBy form would be a second stateful
+    operator), LEFT-joined against the STATIC corpus bucket index
+    (re-read per micro-batch, so a nightly index rebuild is picked up
+    without restart), and the per-doc lowest-id duplicate verdict is the
+    single stateful aggregation, drained with Trigger.AvailableNow.
+    Exactly-once verdicts via the checkpointed sink; oracle = the batch
+    twin's SQL (streaming and batch MUST agree on complete input).
+    One documented divergence: a doc with ZERO shingles (empty text)
+    yields no bucket rows here, so it is absent from the verdict, while
+    the batch form reports it with dup_of NULL — such a doc cannot be a
+    duplicate either way, and the fixtures contain none (asserted in
+    tests)."""
+    import os
+
+    from delta_unity_duckdb_spark.sources.tables import load_table
+
+    schema = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).schema
+    docs_stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    inc = (
+        docs_stream.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 500000)
+        .select("doc_id", "text")
+    )
+    corpus = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bc = _D.minhash_band_buckets(
+        corpus, "doc_id", "text", num_perm=32, bands=8
+    ).localCheckpoint(eager=True)
+    small = (
+        bc.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .filter(F.col("sz") <= 1000)
+        .select("band", "bucket")
+    )
+    idx = bc.withColumnRenamed("id", "corpus_id").join(small, ["band", "bucket"])
+    bi = _D.minhash_band_buckets_map(
+        inc, "doc_id", "text", num_perm=32, bands=8
+    ).withColumnRenamed("id", "new_id")
+    cand = bi.join(F.broadcast(idx), ["band", "bucket"], "left")
+    verdict = (
+        cand.groupBy("new_id")
+        .agg(F.min("corpus_id").cast("bigint").alias("dup_of"))
+        .withColumn("is_dup", F.col("dup_of").isNotNull())
+    )
+    out = run_available_now(verdict, output_mode="complete")
+    return out.orderBy("new_id").limit(500)

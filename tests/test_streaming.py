@@ -155,3 +155,21 @@ def test_stream_hll_registers_equal_batch_sketch(spark, sf_dir, batch_events):
     assert key(streamed) == key(batch)
     per_window = streamed.groupBy("win").count().agg(F.max("count")).collect()
     assert per_window[0][0] <= 64
+
+
+def test_stream_incremental_dedup_equals_batch(spark, sf_dir):
+    """Streaming-batch equivalence for the ingest-dedup twin: identical
+    verdict rows on complete input, and the fixtures contain no
+    empty-shingle docs (the one documented divergence)."""
+    from pyspark.sql import functions as F
+
+    from delta_unity_duckdb_spark.sources.tables import load_table
+    from delta_unity_duckdb_spark.workload.llm import incremental_near_dup_ingest
+    from delta_unity_duckdb_spark.workload.streamq import stream_incremental_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    n_empty = d.filter(F.trim(F.col("text")) == "").count()
+    assert n_empty == 0
+    batch = {tuple(r) for r in incremental_near_dup_ingest(spark, sf_dir).collect()}
+    stream = {tuple(r) for r in stream_incremental_dedup(spark, sf_dir).collect()}
+    assert batch == stream
