@@ -32,7 +32,9 @@ def salted_agg(
     ``n_salts`` tasks; phase 2 re-aggregates the ≤ n_salts partials per
     key. Supported aggs (decomposable): sum, count, min, max.
 
-    ``aggs`` maps column → fn name; output column is ``{fn}_{col}``.
+    ``aggs`` maps column → fn name or sequence of fn names (so one pass
+    computes several aggregates of the same column — never scan twice);
+    output column is ``{fn}_{col}``.
     """
     keys = list(keys)
     salt_source = (
@@ -41,20 +43,21 @@ def salted_agg(
     salted = df.withColumn("__salt", F.pmod(F.hash(salt_source), F.lit(n_salts)))
 
     partial_exprs, final_exprs = [], []
-    for col, fn in aggs.items():
-        out = f"{fn}_{col}"
-        if fn == "count":
-            partial_exprs.append(F.count(col).alias(out))
-            final_exprs.append(F.sum(out).alias(out))
-        elif fn == "sum":
-            partial_exprs.append(F.sum(col).alias(out))
-            final_exprs.append(F.sum(out).alias(out))
-        elif fn in ("min", "max"):
-            agg_f = F.min if fn == "min" else F.max
-            partial_exprs.append(agg_f(col).alias(out))
-            final_exprs.append(agg_f(out).alias(out))
-        else:
-            raise ValueError(f"non-decomposable agg: {fn}")
+    for col, fns in aggs.items():
+        for fn in [fns] if isinstance(fns, str) else fns:
+            out = f"{fn}_{col}"
+            if fn == "count":
+                partial_exprs.append(F.count(col).alias(out))
+                final_exprs.append(F.sum(out).alias(out))
+            elif fn == "sum":
+                partial_exprs.append(F.sum(col).alias(out))
+                final_exprs.append(F.sum(out).alias(out))
+            elif fn in ("min", "max"):
+                agg_f = F.min if fn == "min" else F.max
+                partial_exprs.append(agg_f(col).alias(out))
+                final_exprs.append(agg_f(out).alias(out))
+            else:
+                raise ValueError(f"non-decomposable agg: {fn}")
 
     return (
         salted.groupBy(*keys, "__salt")

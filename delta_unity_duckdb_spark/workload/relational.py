@@ -1709,3 +1709,85 @@ def window_percent_cume(spark, sf_dir):
         .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
         .limit(400)
     )
+
+
+# ---------------------------------------------------------------- skew toolkit
+@query(
+    "salted_hot_key_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6))
+             AS sum_l_quantity,
+           CAST(COUNT(l_orderkey) AS BIGINT) AS count_l_orderkey,
+           CAST(MIN(l_extendedprice) AS DOUBLE) AS min_l_extendedprice,
+           CAST(MAX(l_extendedprice) AS DOUBLE) AS max_l_extendedprice
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def salted_hot_key_agg(spark, sf_dir):
+    """The salting toolkit under oracle: l_returnflag has 3 values over
+    the whole fact table — the textbook hot-key aggregation. The salted
+    two-phase plan (operators/skew.py salted_agg: group on (key, salt)
+    to spread each hot key over n_salts tasks, then re-aggregate ≤
+    n_salts partials per key) must be EXACTLY semantics-neutral, which
+    is precisely what the oracle checks: its SQL is the plain one-phase
+    GROUP BY. Decomposable aggregates over exact types (DECIMAL sum,
+    count, min/max) make the two plans bit-identical on any
+    partitioning; this query is the proof the 100 TB skew path can be
+    swapped in without a correctness review."""
+    from delta_unity_duckdb_spark.operators.skew import salted_agg
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        dec("l_quantity").alias("l_quantity"),
+        "l_orderkey",
+        "l_extendedprice",
+    )
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "l_quantity": "sum",
+            "l_orderkey": "count",
+            "l_extendedprice": ["min", "max"],
+        },
+        n_salts=16,
+    )
+    return (
+        out.select(
+            "l_returnflag",
+            F.col("sum_l_quantity").cast("decimal(38,6)").alias("sum_l_quantity"),
+            F.col("count_l_orderkey").cast("bigint").alias("count_l_orderkey"),
+            F.col("min_l_extendedprice").cast("double").alias("min_l_extendedprice"),
+            F.col("max_l_extendedprice").cast("double").alias("max_l_extendedprice"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "key_skew_profile",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(COUNT(*) / (SELECT CAST(COUNT(*) AS DOUBLE) FROM orders), 6)
+             AS share
+    FROM orders GROUP BY o_orderpriority
+    ORDER BY n_rows DESC, o_orderpriority LIMIT 10
+    """,
+)
+def key_skew_profile_q(spark, sf_dir):
+    """The pre-flight skew diagnostic (operators/skew.py
+    key_skew_profile): per-key row counts and share of total, descending
+    — the number you read before choosing broadcast vs salting vs AQE
+    skew-join for a key. Exact integer ratio → double → round, identical
+    on both engines."""
+    from delta_unity_duckdb_spark.operators.skew import key_skew_profile
+
+    o = _t(spark, sf_dir, "orders")
+    prof = key_skew_profile(o, ["o_orderpriority"], top=10)
+    return prof.select(
+        "o_orderpriority",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        "share",
+    ).orderBy(F.desc("n_rows"), "o_orderpriority")
