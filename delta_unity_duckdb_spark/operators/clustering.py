@@ -34,6 +34,12 @@ from pyspark.sql import functions as F
 
 SCALE = 100_000  # 1e-5 grid: |q| ≤ ~1e5·|x|; dist sums stay « int64 max
 
+# Rows at or below which kmeans_fixed_point_literal solves the WHOLE
+# problem on the driver in numpy (Arrow collect ≈ rows × dim × 8B; 200k ×
+# 64 dims ≈ 100 MB). Same adaptive-threshold contract as
+# graph.SMALL_GRAPH_EDGES; tests set 0 to force the Spark loop.
+SMALL_KMEANS_ROWS = 200_000
+
 
 def quantize_vec(col: Column, scale: int = SCALE) -> Column:
     """array<float> → array<bigint> on the floor grid (no ROUND tie-break)."""
@@ -201,7 +207,59 @@ def kmeans_fixed_point_literal(
     ``kmeans_fixed_point``."""
     e = emb.select(
         F.col(id_col).alias("vid"), quantize_vec(F.col(vec_col), scale).alias("q")
-    ).localCheckpoint(eager=True)
+    )
+
+    # Whole-problem fast path (same adaptive contract as the graph
+    # operators' SMALL_GRAPH_EDGES): when the quantized corpus itself is
+    # tiny relative to the cluster, each Spark round's scheduling floor
+    # dwarfs the arithmetic — collect once via Arrow and run the
+    # IDENTICAL iterations in numpy. Exactness is preserved end to end:
+    # int64 arithmetic, np.floor_divide == the portable
+    # (s - pmod(s, n)) DIV n floor mean, argmin first-minimum ==
+    # lowest-cid tie-break, empty clusters dropped exactly as the
+    # aggregate form drops their groups. Equivalence pinned in tests.
+    probe = e.limit(SMALL_KMEANS_ROWS + 1).toPandas()
+    if len(probe) <= SMALL_KMEANS_ROWS and len(probe) > 0:
+        import numpy as np
+        import pandas as pd
+
+        vids = probe["vid"].to_numpy(np.int64)
+        Q = np.stack([np.asarray(q, dtype=np.int64) for q in probe["q"]])
+        order = np.argsort(vids, kind="stable")
+        vids, Q = vids[order], Q[order]
+        seed_rows = np.nonzero(vids < k)[0]
+        C = Q[seed_rows]  # sorted by vid ⇒ cid 1..len ascending
+        cids = np.arange(1, len(seed_rows) + 1, dtype=np.int64)
+        for _ in range(iters + 1):
+            d2 = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            best = d2.argmin(axis=1)
+            if _ == iters:
+                break
+            keep, new_c = [], []
+            for j in range(len(cids)):
+                members = Q[best == j]
+                if len(members):
+                    keep.append(cids[j])
+                    new_c.append(
+                        np.floor_divide(members.sum(axis=0), len(members))
+                    )
+            cids = np.array(keep, dtype=np.int64)
+            C = np.stack(new_c)
+        spark = emb.sparkSession
+        out = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "vid": vids,
+                    "cid": cids[best],
+                    "dist": d2[np.arange(len(best)), best],
+                }
+            )
+        )
+        return out.select(
+            "vid", F.col("cid").cast("int").alias("cid"), "dist"
+        )
+
+    e = e.localCheckpoint(eager=True)
     init = (
         e.filter(F.col("vid") < k)
         .select(

@@ -88,3 +88,17 @@ def test_literal_form_matches_distributed_form(spark, sf_dir):
             for r in C.kmeans_fixed_point_literal(e, k=4, iters=iters).collect()
         }
         assert a == b
+        # force the driver-loop + Arrow-map Spark path (numpy whole-problem
+        # fast path disabled) — all three implementations must agree
+        orig = C.SMALL_KMEANS_ROWS
+        C.SMALL_KMEANS_ROWS = 0
+        try:
+            c = {
+                (r["vid"], int(r["cid"]), r["dist"])
+                for r in C.kmeans_fixed_point_literal(
+                    e, k=4, iters=iters
+                ).collect()
+            }
+        finally:
+            C.SMALL_KMEANS_ROWS = orig
+        assert a == c

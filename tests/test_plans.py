@@ -301,12 +301,14 @@ def test_pii_redact_is_zero_shuffle_map(plans):
 
 
 def test_kmeans_assignment_is_narrow_arrow_map(plans):
-    """Assignment runs as the vectorized Arrow kernel against driver-held
-    centroids (MLlib-style): no join of vectors against centroids, no
-    per-vector window, no cartesian — the only plan operators touching
-    the vector set are the scan and the MapInPandas kernel."""
+    """Assignment never joins or windows the vector set against the
+    centroids, at ANY size tier: below SMALL_KMEANS_ROWS the whole solve
+    is the numpy fast path (plan = a local/Arrow relation scan + the
+    downstream aggregate), above it the vectorized Arrow MapInPandas
+    kernel against driver-held centroids — no cartesian, no join, no
+    per-vector window in either plan."""
     p = plans["kmeans_clusters"]
-    assert "MapInPandas" in p
+    assert "MapInPandas" in p or "ExistingRDD" in p or "LocalTableScan" in p
     assert "CartesianProduct" not in p
     assert "Join" not in p
 
