@@ -181,8 +181,15 @@ def connected_components(edges: DataFrame, max_iter: int = 32) -> DataFrame:
     if small_graph_edges > 0 and isinstance(
         edges.schema["src"].dataType, IntegralType
     ):
-        pair_rows = edges.select("src", "dst").limit(small_graph_edges + 1).collect()
-        if len(pair_rows) <= small_graph_edges:
+        # Arrow collect (toPandas), not Row-object collect(): at the 2M-pair
+        # threshold the Row path spends seconds rebuilding Python objects.
+        probe_pdf = (
+            edges.select("src", "dst").limit(small_graph_edges + 1).toPandas()
+        )
+        if len(probe_pdf) <= small_graph_edges:
+            pair_rows = list(
+                zip(probe_pdf["src"].tolist(), probe_pdf["dst"].tolist())
+            )
             parent: dict = {}
 
             def find(x):
