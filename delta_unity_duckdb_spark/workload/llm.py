@@ -1474,3 +1474,94 @@ def dedup_signal_agreement(spark, sf_dir):
             " DIV COUNT(*) AS BIGINT)"
         ).alias("agreement_ppm"),
     )
+
+
+@query(
+    "boilerplate_ngram_flags",
+    oracle="""
+    WITH dirty AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 3 = 0
+               THEN ' terms of service apply all rights reserved contact support'
+               ELSE '' END AS text
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             UNNEST(list_distinct(list_transform(
+               range(1, len(words) - 1),
+               i -> array_to_string(list_slice(words, i, i + 2), ' ')))) AS g
+      FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words
+            FROM dirty)),
+    df AS (
+      SELECT g, COUNT(*) AS n_docs FROM sh GROUP BY g),
+    total AS (SELECT COUNT(*) AS n FROM dirty),
+    boiler AS (
+      SELECT g FROM df, total WHERE n_docs * 100 >= n * 20),
+    per_doc AS (
+      SELECT s.doc_id,
+             COUNT(*) AS n_grams,
+             SUM(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS n_boiler
+      FROM sh s LEFT JOIN boiler b ON s.g = b.g
+      GROUP BY s.doc_id)
+    SELECT doc_id,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(n_boiler AS BIGINT) AS n_boiler,
+           CAST((n_boiler * 1000000) // n_grams AS BIGINT) AS boiler_ppm,
+           (n_boiler * 5) >= n_grams AS flagged
+    FROM per_doc ORDER BY boiler_ppm DESC, doc_id LIMIT 300
+    """,
+)
+def boilerplate_ngram_flags(spark, sf_dir):
+    """Corpus-level boilerplate detection (the C4-style cleaning signal):
+    a word trigram appearing in ≥20% of documents is boilerplate
+    (navigation chrome, license footers — the fixture text is uniform
+    word soup, so a deterministic dirty twin appends a shared legal
+    footer to every 3rd doc, mirrored in the oracle exactly as
+    pii_redact's injection is); each doc reports its distinct-trigram count, how many are
+    boilerplate, the ratio in exact ppm, and a ≥20%-of-grams flag. Plan
+    shape at 100 TB: one explode → document-frequency aggregate (the DF
+    table is vocabulary-sized, NOT corpus-sized), broadcast-joined back
+    over the exploded grams — two keyed shuffles total, no all-pairs
+    anywhere. Thresholds are integer arithmetic (n_docs·100 ≥ N·20,
+    ppm via DIV) so both engines agree exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    dirty = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                " terms of service apply all rights reserved contact support",
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    sh = dirty.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(D._shingles(F.col("text"), 3))
+        ).alias("g"),
+    )
+    n_total = d.count()
+    df_tab = sh.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
+    boiler = df_tab.filter(F.col("n_docs") * 100 >= F.lit(n_total) * 20).select(
+        "g", F.lit(True).alias("is_boiler")
+    )
+    per_doc = (
+        sh.join(F.broadcast(boiler), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("is_boiler"), 1).otherwise(0)
+            ).alias("n_boiler"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("n_boiler").cast("bigint").alias("n_boiler"),
+        F.expr("CAST((n_boiler * 1000000) DIV n_grams AS BIGINT)").alias(
+            "boiler_ppm"
+        ),
+        (F.col("n_boiler") * 5 >= F.col("n_grams")).alias("flagged"),
+    ).orderBy(F.desc("boiler_ppm"), "doc_id").limit(300)
