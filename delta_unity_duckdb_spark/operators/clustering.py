@@ -159,32 +159,6 @@ def _assign_arrow(e: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame
     return e.mapInPandas(run, schema="vid long, q array<bigint>, cid int, dist long")
 
 
-def _assign_literal(e: DataFrame, cents: list[tuple[int, list[int]]]) -> DataFrame:
-    """Assignment against DRIVER-HELD centroids: k is small by definition,
-    so the centroids ship as literal arrays inside the plan and the
-    nearest-centroid choice is ``array_min`` over k (dist, cid) structs —
-    a NARROW MAP with zero joins, zero windows, zero shuffles. This is
-    how MLlib's k-means assigns too (centroids are driver state broadcast
-    into a map); the join+window form in ``_assign`` remains for callers
-    whose centroid set is itself distributed. Struct ordering compares
-    dist first then cid — the identical deterministic tie-break."""
-    cand = F.array(
-        *[
-            F.struct(
-                _sqdist(
-                    F.col("q"), F.array(*[F.lit(v) for v in cq])
-                ).alias("dist"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, cq in cents
-        ]
-    )
-    best = F.array_min(cand)
-    return e.select(
-        "vid", "q", best["cid"].alias("cid"), best["dist"].alias("dist")
-    )
-
-
 def kmeans_fixed_point_literal(
     emb: DataFrame,
     id_col: str = "vec_id",
@@ -228,6 +202,15 @@ def kmeans_fixed_point_literal(
         order = np.argsort(vids, kind="stable")
         vids, Q = vids[order], Q[order]
         seed_rows = np.nonzero(vids < k)[0]
+        if len(seed_rows) == 0:
+            # no seed vectors (all ids >= k) — same empty result the
+            # distributed form returns, typed identically
+            return (
+                e.select("vid")
+                .limit(0)
+                .withColumn("cid", F.lit(None).cast("int"))
+                .withColumn("dist", F.lit(None).cast("long"))
+            )
         C = Q[seed_rows]  # sorted by vid ⇒ cid 1..len ascending
         cids = np.arange(1, len(seed_rows) + 1, dtype=np.int64)
         for _ in range(iters + 1):
@@ -269,22 +252,18 @@ def kmeans_fixed_point_literal(
         .collect()
     )
     cents = [(r["cid"], list(r["cq"])) for r in init]
-    for _ in range(iters):
-        assigned = _assign_arrow(e, cents)
-        by_pos = (
-            assigned.select("cid", F.posexplode("q").alias("pos", "v"))
-            .groupBy("cid", "pos")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
-            .select("cid", "pos", F.expr("(s - pmod(s, n)) DIV n").alias("val"))
-            .collect()
+    if not cents:
+        return (
+            e.select("vid")
+            .limit(0)
+            .withColumn("cid", F.lit(None).cast("int"))
+            .withColumn("dist", F.lit(None).cast("long"))
         )
-        new: dict[int, dict[int, int]] = {}
-        for r in by_pos:
-            new.setdefault(r["cid"], {})[r["pos"]] = r["val"]
-        cents = [
-            (cid, [vals[p] for p in sorted(vals)])
-            for cid, vals in sorted(new.items())
-        ]
+    for _ in range(iters):
+        # ONE definition of the centroid update (shared with the fully
+        # distributed form): collect the k tiny (cid, cq) rows directly.
+        rows = _update(_assign_arrow(e, cents)).collect()
+        cents = sorted((r["cid"], list(r["cq"])) for r in rows)
     return _assign_arrow(e, cents).select("vid", "cid", "dist")
 
 

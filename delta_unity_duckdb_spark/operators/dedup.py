@@ -95,18 +95,27 @@ def minhash_pairs_sql(
     bands: int = 16,
     shingle_n: int = 3,
     seed: int = 42,
+    max_bucket_size: int = 1000,
 ) -> str:
     """DuckDB oracle producing the IDENTICAL candidate pairs as
     ``minhash_near_dups`` (same shingles, same portable md5 hash, same
-    universal-hash constants, same banding) — select from it with
-    ORDER BY/LIMIT to mirror a workload query."""
+    universal-hash constants, same banding, and — since round 3 — the
+    SAME ``max_bucket_size`` census guard, so a degenerate boilerplate
+    bucket is dropped by both engines, not just the Spark side) — select
+    from it with ORDER BY/LIMIT to mirror a workload query."""
     banded = minhash_banded_sql(
         table, id_expr, text_expr, num_perm, bands, shingle_n, seed
     )
     return f"""
-    WITH banded AS ({banded})
+    WITH banded AS ({banded}),
+    small_buckets AS (
+      SELECT band, sigstr FROM banded GROUP BY band, sigstr
+      HAVING COUNT(*) <= {max_bucket_size}),
+    kept AS (
+      SELECT b.id, b.band, b.sigstr FROM banded b
+      JOIN small_buckets s ON b.band = s.band AND b.sigstr = s.sigstr)
     SELECT DISTINCT x.id AS id_a, y.id AS id_b
-    FROM banded x JOIN banded y
+    FROM kept x JOIN kept y
       ON x.band = y.band AND x.sigstr = y.sigstr AND x.id < y.id
     """
 

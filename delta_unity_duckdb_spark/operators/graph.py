@@ -187,8 +187,17 @@ def connected_components(edges: DataFrame, max_iter: int = 32) -> DataFrame:
             edges.select("src", "dst").limit(small_graph_edges + 1).toPandas()
         )
         if len(probe_pdf) <= small_graph_edges:
+            # NULL endpoints cannot form edges: the distributed path's
+            # equality joins drop them; drop them here too (and avoid a
+            # NaN key that would never satisfy parent[r] == r).
+            probe_pdf = probe_pdf.dropna()
             pair_rows = list(
-                zip(probe_pdf["src"].tolist(), probe_pdf["dst"].tolist())
+                zip(
+                    # a nullable column arrives as float64; cast back to
+                    # exact ints once the NaNs are gone
+                    probe_pdf["src"].astype("int64").tolist(),
+                    probe_pdf["dst"].astype("int64").tolist(),
+                )
             )
             parent: dict = {}
 
@@ -516,8 +525,13 @@ def kcore(edges: DataFrame, k: int, rounds: int) -> DataFrame:
         edges.schema["src"].dataType, IntegralType
     ):
         probe = edges.select("src", "dst").limit(small_graph_edges + 1).toPandas()
+        if len(probe) <= small_graph_edges:
+            # NULL endpoints cannot participate (the distributed path's
+            # equi-joins drop them); dropping here also keeps the int64
+            # conversion exact instead of NaN-poisoned float64.
+            probe = probe.dropna()
         if len(probe) == 0:
-            return edges.select("src", "dst")
+            return edges.select("src", "dst").limit(0)
         if len(probe) <= small_graph_edges:
             import numpy as np
             import pandas as pd

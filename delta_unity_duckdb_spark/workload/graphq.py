@@ -346,6 +346,11 @@ def graph_kcore(spark, sf_dir):
         .select("src", "dst")
         .distinct()
     )
+    # ``half`` feeds both union branches: materialize it once so the
+    # join + sampling-hash subtree provably executes a single time (the
+    # point of hashing each unordered pair once), rather than relying on
+    # exchange reuse to fire for each branch.
+    half = half.localCheckpoint(eager=True)
     edges = half.unionByName(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

@@ -1329,8 +1329,13 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("column_name")
         .agg(F.count_distinct("v").alias("n_distinct"))
     )
+    # LEFT join + COALESCE 0: on an EMPTY table the base aggregate still
+    # yields one row per column (stack of zero counts) while the distinct
+    # frame is empty — an inner join would wrongly return zero rows where
+    # the UNION ALL oracle returns one per column.
     return (
-        prof.join(F.broadcast(nd), "column_name")
+        prof.join(F.broadcast(nd), "column_name", "left")
+        .withColumn("n_distinct", F.coalesce("n_distinct", F.lit(0)))
         .select(
             "column_name", "n_rows", "n_nulls", "n_distinct",
             "min_value", "max_value",

@@ -102,3 +102,22 @@ def test_literal_form_matches_distributed_form(spark, sf_dir):
         finally:
             C.SMALL_KMEANS_ROWS = orig
         assert a == c
+
+
+def test_literal_form_empty_seed_set(spark):
+    """All vector ids >= k (no seeds): both size tiers must return the
+    same empty typed frame the distributed form does, not crash."""
+    df = spark.createDataFrame(
+        [(100, [0.1, 0.2]), (101, [0.3, 0.4])],
+        "vec_id long, embedding array<double>",
+    )
+    out = C.kmeans_fixed_point_literal(df, k=8, iters=1)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["vid", "cid", "dist"]
+    orig = C.SMALL_KMEANS_ROWS
+    C.SMALL_KMEANS_ROWS = 0
+    try:
+        out2 = C.kmeans_fixed_point_literal(df, k=8, iters=1)
+        assert out2.count() == 0
+    finally:
+        C.SMALL_KMEANS_ROWS = orig

@@ -149,3 +149,21 @@ def test_fast_paths_match_distributed_paths(spark):
     assert fast_core == dist_core
     # sanity: the 4-clique is the only 3-core
     assert {s for s, _ in fast_core} == {10, 11, 12, 13}
+
+
+def test_fast_paths_tolerate_null_endpoints(spark):
+    """NULL endpoints cannot form edges: both fast paths must drop them
+    (the distributed equi-joins do) instead of NaN-poisoning the driver
+    structures."""
+    import delta_unity_duckdb_spark.operators.graph as G
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (None, 4), (5, None)], "src long, dst long"
+    )
+    cc = {(r["node"], r["component"]) for r in G.connected_components(edges).collect()}
+    assert cc == {(1, 1), (2, 1), (3, 1)}
+    sym = edges.union(edges.selectExpr("dst as src", "src as dst"))
+    core = G.kcore(sym, k=1, rounds=4)
+    assert {(r["src"], r["dst"]) for r in core.collect()} == {
+        (1, 2), (2, 3), (2, 1), (3, 2)
+    }
