@@ -1565,3 +1565,79 @@ def boilerplate_ngram_flags(spark, sf_dir):
         ),
         (F.col("n_boiler") * 5 >= F.col("n_grams")).alias("flagged"),
     ).orderBy(F.desc("boiler_ppm"), "doc_id").limit(300)
+
+
+@query(
+    "quality_retention_sweep",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, LENGTH(text) AS n_chars,
+             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks,
+             LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct
+      FROM documents),
+    scored AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+             CAST(FLOOR((LEAST(n_chars / 200.0, 1.0)
+                    + (1.0 - LEAST(punct / GREATEST(n_chars, 1) * 5.0, 1.0))
+                    + CASE WHEN len(toks) > 0
+                           THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                           ELSE 0.0 END) / 3.0 * 10000) AS BIGINT) AS q_e4
+      FROM t),
+    sweep AS (
+      SELECT s.*, th.threshold
+      FROM scored s CROSS JOIN
+           (SELECT UNNEST([5000, 6000, 6500, 7000, 7500, 8000]) AS threshold) th)
+    SELECT CAST(threshold AS BIGINT) AS threshold,
+           CAST(SUM(CASE WHEN q_e4 >= threshold THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_kept,
+           CAST(SUM(CASE WHEN q_e4 >= threshold THEN n_tok ELSE 0 END) AS BIGINT)
+             AS tokens_kept,
+           CAST((SUM(CASE WHEN q_e4 >= threshold THEN 1 ELSE 0 END) * 1000000)
+                // COUNT(*) AS BIGINT) AS docs_ppm,
+           CAST((SUM(CASE WHEN q_e4 >= threshold THEN n_tok ELSE 0 END) * 1000000)
+                // SUM(n_tok) AS BIGINT) AS tokens_ppm
+    FROM sweep GROUP BY threshold ORDER BY threshold
+    """,
+)
+def quality_retention_sweep(spark, sf_dir):
+    """Retention-at-threshold curve — the table read before fixing a
+    quality cutoff: for each candidate threshold over the floor-quantized
+    [0,1]·10⁴ quality score, how many documents and tokens survive
+    (absolute + exact ppm of the corpus). Each doc is scored ONCE
+    (narrow map); the six threshold literals broadcast through a tiny
+    cross join and one aggregate produces the whole curve — the corpus
+    is never re-scanned per threshold, which is the difference between
+    one pass and six at 100 TB."""
+    from delta_unity_duckdb_spark.operators.text import quality_score_raw, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_tok"),
+        F.floor(quality_score_raw(F.col("text")) * 10000)
+        .cast("bigint")
+        .alias("q_e4"),
+    )
+    th = spark.createDataFrame(
+        [(t,) for t in (5000, 6000, 6500, 7000, 7500, 8000)], "threshold long"
+    )
+    kept = F.when(F.col("q_e4") >= F.col("threshold"), 1).otherwise(0)
+    kept_tok = F.when(F.col("q_e4") >= F.col("threshold"), F.col("n_tok")).otherwise(
+        0
+    )
+    return (
+        scored.crossJoin(F.broadcast(th))
+        .groupBy("threshold")
+        .agg(
+            F.sum(kept).cast("bigint").alias("docs_kept"),
+            F.sum(kept_tok).cast("bigint").alias("tokens_kept"),
+            F.expr(
+                "CAST((SUM(CASE WHEN q_e4 >= threshold THEN 1 ELSE 0 END)"
+                " * 1000000) DIV COUNT(*) AS BIGINT)"
+            ).alias("docs_ppm"),
+            F.expr(
+                "CAST((SUM(CASE WHEN q_e4 >= threshold THEN n_tok ELSE 0 END)"
+                " * 1000000) DIV SUM(n_tok) AS BIGINT)"
+            ).alias("tokens_ppm"),
+        )
+        .orderBy("threshold")
+    )
