@@ -25,8 +25,27 @@ from delta_unity_duckdb_spark.workload.registry import ORACLE, QUERIES
 
 # Round-3 driver window (50 slots): every slot goes to a query that has
 # NEVER earned a driver-green row (r01+r02 greens stay valid; all of these
-# are local-strict green under tools/strict_check.py). The ~40 remaining
-# never-checked queries rotate in next round.
+# are local-strict green under tools/strict_check.py).
+#
+# ROUND-4 ROTATION (assuming this window goes green): 49 never-checked
+# queries remain — exactly one more full window. Fill _PRIORITY with:
+#   round-3 additions: incremental_near_dup_ingest stream_incremental_dedup
+#     sequence_packing shard_manifest dedup_signal_agreement
+#     boilerplate_ngram_flags quality_retention_sweep salted_hot_key_agg
+#     key_skew_profile
+#   stragglers: bigram_surprisal interval_join_events stats_moments
+#     winsorized_stats incremental_agg_refresh cohort_retention
+#     basket_pairs skyline_pareto regional_revenue price_outliers
+#     bitwise_aggs series_generate topn_per_group mode_agg string_distance
+#     calendar_breakdown window_range_frame window_distinct_count
+#     histogram_bins regr_aggs approx_aggs(rows-only by design)
+#   TPC-H shapes: order_priority_check customer_order_distribution
+#     top_supplier_revenue large_volume_orders idle_rich_customers
+#     nation_volume_shipping forecast_revenue_change
+#     returned_item_customers promo_revenue_share disjunctive_band_revenue
+#     sole_late_supplier nation_market_share min_cost_supplier
+#     late_shipment_priority product_profit_by_nation important_part_value
+#     supplier_count_by_part promo_part_suppliers nation_revenue_share
 _PRIORITY = [
     # §2-C full-SQL function classes — zero driver rows so far
     "set_ops",
