@@ -91,3 +91,59 @@ def test_banded_index_rows_match_cross_engine(spark, rows):
         want.setdefault((band, sigstr), set()).add(doc_id)
     want_parts = sorted([tuple(sorted(v)) for v in want.values()])
     assert got_parts == want_parts
+
+
+_QTEXT = st.text(min_size=0, max_size=60)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=st.lists(_QTEXT, min_size=1, max_size=20))
+def test_quality_score_bit_identical_cross_engine(spark, texts):
+    """The floor-quantized quality score (length/punctuation/diversity
+    heuristic) must be bit-identical between the Spark expression tree
+    and its SQL twin for ARBITRARY unicode — same char-length semantics,
+    same regex class, same IEEE evaluation order, floor (not ROUND)
+    quantization."""
+    from pyspark.sql import functions as F
+
+    from delta_unity_duckdb_spark.operators.text import quality_score_raw
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["q"]
+        for r in sdf.select(
+            "doc_id",
+            F.floor(quality_score_raw(F.col("text")) * 10000)
+            .cast("long")
+            .alias("q"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.register("fuzz", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    want = dict(
+        con.execute(
+            """
+            WITH t AS (
+              SELECT doc_id, LENGTH(text) AS n_chars,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS toks,
+                     LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                       AS punct
+              FROM fuzz)
+            SELECT doc_id,
+                   CAST(FLOOR((LEAST(n_chars / 200.0, 1.0)
+                          + (1.0 - LEAST(punct / GREATEST(n_chars, 1) * 5.0, 1.0))
+                          + CASE WHEN len(toks) > 0
+                                 THEN CAST(len(list_distinct(toks)) AS DOUBLE)
+                                      / len(toks)
+                                 ELSE 0.0 END) / 3.0 * 10000) AS BIGINT) AS q
+            FROM t
+            """
+        ).fetchall()
+    )
+    assert got == want
