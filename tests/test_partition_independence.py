@@ -44,6 +44,13 @@ CHECKED = [
     # depend on layout either
     "incremental_near_dup_ingest",
     "semantic_dedup_blocks",
+    # round-3 batch-assembly + skew ops: hash routing, running-sum
+    # packing, and the salted two-phase agg are all layout-sensitive
+    # SHAPES whose results must not be
+    "sequence_packing",
+    "shard_manifest",
+    "salted_hot_key_agg",
+    "quality_retention_sweep",
 ]
 
 
