@@ -441,3 +441,132 @@ def llm_pipeline_end_to_end(spark, sf_dir):
         )
         .orderBy("split", "lang")
     )
+
+
+@query(
+    "curation_verdicts",
+    oracle=f"""
+    WITH RECURSIVE
+    tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents),
+    tw AS (
+      SELECT doc_id, word, COUNT(*) AS c FROM tok
+      WHERE word <> '' GROUP BY doc_id, word),
+    stats AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok, MAX(c) AS max_tf
+      FROM tw GROUP BY doc_id),
+    gated AS (
+      SELECT d.doc_id, d.text, s.n_tok, s.max_tf,
+             CASE WHEN s.n_tok < 20 THEN 'too_short'
+                  WHEN s.n_tok > 200 THEN 'too_long'
+                  WHEN (s.max_tf * 1000000) // s.n_tok >= 250000
+                    THEN 'repetitive'
+                  ELSE NULL END AS gate_reason
+      FROM documents d JOIN stats s USING (doc_id)),
+    survivors0 AS (
+      SELECT doc_id, text, n_tok FROM gated WHERE gate_reason IS NULL),
+    exact_keep AS (
+      SELECT doc_id, n_tok,
+             MIN(doc_id) OVER (PARTITION BY text) AS canonical
+      FROM survivors0),
+    ex AS (
+      SELECT s.doc_id, s.text, s.n_tok FROM survivors0 s
+      JOIN exact_keep k ON k.doc_id = s.doc_id
+      WHERE k.canonical = s.doc_id),
+    pairs AS ({D.minhash_pairs_sql("ex", "doc_id", "text", num_perm=32, bands=8)}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b AS u, id_a AS v FROM pairs),
+    reach AS (
+      SELECT u AS node, u AS r FROM edges
+      UNION
+      SELECT e.v AS node, rr.r FROM reach rr JOIN edges e ON e.u = rr.node),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+    SELECT g.doc_id, g.n_tok,
+           CASE
+             WHEN g.gate_reason IS NOT NULL THEN g.gate_reason
+             WHEN k.canonical <> g.doc_id THEN 'exact_dup'
+             WHEN COALESCE(c.component, g.doc_id) <> g.doc_id THEN 'near_dup'
+             ELSE 'kept' END AS reason,
+           (g.gate_reason IS NULL AND k.canonical = g.doc_id
+            AND COALESCE(c.component, g.doc_id) = g.doc_id) AS kept
+    FROM gated g
+    LEFT JOIN exact_keep k ON k.doc_id = g.doc_id
+    LEFT JOIN comp c ON c.node = g.doc_id
+    ORDER BY g.doc_id LIMIT 1000
+    """,
+)
+def curation_verdicts(spark, sf_dir):
+    """Per-document EXPLAINABLE curation decisions — the audit trail a
+    production pipeline publishes next to the cleaned corpus: every doc
+    gets its first failing gate as a reason code (too_short / too_long /
+    repetitive / exact_dup / near_dup) or 'kept'. Same thresholds and
+    operators as the end-to-end capstone (token bounds, repetition ppm,
+    deterministic exact-dup survivor, MinHash+CC near-dup family
+    survivor); the oracle replays the WHOLE decision tree per doc, so a
+    precedence bug (e.g. a near-dup reported before its exact-dup) is a
+    hash mismatch, not a silent reclassification. Scale shape: the gates
+    are one tokenize aggregate; dedup reuses the banded index and
+    pointer-jumping components — nothing per-doc beyond the capstone's
+    own stages."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tw = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = tw.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tok"), F.max("c").alias("max_tf")
+    )
+    gated = d.join(stats, "doc_id").select(
+        "doc_id",
+        "text",
+        "n_tok",
+        F.when(F.col("n_tok") < 20, "too_short")
+        .when(F.col("n_tok") > 200, "too_long")
+        .when(F.expr("(max_tf * 1000000) DIV n_tok") >= 250000, "repetitive")
+        .alias("gate_reason"),
+    )
+    surv0 = gated.filter(F.col("gate_reason").isNull()).select(
+        "doc_id", "text", "n_tok"
+    )
+    wtxt = Window.partitionBy("text")
+    exact_keep = surv0.select(
+        "doc_id", F.min("doc_id").over(wtxt).alias("canonical")
+    ).localCheckpoint(eager=True)
+    ex = (
+        surv0.join(exact_keep, "doc_id")
+        .filter(F.col("canonical") == F.col("doc_id"))
+        .select("doc_id", "text")
+        .localCheckpoint(eager=True)
+    )
+    from delta_unity_duckdb_spark.operators.dedup import near_dup_clusters
+
+    comp = (
+        near_dup_clusters(ex, "doc_id", "text", num_perm=32, bands=8)
+        .select(F.col("id").alias("doc_id"), F.col("cluster").alias("component"))
+    )
+    out = (
+        gated.join(exact_keep, "doc_id", "left")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.when(F.col("gate_reason").isNotNull(), F.col("gate_reason"))
+            .when(F.col("canonical") != F.col("doc_id"), "exact_dup")
+            .when(
+                F.coalesce("component", F.col("doc_id")) != F.col("doc_id"),
+                "near_dup",
+            )
+            .otherwise("kept")
+            .alias("reason"),
+            (
+                F.col("gate_reason").isNull()
+                & (F.col("canonical") == F.col("doc_id"))
+                & (F.coalesce("component", F.col("doc_id")) == F.col("doc_id"))
+            ).alias("kept"),
+        )
+    )
+    return out.orderBy("doc_id").limit(1000)
