@@ -38,14 +38,17 @@ def minhash_perms(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
 
 def shingles_sql(table: str, id_expr: str, text_expr: str, n: int) -> str:
     """DuckDB twin of ``_shingles`` + ``array_distinct``: word n-grams of
-    the whitespace-split lowercased text (same split regex, same joiner,
+    the whitespace-split lowercased text (same spelled-out split class —
+    RE2's ``\\s`` omits ``\\x0B`` while Java's includes it — same joiner,
     no empty-word filtering — byte-identical shingle strings)."""
+    from delta_unity_duckdb_spark.operators.text import TOKEN_SPLIT_RE
+
     return f"""
     SELECT {id_expr} AS id,
            list_distinct(list_transform(
                range(1, len(words) - {n} + 2),
                i -> array_to_string(list_slice(words, i, i + {n - 1}), ' '))) AS shingles
-    FROM (SELECT {id_expr}, string_split_regex(lower({text_expr}), '\\s+') AS words
+    FROM (SELECT {id_expr}, string_split_regex(lower({text_expr}), '{TOKEN_SPLIT_RE}') AS words
           FROM {table})
     """
 
@@ -175,7 +178,9 @@ def dedup_exact(
 
 def _shingles(text_col, n: int = 3):
     """Word n-gram shingles as an array column (JVM-side, no UDF)."""
-    words = F.split(F.lower(text_col), r"\s+")
+    from delta_unity_duckdb_spark.operators.text import TOKEN_SPLIT_RE
+
+    words = F.split(F.lower(text_col), TOKEN_SPLIT_RE)
     # transform over sliding offsets: shingle i = words[i..i+n-1]
     return F.filter(
         F.transform(

@@ -16,9 +16,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-TOKEN_SPLIT_RE = r"\s+"
+# Whitespace spelled out, never `\s`: Java regex \s = [ \t\n\x0B\f\r]
+# but DuckDB's RE2 \s omits \x0B (vertical tab), so a shared `\s` would
+# tokenize '\x0b'-bearing text differently per engine (hypothesis-found).
+# Both engines accept these escapes inside a bracket class verbatim.
+WS = r" \t\n\x0B\f\r"
+TOKEN_SPLIT_RE = rf"[{WS}]+"
 # BPE-ish pre-tokenizer: words, numbers, or single non-space symbols
-BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+BPE_ISH_RE = rf"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{WS}]"
 
 # Tiny per-language stopword profiles for the n-gram/stopword heuristic.
 LANG_PROFILES: dict[str, tuple[str, ...]] = {
@@ -61,7 +66,7 @@ def quality_score_raw(text: Column) -> Column:
     toks = tokens(text)
     n_tok = F.size(toks).cast("double")
     n_uniq = F.size(F.array_distinct(toks)).cast("double")
-    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", "")).cast("double")
+    punct = F.length(F.regexp_replace(text, rf"[A-Za-z0-9{WS}]", "")).cast("double")
     len_score = F.least(n_chars / 200.0, F.lit(1.0))
     punct_score = 1.0 - F.least(punct / F.greatest(n_chars, F.lit(1.0)) * 5.0, F.lit(1.0))
     diversity = F.when(n_tok > 0, n_uniq / n_tok).otherwise(0.0)

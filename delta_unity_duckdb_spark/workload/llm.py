@@ -87,7 +87,7 @@ def lang_profile(spark, sf_dir):
     "token_counts",
     oracle="""
     SELECT doc_id,
-           CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens_ws
+           CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(text), '[ \\t\\n\\x0B\\f\\r]+'), t -> t <> '')) AS BIGINT) AS n_tokens_ws
     FROM documents ORDER BY doc_id LIMIT 500
     """,
 )
@@ -107,14 +107,14 @@ def token_counts(spark, sf_dir):
     WITH t AS (
       SELECT doc_id, text,
              LENGTH(text) AS n_chars,
-             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
-             LENGTH(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct
+             list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS toks,
+             LENGTH(regexp_replace(text, '[A-Za-z0-9 \t\n\x0B\f\r]', '', 'g')) AS punct
       FROM documents),
     scored AS (
       SELECT doc_id,
              CAST(len(toks) AS BIGINT) AS n_tokens_ws,
              CAST(COALESCE(list_sum(list_transform(
-                    regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'),
+                    regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0B\f\r]'),
                     p -> CAST(CEIL(LENGTH(p) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_tokens_bpe,
              CAST(FLOOR((LEAST(n_chars / 200.0, 1.0)
                     + (1.0 - LEAST(punct / GREATEST(n_chars, 1) * 5.0, 1.0))
@@ -379,8 +379,8 @@ def ngram_jaccard(spark, sf_dir):
     WITH t AS (
       SELECT doc_id, text,
              LENGTH(text) AS n_chars,
-             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
-             LENGTH(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct
+             list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS toks,
+             LENGTH(regexp_replace(text, '[A-Za-z0-9 \t\n\x0B\f\r]', '', 'g')) AS punct
       FROM documents)
     SELECT doc_id,
            CAST(FLOOR((LEAST(n_chars / 200.0, 1.0)
@@ -445,7 +445,7 @@ def udf_pandas_scalar(spark, sf_dir):
 _LANG_ID_SQL = r"""
     WITH t AS (
       SELECT doc_id, lang AS lang_true,
-             list_distinct(list_filter(string_split_regex(lower(text), '\s+'),
+             list_distinct(list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
                                        x -> x <> '')) AS toks
       FROM documents),
     scored AS (
@@ -486,7 +486,7 @@ def lang_id(spark, sf_dir):
     oracle=r"""
     SELECT doc_id,
            CAST(COALESCE(list_sum(list_transform(
-                  regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]'),
+                  regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 \t\n\x0B\f\r]'),
                   p -> CAST(CEIL(LENGTH(p) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_tokens_bpe
     FROM documents ORDER BY doc_id LIMIT 500
     """,
@@ -615,8 +615,8 @@ def knn_join_q(spark, sf_dir):
     WITH t AS (
       SELECT doc_id, text, lang, source, n_chars,
              LENGTH(text) AS len_chars,
-             list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks,
-             LENGTH(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct
+             list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'), x -> x <> '') AS toks,
+             LENGTH(regexp_replace(text, '[A-Za-z0-9 \t\n\x0B\f\r]', '', 'g')) AS punct
       FROM documents),
     scored AS (
       SELECT doc_id, text, lang, source, n_chars,
@@ -1490,7 +1490,7 @@ def dedup_signal_agreement(spark, sf_dir):
              UNNEST(list_distinct(list_transform(
                range(1, len(words) - 1),
                i -> array_to_string(list_slice(words, i, i + 2), ' ')))) AS g
-      FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS words
+      FROM (SELECT doc_id, string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+') AS words
             FROM dirty)),
     df AS (
       SELECT g, COUNT(*) AS n_docs FROM sh GROUP BY g),
@@ -1572,8 +1572,8 @@ def boilerplate_ngram_flags(spark, sf_dir):
     oracle="""
     WITH t AS (
       SELECT doc_id, LENGTH(text) AS n_chars,
-             list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks,
-             LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS punct
+             list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '') AS toks,
+             LENGTH(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g')) AS punct
       FROM documents),
     scored AS (
       SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,

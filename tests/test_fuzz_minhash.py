@@ -1,7 +1,9 @@
 """Randomized cross-engine fuzz of the shingle → MinHash → banding path:
 the near-dup family's oracles rest on three claims being true for
-ARBITRARY text — (1) Spark's ``split(lower(t), '\\s+')`` and DuckDB's
-``string_split_regex(lower(t), '\\s+')`` produce the same word arrays,
+ARBITRARY text — (1) Spark's ``split`` and DuckDB's
+``string_split_regex`` over the shared spelled-out whitespace class
+(``[ \\t\\n\\x0B\\f\\r]+`` — Java ``\\s`` includes ``\\x0B``, RE2's does
+not, so a bare ``\\s`` diverges) produce the same word arrays,
 (2) the md5-derived shingle hash is bit-identical, and (3) the banded
 candidate PAIRS therefore agree. The fixture suite only exercises ASCII
 word soup; here hypothesis feeds unicode, quotes, backslashes, repeated
@@ -130,9 +132,9 @@ def test_quality_score_bit_identical_cross_engine(spark, texts):
             """
             WITH t AS (
               SELECT doc_id, LENGTH(text) AS n_chars,
-                     list_filter(string_split_regex(lower(text), '\\s+'),
+                     list_filter(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+'),
                                  x -> x <> '') AS toks,
-                     LENGTH(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+                     LENGTH(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\x0B\\f\\r]', '', 'g'))
                        AS punct
               FROM fuzz)
             SELECT doc_id,
