@@ -1641,3 +1641,16 @@ def quality_retention_sweep(spark, sf_dir):
         )
         .orderBy("threshold")
     )
+
+
+# ---------------------------------------------------------------- E5: BPE vocab induction
+from delta_unity_duckdb_spark.operators import bpe as B  # noqa: E402
+
+
+@query("bpe_vocab_merges", oracle=B.bpe_merges_sql(iters=6, vocab_cap=50_000))
+def bpe_vocab_merges(spark, sf_dir):
+    """Tokenizer-training BPE merge table over the documents corpus
+    (operators/bpe.py — word-frequency shuffle + capped-vocab merge
+    rounds; oracle replays the identical iterations as unrolled CTEs)."""
+    d = load_table(spark, sf_dir, "documents")
+    return B.bpe_merge_table(d, "text", iters=6, vocab_cap=50_000)

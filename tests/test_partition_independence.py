@@ -51,6 +51,10 @@ CHECKED = [
     "shard_manifest",
     "salted_hot_key_agg",
     "quality_retention_sweep",
+    # BPE induction: the merge choice is a global argmax whose tie-break
+    # (count DESC, lhs, rhs) and capped word-frequency boundary
+    # (cnt DESC, word) must hold under any layout
+    "bpe_vocab_merges",
 ]
 
 
