@@ -130,18 +130,77 @@ def bpe_merge_table(
     return spark.createDataFrame(records, MERGE_SCHEMA)
 
 
-def bpe_merges_sql(
+def bpe_encode_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    iters: int = 6,
+    vocab_cap: int = 50_000,
+) -> DataFrame:
+    """Corpus compression under the learned merges — the train→apply
+    loop a tokenizer pipeline runs to pick a vocab size. Because BPE
+    merges apply per-word, the corpus-weighted token count is computable
+    from the FINAL symbol state of the (word, cnt) table alone — no
+    second pass over the corpus: tokens = Σ cnt·len(syms), chars =
+    Σ cnt·len(word). One row: words/chars/tokens + exact tokens-per-kchar
+    ppm (integer DIV — no float division crosses the engine boundary)."""
+    spark = df.sparkSession
+    state = (
+        word_frequencies(df, text_col, vocab_cap)
+        .select("word", "cnt", _char_syms(F.col("word")).alias("syms"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        best = (
+            state.select(F.explode(_adjacent_pairs(F.col("syms"))).alias("p"), "cnt")
+            .groupBy(F.col("p.l").alias("lhs"), F.col("p.r").alias("rhs"))
+            .agg(F.sum("cnt").cast("long").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "lhs", "rhs")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        state = state.withColumn(
+            "syms", merge_pair(F.col("syms"), best[0]["lhs"], best[0]["rhs"])
+        ).localCheckpoint(eager=True)
+    return state.agg(
+        F.sum("cnt").cast("long").alias("n_words"),
+        F.sum(F.col("cnt") * F.length("word")).cast("long").alias("n_chars"),
+        F.sum(F.col("cnt") * F.size("syms")).cast("long").alias("n_tokens"),
+        F.expr(
+            "CAST((SUM(cnt * size(syms)) * 1000000)"
+            " DIV SUM(cnt * length(word)) AS BIGINT)"
+        ).alias("tokens_per_char_ppm"),
+    )
+
+
+def bpe_encode_stats_sql(
     table: str = "documents",
     text_expr: str = "text",
     iters: int = 6,
     vocab_cap: int = 50_000,
 ) -> str:
-    """DuckDB twin: the same iterations unrolled as chained CTEs — each
-    round recomputes pair counts from the previous symbol state, picks
-    the identical (count DESC, lhs, rhs) argmax, and rewrites with the
-    identical ``list_reduce`` left fold. An empty round r yields an empty
-    b{r} whose CROSS JOIN empties every later state, contributing no
-    further merge rows — mirroring the Spark loop's early ``break``."""
+    """DuckDB twin of ``bpe_encode_stats``: the same unrolled merge CTEs,
+    final aggregate over the last symbol state."""
+    return f"""{_bpe_with_block(table, text_expr, iters, vocab_cap)}
+    SELECT CAST(SUM(cnt) AS BIGINT) AS n_words,
+           CAST(SUM(cnt * length(word)) AS BIGINT) AS n_chars,
+           CAST(SUM(cnt * len(syms)) AS BIGINT) AS n_tokens,
+           CAST((SUM(cnt * len(syms)) * 1000000)
+                 // SUM(cnt * length(word)) AS BIGINT) AS tokens_per_char_ppm
+    FROM s{iters}
+    """
+
+
+def _bpe_with_block(
+    table: str, text_expr: str, iters: int, vocab_cap: int
+) -> str:
+    """The shared unrolled-CTE chain: word frequencies (capped), char
+    symbolization, then per-round pair census p{r} / argmax b{r} /
+    fold-rewritten state s{r}. An empty round r yields an empty b{r};
+    the LEFT JOIN then carries s{r-1} forward UNCHANGED — mirroring the
+    Spark loop's early ``break``, which both stops emitting merges AND
+    keeps the final symbol state for ``bpe_encode_stats``."""
     from delta_unity_duckdb_spark.operators.text import TOKEN_SPLIT_RE
 
     ctes = [
@@ -172,15 +231,32 @@ def bpe_merges_sql(
     b{r} AS (SELECT lhs, rhs, pair_count FROM p{r}
              ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
     s{r} AS (
-      SELECT word, cnt, list_reduce(
-          list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, x -> [x])),
-          (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.lhs AND x[1] = b.rhs
-                           THEN list_append(acc[1:-2], b.lhs || b.rhs)
-                           ELSE list_append(acc, x[1]) END) AS syms
-      FROM s{r - 1} CROSS JOIN b{r} b)"""
+      SELECT word, cnt,
+             CASE WHEN b.lhs IS NULL THEN syms ELSE list_reduce(
+                 list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, x -> [x])),
+                 (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = b.lhs AND x[1] = b.rhs
+                                  THEN list_append(acc[1:-2], b.lhs || b.rhs)
+                                  ELSE list_append(acc, x[1]) END) END AS syms
+      FROM s{r - 1} LEFT JOIN b{r} b ON TRUE)"""
         )
+    return "WITH " + ",\n    ".join(ctes)
+
+
+def bpe_merges_sql(
+    table: str = "documents",
+    text_expr: str = "text",
+    iters: int = 6,
+    vocab_cap: int = 50_000,
+) -> str:
+    """DuckDB twin of ``bpe_merge_table``: each round recomputes pair
+    counts from the previous symbol state, picks the identical
+    (count DESC, lhs, rhs) argmax, and rewrites with the identical
+    ``list_reduce`` left fold."""
     union = "\n    UNION ALL\n    ".join(
         f"SELECT {r} AS step, lhs, rhs, lhs || rhs AS merged, pair_count FROM b{r}"
         for r in range(1, iters + 1)
     )
-    return "WITH " + ",\n    ".join(ctes) + f"\n    {union}\n    ORDER BY step"
+    return (
+        _bpe_with_block(table, text_expr, iters, vocab_cap)
+        + f"\n    {union}\n    ORDER BY step"
+    )

@@ -32,7 +32,7 @@ from delta_unity_duckdb_spark.workload.registry import ORACLE, QUERIES
 #   round-3 additions: incremental_near_dup_ingest stream_incremental_dedup
 #     sequence_packing shard_manifest dedup_signal_agreement
 #     boilerplate_ngram_flags quality_retention_sweep salted_hot_key_agg
-#     key_skew_profile bpe_vocab_merges curation_verdicts
+#     key_skew_profile bpe_vocab_merges bpe_encode_stats curation_verdicts
 #   stragglers: bigram_surprisal interval_join_events stats_moments
 #     winsorized_stats incremental_agg_refresh cohort_retention
 #     basket_pairs skyline_pareto regional_revenue price_outliers

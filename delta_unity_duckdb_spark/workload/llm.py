@@ -1654,3 +1654,15 @@ def bpe_vocab_merges(spark, sf_dir):
     rounds; oracle replays the identical iterations as unrolled CTEs)."""
     d = load_table(spark, sf_dir, "documents")
     return B.bpe_merge_table(d, "text", iters=6, vocab_cap=50_000)
+
+
+@query(
+    "bpe_encode_stats",
+    oracle=B.bpe_encode_stats_sql(iters=6, vocab_cap=50_000),
+)
+def bpe_encode_stats(spark, sf_dir):
+    """Train→apply tokenizer loop: corpus compression under the learned
+    merges, computed from the final symbol state of the capped
+    word-frequency table (no second corpus pass)."""
+    d = load_table(spark, sf_dir, "documents")
+    return B.bpe_encode_stats(d, "text", iters=6, vocab_cap=50_000)

@@ -169,3 +169,18 @@ def test_workload_query_shapes(spark, sf_dir, iters):
     # exceed the previous round's, which was the global max then)
     cnts = [r["pair_count"] for r in out]
     assert all(a >= b for a, b in zip(cnts, cnts[1:]))
+
+
+def test_encode_stats_cross_engine_incl_early_stop(spark):
+    # 'ab'×3 + 'cd': both words fully merge in 2 rounds; rounds 3-4 are
+    # dead. The oracle must carry the final state forward (LEFT JOIN),
+    # not empty it — Spark's break keeps the last state.
+    words = ["ab"] * 3 + ["cd"]
+    df = spark.createDataFrame([(w,) for w in words], "text string")
+    got = B.bpe_encode_stats(df, "text", iters=4).collect()[0]
+    con = duckdb.connect()
+    con.register("corpus", pd.DataFrame({"text": words}))
+    duck = con.execute(B.bpe_encode_stats_sql("corpus", "text", iters=4)).fetchone()
+    assert (got["n_words"], got["n_chars"], got["n_tokens"], got["tokens_per_char_ppm"]) == duck
+    # 4 word-occurrences, 8 chars, every word one merged token
+    assert duck == (4, 8, 4, 500_000)
