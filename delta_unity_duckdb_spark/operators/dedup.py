@@ -650,3 +650,103 @@ def near_dup_clusters(
         )
         .withColumn("is_survivor", F.col("id") == F.col("cluster"))
     )
+
+
+# ------------------------------------------------------------------ winnowing
+
+# Positional tiebreak modulus for winnowing keys. Two equal shingle hashes
+# can only tie INSIDE one window (w consecutive positions), so the tiebreak
+# needs to order positions that are < w apart; a 2^20 wrap keeps the packed
+# key inside 51 bits (31-bit hash + 20-bit position) while making the
+# wrap-straddle case (two equal hashes within w positions, one just below
+# the modulus and one just above) astronomically rare — and when it does
+# happen both engines compute the identical formula, so cross-engine
+# determinism is unaffected, only which of the two duplicates is kept.
+WINNOW_POS_MOD = 1 << 20
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 4,
+    w: int = 4,
+) -> DataFrame:
+    """MOSS-style winnowing document fingerprints (Schleimer et al.,
+    SIGMOD'03): hash every word ``k``-gram, slide a window of ``w``
+    consecutive hashes, keep the minimum of each window (rightmost on
+    ties). Guarantees every shared run of ``k + w - 1`` tokens yields at
+    least one shared fingerprint, while sampling only ~2/(w+1) of the
+    hashes — localized matching (which whole-doc MinHash cannot do) at a
+    fraction of the shingle volume.
+
+    Returns (id, fp) — the distinct selected fingerprint hashes per doc.
+
+    Scale: tokenize/shingle/hash are narrow maps; the window min is a
+    per-doc sort (bounded by doc length, not corpus size); the distinct
+    is one keyed shuffle on (id, fp). No self-join here — pair
+    generation downstream joins on fp with a bucket-size guard, so a
+    boilerplate fingerprint shared by millions of docs is dropped, not
+    exploded. Hashes are md5-portable (functions/hashing.py) so the
+    DuckDB twin (``winnow_fps_sql``) reproduces them bit-for-bit.
+    """
+    from delta_unity_duckdb_spark.functions.hashing import hash31
+
+    B = WINNOW_POS_MOD
+    hs = F.transform(_shingles(F.col(text_col), k), hash31)
+    ex = (
+        df.select(F.col(id_col).alias("id"), hs.alias("hs"))
+        .filter(F.size("hs") > 0)
+        .select("id", F.size("hs").alias("m"), F.posexplode("hs").alias("pos", "h"))
+    )
+    key = F.col("h") * B + (B - 1 - F.pmod(F.col("pos"), F.lit(B)))
+    win = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        ex.select("id", "m", "pos", key.alias("key"))
+        .withColumn("wmin", F.min("key").over(win))
+        # valid window starts only: pos + w - 1 <= m - 1 (short docs keep
+        # the single clipped window at pos 0)
+        .filter(F.col("pos") <= F.greatest(F.col("m") - w, F.lit(0)))
+        .select("id", F.expr(f"wmin DIV {B}").alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_fps_sql(
+    table: str = "documents",
+    id_expr: str = "doc_id",
+    text_expr: str = "text",
+    k: int = 4,
+    w: int = 4,
+) -> str:
+    """DuckDB twin of ``winnow_fingerprints`` — same tokens, same k-gram
+    strings, same md5-portable 31-bit hash, same packed-key window min,
+    so the fingerprint sets are identical across engines."""
+    from delta_unity_duckdb_spark.functions.hashing import hash31_sql
+    from delta_unity_duckdb_spark.operators.text import TOKEN_SPLIT_RE
+
+    B = WINNOW_POS_MOD
+    gram = f"array_to_string(list_slice(words, i, i + {k - 1}), ' ')"
+    return f"""
+    WITH words AS (
+      SELECT {id_expr} AS id,
+             string_split_regex(lower({text_expr}), '{TOKEN_SPLIT_RE}') AS words
+      FROM {table}),
+    sh AS (
+      SELECT id,
+             list_transform(range(1, len(words) - {k} + 2),
+                            i -> {hash31_sql(gram)}) AS hs
+      FROM words),
+    ex AS (
+      SELECT id, len(hs) AS m, UNNEST(hs) AS h,
+             UNNEST(range(len(hs))) AS pos
+      FROM sh WHERE len(hs) > 0),
+    winm AS (
+      SELECT id, m, pos,
+             MIN(h * {B} + ({B} - 1 - (pos % {B})))
+               OVER (PARTITION BY id ORDER BY pos
+                     ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS wmin
+      FROM ex)
+    SELECT DISTINCT id, wmin // {B} AS fp
+    FROM winm WHERE pos <= GREATEST(m - {w}, 0)
+    """

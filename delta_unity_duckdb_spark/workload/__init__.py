@@ -33,6 +33,8 @@ from delta_unity_duckdb_spark.workload.registry import ORACLE, QUERIES
 #     sequence_packing shard_manifest dedup_signal_agreement
 #     boilerplate_ngram_flags quality_retention_sweep salted_hot_key_agg
 #     key_skew_profile bpe_vocab_merges bpe_encode_stats curation_verdicts
+#     winnow_fingerprint_pairs exact_span_dedup embedding_quantization
+#     embedding_dim_stats
 #   stragglers: bigram_surprisal interval_join_events stats_moments
 #     winsorized_stats incremental_agg_refresh cohort_retention
 #     basket_pairs skyline_pareto regional_revenue price_outliers

@@ -1666,3 +1666,290 @@ def bpe_encode_stats(spark, sf_dir):
     word-frequency table (no second corpus pass)."""
     d = load_table(spark, sf_dir, "documents")
     return B.bpe_encode_stats(d, "text", iters=6, vocab_cap=50_000)
+
+
+# ---------------------------------------------------------------- winnowing
+from delta_unity_duckdb_spark.functions.hashing import hash60_sql  # noqa: E402
+
+
+@query(
+    "winnow_fingerprint_pairs",
+    oracle=f"""
+    WITH fps AS ({D.winnow_fps_sql('documents', 'doc_id', 'text', k=4, w=4)}),
+    small AS (
+      SELECT fp FROM fps GROUP BY fp
+      HAVING COUNT(*) BETWEEN 2 AND 1000),
+    kept AS (SELECT f.id, f.fp FROM fps f JOIN small s ON f.fp = s.fp)
+    SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS shared_fps
+    FROM kept a JOIN kept b ON a.fp = b.fp AND a.id < b.id
+    GROUP BY a.id, b.id HAVING COUNT(*) >= 2
+    ORDER BY shared_fps DESC, id_a, id_b LIMIT 200
+    """,
+)
+def winnow_fingerprint_pairs(spark, sf_dir):
+    """MOSS-winnowing near-dup pairs: docs ranked by how many selected
+    k-gram fingerprints they share. Unlike MinHash (whole-doc similarity)
+    winnowing guarantees any shared run of k+w-1 tokens surfaces at least
+    one common fingerprint, so it catches *partial* overlap — a copied
+    paragraph inside an otherwise-unrelated doc.
+
+    Scale: fingerprints are ~2/(w+1) of the shingle volume; the pair
+    join goes through a per-fingerprint bucket census (2..1000 docs) so
+    corpus-wide boilerplate fingerprints are dropped before the join —
+    same guard as the MinHash path (minhash_near_dups). No cross join.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    fps = D.winnow_fingerprints(d, "doc_id", "text", k=4, w=4)
+    small = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= 1000))
+        .select("fp")
+    )
+    kept = fps.join(small, "fp")
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 2)
+        .orderBy(F.desc("shared_fps"), "id_a", "id_b")
+        .limit(200)
+    )
+
+
+# ---------------------------------------------------------------- exact spans
+@query(
+    "exact_span_dedup",
+    oracle=f"""
+    WITH sh AS ({D.shingles_sql('documents', 'doc_id', 'text', 8)}),
+    spans AS (
+      SELECT id AS doc_id, UNNEST(shingles) AS s
+      FROM sh WHERE len(shingles) > 0),
+    hs AS (SELECT doc_id, {hash60_sql('s')} AS h FROM spans),
+    marked AS (SELECT h FROM hs GROUP BY h HAVING COUNT(*) >= 2)
+    SELECT hs.doc_id,
+           COUNT(*) AS n_spans,
+           CAST(SUM(CASE WHEN m.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_spans,
+           ROUND(CAST(SUM(CASE WHEN m.h IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 4) AS dup_ratio
+    FROM hs LEFT JOIN marked m ON hs.h = m.h
+    GROUP BY hs.doc_id
+    ORDER BY dup_ratio DESC, doc_id LIMIT 500
+    """,
+)
+def exact_span_dedup(spark, sf_dir):
+    """Exact-substring duplication ratio per document: the fraction of a
+    doc's distinct 8-token spans that appear verbatim in at least one
+    other place in the corpus (the span-level dedup signal of
+    "Deduplicating Training Data Makes Language Models Better",
+    Lee et al. 2022, at n-gram granularity). Curation rule downstream:
+    drop or trim docs above a dup_ratio threshold.
+
+    Scale: strictly linear — spans are hashed (md5-portable 60-bit) so
+    the shuffle key is a fixed-width long, the duplicated-span census is
+    one groupBy, and marking is a keyed left join back; no pair join
+    exists in this operator at all, so a boilerplate span shared by
+    millions of docs costs its group count, never a blow-up.
+    """
+    from delta_unity_duckdb_spark.functions.hashing import hash60
+
+    d = load_table(spark, sf_dir, "documents")
+    spans = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(D._shingles(F.col("text"), 8))).alias("s"),
+    ).select("doc_id", hash60(F.col("s")).alias("h"))
+    marked = (
+        spans.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("dup"))
+    )
+    return (
+        spans.join(marked, "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce(F.col("dup"), F.lit(0))).cast("bigint").alias("dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "dup_spans",
+            F.round(F.col("dup_spans").cast("double") / F.col("n_spans"), 4).alias(
+                "dup_ratio"
+            ),
+        )
+        .orderBy(F.desc("dup_ratio"), "doc_id")
+        .limit(500)
+    )
+
+
+# ---------------------------------------------------------------- quantization
+@query(
+    "embedding_quantization",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id,
+             list_transform(embedding, v -> CAST(v AS DOUBLE)) AS xs
+      FROM embeddings),
+    s AS (
+      SELECT vec_id, xs,
+             list_max(list_transform(xs, v -> abs(v))) / 127.0 AS scale
+      FROM x
+      WHERE list_max(list_transform(xs, v -> abs(v))) > 0),
+    q AS (
+      SELECT vec_id, xs, scale,
+             list_transform(xs,
+               v -> least(greatest(floor(v / scale + 0.5), -127.0), 127.0)) AS qs
+      FROM s)
+    SELECT vec_id,
+           ROUND(scale, 9) AS scale_r,
+           ROUND(list_sum(list_transform(list_zip(xs, qs),
+                   p -> (p[1] - p[2] * scale) * (p[1] - p[2] * scale)))
+                 / len(xs), 9) AS mse,
+           ROUND(list_sum(list_transform(list_zip(xs, qs), p -> p[1] * p[2]))
+                 / (sqrt(list_sum(list_transform(xs, v -> v * v)))
+                    * sqrt(list_sum(list_transform(qs, v -> v * v)))), 6)
+             AS cos_fid
+    FROM q ORDER BY vec_id LIMIT 2000
+    """,
+)
+def embedding_quantization(spark, sf_dir):
+    """Int8 symmetric scalar quantization of the embedding column — the
+    standard 4x storage/bandwidth cut before ANN indexing at corpus
+    scale — with per-vector fidelity metrics: reconstruction MSE and the
+    cosine between the original and quantized vector (scale cancels, so
+    cos_fid isolates pure rounding loss).
+
+    Determinism: rounding is floor(x/scale + 0.5) — identical IEEE ops
+    in both engines (no round-half-even vs half-up divergence) — and the
+    element fold runs in list order on 64 elements, so the doubles agree
+    to the last ulp before the final display ROUND.
+
+    Scale: pure narrow map, zero shuffles before the output sort; at
+    100 TB this runs as a projection fused into whatever scan feeds the
+    index builder.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    xs = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    out = (
+        e.select("vec_id", xs.alias("xs"))
+        .withColumn(
+            "amax", F.array_max(F.transform(F.col("xs"), F.abs))
+        )
+        .filter(F.col("amax") > 0)
+        .withColumn("scale", F.col("amax") / 127.0)
+        .withColumn(
+            "qs",
+            F.transform(
+                F.col("xs"),
+                lambda v: F.least(
+                    F.greatest(
+                        F.floor(v / F.col("scale") + 0.5).cast("double"),
+                        F.lit(-127.0),
+                    ),
+                    F.lit(127.0),
+                ),
+            ),
+        )
+    )
+    sq_err = F.aggregate(
+        F.zip_with(
+            F.col("xs"),
+            F.col("qs"),
+            lambda a, b: (a - b * F.col("scale")) * (a - b * F.col("scale")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("xs"), F.col("qs"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda v: v * v), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+    return (
+        out.select(
+            "vec_id",
+            F.round(F.col("scale"), 9).alias("scale_r"),
+            F.round(sq_err / F.size(F.col("xs")), 9).alias("mse"),
+            F.round(dot / (norm(F.col("xs")) * norm(F.col("qs"))), 6).alias(
+                "cos_fid"
+            ),
+        )
+        .orderBy("vec_id")
+        .limit(2000)
+    )
+
+
+# ---------------------------------------------------------------- dim stats
+@query(
+    "embedding_dim_stats",
+    oracle="""
+    WITH ex AS (
+      SELECT UNNEST(range(len(embedding))) AS dim,
+             UNNEST(list_transform(embedding,
+               v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)))
+               AS fp
+      FROM embeddings)
+    SELECT dim, COUNT(*) AS n,
+           ROUND(CAST(SUM(fp) AS DOUBLE) / COUNT(*) / 1000000, 8) AS mean_r,
+           ROUND((CAST(SUM(fp * fp) AS DOUBLE) / COUNT(*)
+                  - (CAST(SUM(fp) AS DOUBLE) / COUNT(*))
+                    * (CAST(SUM(fp) AS DOUBLE) / COUNT(*)))
+                 / 1000000000000, 8) AS var_r
+    FROM ex GROUP BY dim ORDER BY dim
+    """,
+)
+def embedding_dim_stats(spark, sf_dir):
+    """Per-dimension mean/variance of the embedding matrix — the health
+    check before whitening/PCA/quantizer training (a dead or exploding
+    dimension shows up here first).
+
+    Determinism at any parallelism: float sums are order-dependent, so
+    values are fixed-point-quantized to 1e-6 BIGINTs first and summed
+    EXACTLY (Spark sums through DECIMAL(38,0) so a 100 TB corpus cannot
+    overflow the accumulator; DuckDB sums BIGINT into HUGEINT); the
+    integer totals convert to the same double on every engine and every
+    partitioning. Same trick as kmeans_clusters (operators/clustering.py).
+
+    Scale: posexplode is a narrow map; the aggregation has exactly
+    `dim` groups with map-side partial aggregation, so the shuffle
+    carries dim x n_partitions rows — nothing at corpus scale.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda v: F.floor(v.cast("double") * 1000000 + 0.5).cast("long"),
+            )
+        ).alias("dim", "fp")
+    )
+    agg = ex.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("fp").cast("decimal(38,0)")).alias("s1"),
+        F.sum((F.col("fp") * F.col("fp")).cast("decimal(38,0)")).alias("s2"),
+    )
+    mean_fp = F.col("s1").cast("double") / F.col("n")
+    return agg.select(
+        F.col("dim").cast("bigint").alias("dim"),
+        "n",
+        F.round(mean_fp / 1000000, 8).alias("mean_r"),
+        F.round(
+            (F.col("s2").cast("double") / F.col("n") - mean_fp * mean_fp)
+            / 1000000000000,
+            8,
+        ).alias("var_r"),
+    ).orderBy("dim")
