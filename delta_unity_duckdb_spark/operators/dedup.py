@@ -177,20 +177,51 @@ def dedup_exact(
 
 
 def _shingles(text_col, n: int = 3):
-    """Word n-gram shingles as an array column (JVM-side, no UDF)."""
+    """Word n-gram shingles as an array column (JVM-side, no UDF).
+
+    PERF NOTE: prefer ``shingle_rows`` (or ``_shingles_of_words`` over a
+    pre-materialized words column) whenever the shingles feed a Generate
+    (explode/posexplode). Inlining the split into a generator or lambda
+    makes the regex split re-evaluate per ELEMENT — O(tokens²) per doc,
+    measured 7-13× slower at sf0.1 — because subexpression elimination
+    does not reach inside GenerateExec / higher-order-function lambdas.
+    """
     from delta_unity_duckdb_spark.operators.text import TOKEN_SPLIT_RE
 
     words = F.split(F.lower(text_col), TOKEN_SPLIT_RE)
-    # transform over sliding offsets: shingle i = words[i..i+n-1]
-    return F.filter(
+    return _shingles_of_words(words, n)
+
+
+def _shingles_of_words(words, n: int):
+    """Shingle array from an (ideally column-materialized) words array:
+    shingle i = words[i..i+n-1] joined by a single space."""
+    return F.when(
+        F.size(words) >= n,
         F.transform(
-            words,
-            lambda _, i: F.when(
-                i + n <= F.size(words), F.concat_ws(" ", F.slice(words, i + 1, n))
-            ),
+            F.sequence(F.lit(1), F.size(words) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
         ),
-        lambda x: x.isNotNull(),
-    )
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingle_rows(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    distinct: bool = True,
+) -> DataFrame:
+    """(id, s) exploded shingle rows via a pre-split words projection —
+    the fast path for every explode-the-shingles consumer (see the perf
+    note on ``_shingles``). The split runs exactly once per document."""
+    from delta_unity_duckdb_spark.operators.text import TOKEN_SPLIT_RE
+
+    words = F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE)
+    dw = df.select(F.col(id_col).alias("id"), words.alias("_w"))
+    sh = _shingles_of_words(F.col("_w"), n)
+    if distinct:
+        sh = F.array_distinct(sh)
+    return dw.select("id", F.explode(sh).alias("s"))
 
 
 def minhash_signatures_wide(
@@ -226,12 +257,7 @@ def minhash_signatures_wide(
     # overflow under ANSI arithmetic, at any scale.
     perms = minhash_perms(num_perm, seed)
 
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.array_distinct(_shingles(F.col(text_col), shingle_n))
-        ).alias("s"),
-    )
+    sh = shingle_rows(df, id_col, text_col, shingle_n, distinct=True)
     hashed = sh.select("id", hash31(F.col("s")).alias("h"))
     return hashed.groupBy("id").agg(
         *[
@@ -430,10 +456,7 @@ def simhash_fingerprints(
     """
     from delta_unity_duckdb_spark.functions.hashing import hash32_words
 
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(_shingles(F.col(text_col), shingle_n))).alias("s"),
-    )
+    sh = shingle_rows(df, id_col, text_col, shingle_n, distinct=True)
     hi, lo = hash32_words(F.col("s"))
     hw = sh.select("id", hi.alias("hi"), lo.alias("lo"))
     # Bits 0-31 come from the lo word, 32-63 from hi — both non-negative
@@ -691,18 +714,24 @@ def winnow_fingerprints(
     DuckDB twin (``winnow_fps_sql``) reproduces them bit-for-bit.
     """
     from delta_unity_duckdb_spark.functions.hashing import hash31
+    from delta_unity_duckdb_spark.operators.text import TOKEN_SPLIT_RE
 
     B = WINNOW_POS_MOD
-    hs = F.transform(_shingles(F.col(text_col), k), hash31)
-    ex = (
-        df.select(F.col(id_col).alias("id"), hs.alias("hs"))
-        .filter(F.size("hs") > 0)
-        .select("id", F.size("hs").alias("m"), F.posexplode("hs").alias("pos", "h"))
-    )
+    # words materialized first, ONE Generate evaluating the hash array
+    # once per doc — see the perf note on _shingles (projection collapse
+    # otherwise re-inlines the md5 transform into every reference)
+    words = F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE)
+    dw = df.select(F.col(id_col).alias("id"), words.alias("_w"))
+    hs = F.transform(_shingles_of_words(F.col("_w"), k), hash31)
+    ex = dw.select("id", F.posexplode(hs).alias("pos", "h"))
     key = F.col("h") * B + (B - 1 - F.pmod(F.col("pos"), F.lit(B)))
+    # shingle count m via a whole-partition window — same single shuffle
+    # the rolling min already pays, no second pass over the text
+    wid = Window.partitionBy("id")
     win = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
     return (
-        ex.select("id", "m", "pos", key.alias("key"))
+        ex.select("id", "pos", key.alias("key"))
+        .withColumn("m", F.count(F.lit(1)).over(wid))
         .withColumn("wmin", F.min("key").over(win))
         # valid window starts only: pos + w - 1 <= m - 1 (short docs keep
         # the single clipped window at pos 0)

@@ -1,0 +1,240 @@
+"""Distributed PCA: exact Gram-matrix accumulation + bit-reproducible
+fixed-point power iteration.
+
+The scale problem: a principal component over a 100 TB embedding corpus
+cannot ship vectors anywhere — but the covariance matrix is only
+``dim x dim``. So the corpus pass reduces to an EXACT integer Gram
+matrix, computed as Arrow-batched numpy partials inside ``mapInPandas``
+(each batch contributes ``fp.T @ fp`` on 1e-6 fixed-point int64
+vectors), summed through DECIMAL(38,0) so no partitioning or corpus
+size can overflow or reorder anything. The eigensolve then runs on the
+driver over the tiny ``dim x dim`` matrix in arbitrary-precision
+Python integers — the same place a 1000-executor cluster would run it.
+
+Why fixed-point: float matmuls are order-dependent, so a parallel Gram
+would differ run-to-run and engine-to-engine. Integer accumulation
+makes every stage — Gram, covariance rounding, each power-iteration
+matvec, each normalization — bit-identical across partitionings AND
+across engines, which is what lets a DuckDB oracle (``pca_power_sql``)
+replay the ENTIRE iteration and hash-match the loadings. Same
+discipline as operators/clustering.py (k-means) and operators/bpe.py.
+
+Integer-op conventions shared with the SQL twin (DuckDB semantics):
+- division truncates toward zero (DuckDB ``//``; Python emulated by
+  ``_tdiv`` — plain ``//`` floors and WOULD diverge on negatives),
+- covariance rounding is half-away-from-zero via the all-integer form
+  ``(2a + b) // (2b)`` with the sign handled explicitly,
+- per-iteration normalization divides by
+  ``floor(sqrt(double(sum(w^2))))`` — the single float op, applied to
+  one scalar built from an exact integer, so both engines see the same
+  double and the same result.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FP_SCALE = 1_000_000  # vector fixed point: 1e-6
+C_SCALE = 1_000_000_000  # covariance fixed point: 1e-9
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division (DuckDB ``//`` semantics;
+    Python's ``//`` floors and differs on negative numerators)."""
+    q = abs(a) // abs(b)
+    return q if (a < 0) == (b < 0) else -q
+
+
+def _rnd_div(a: int, b: int) -> int:
+    """Round-half-away-from-zero a/b for b > 0, in pure integers."""
+    return -((-2 * a + b) // (2 * b)) if a < 0 else (2 * a + b) // (2 * b)
+
+
+def _make_gram_partials(fp_scale: int):
+    """Build the mapInPandas kernel as a CLOSURE so cloudpickle ships it
+    by value — a module-level function pickles by reference and Python
+    workers under a bare driver session (the harness's) cannot import
+    this package. Same pattern as operators/multimodal.py.
+
+    Kernel: per Arrow batch, emit the upper-triangle of the exact int64
+    Gram matrix of the fixed-point vectors, plus the per-dimension sums
+    (j = -1) and the row count (i = j = -1). Bounds: |fp| <= ~1e7 for
+    unit-ish embeddings, so a batch entry is <= 1e14 * batch_rows —
+    Arrow's default ~10k-row batches stay far inside int64; the
+    cross-batch/cross-partition summation is exact DECIMAL(38,0) on the
+    Spark side.
+    """
+
+    def gram_partials(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            fp = np.floor(mat * float(fp_scale) + 0.5).astype(np.int64)
+            g = fp.T @ fp
+            d = g.shape[0]
+            iu, ju = np.triu_indices(d)
+            yield pd.concat(
+                [
+                    pd.DataFrame(
+                        {
+                            "i": iu.astype("int32"),
+                            "j": ju.astype("int32"),
+                            "val": g[iu, ju],
+                        }
+                    ),
+                    pd.DataFrame(
+                        {
+                            "i": np.arange(d, dtype="int32"),
+                            "j": np.full(d, -1, dtype="int32"),
+                            "val": fp.sum(axis=0),
+                        }
+                    ),
+                    pd.DataFrame({"i": [-1], "j": [-1], "val": [len(pdf)]}),
+                ]
+            )
+
+    return gram_partials
+
+
+def pca_top_component(
+    df: DataFrame,
+    spark: SparkSession,
+    vec_col: str = "embedding",
+    iters: int = 8,
+) -> DataFrame:
+    """Top principal component of the vector column: (dim, loading,
+    eigenvalue), loadings on the unit sphere (1e-6 grid), sign fixed so
+    the largest-|loading| dimension is positive, eigenvalue from the
+    exact-integer Rayleigh quotient.
+
+    One distributed pass (narrow mapInPandas -> dim^2-sized exact agg),
+    then a driver-side eigensolve on the dim x dim integer matrix.
+    """
+    parts = (
+        df.select(F.col(vec_col).alias("embedding"))
+        .mapInPandas(_make_gram_partials(FP_SCALE), "i int, j int, val long")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("val").cast("decimal(38,0)")).alias("val"))
+        .collect()
+    )
+    cells = {(r.i, r.j): int(r.val) for r in parts}
+    n = cells.pop((-1, -1), 0)
+    if n == 0:
+        return spark.createDataFrame(
+            [], "dim bigint, loading double, eigenvalue double"
+        )
+    d = 1 + max(i for i, j in cells if j == -1)
+    s = [cells.pop((i, -1)) for i in range(d)]
+    g = [[0] * d for _ in range(d)]
+    for (i, j), v in cells.items():
+        g[i][j] = v
+        g[j][i] = v
+
+    dims, loadings, lam = _power_iterate(g, s, n, d, iters)
+    rows = [(int(dims[t]), loadings[t], lam) for t in range(d)]
+    return spark.createDataFrame(
+        rows, "dim bigint, loading double, eigenvalue double"
+    ).orderBy("dim")
+
+
+def _power_iterate(g, s, n, d, iters):
+    """The shared-by-construction eigensolve: every op here has a
+    matching SQL line in ``pca_power_sql`` — change one, change both."""
+    den = n * n * FP_SCALE * FP_SCALE  # covariance denominator n^2 * 1e12
+    c = [
+        [_rnd_div((n * g[i][j] - s[i] * s[j]) * C_SCALE, den) for j in range(d)]
+        for i in range(d)
+    ]
+    v = [FP_SCALE] * d
+    for _ in range(iters):
+        w = [sum(c[i][j] * v[i] for i in range(d)) for j in range(d)]
+        norm = math.floor(math.sqrt(float(sum(x * x for x in w))))
+        if norm == 0:
+            break
+        v = [_tdiv(x * FP_SCALE, norm) for x in w]
+    w = [sum(c[i][j] * v[i] for i in range(d)) for j in range(d)]
+    num = sum(v[j] * w[j] for j in range(d))
+    dd = sum(x * x for x in v)
+    lam = round(float(num) / float(dd) / C_SCALE, 6) if dd else 0.0
+    # sign fix: the largest-|v| dimension (ties -> lowest dim) is positive
+    star = min(range(d), key=lambda j: (-abs(v[j]), j))
+    sgn = -1 if v[star] < 0 else 1
+    loadings = [round(sgn * v[j] / FP_SCALE, 6) for j in range(d)]
+    return list(range(d)), loadings, lam
+
+
+def pca_power_sql(table: str = "embeddings", vec_col: str = "embedding",
+                  iters: int = 8) -> str:
+    """DuckDB twin: replays the IDENTICAL fixed-point power iteration as
+    unrolled CTEs over the dim x dim integer covariance (HUGEINT
+    arithmetic mirrors Python's arbitrary precision within documented
+    bounds; ``//`` truncation and the half-away rounding CASE mirror
+    ``_tdiv`` / ``_rnd_div``)."""
+    fp = FP_SCALE
+    cs = C_SCALE
+    head = f"""
+    WITH ex AS MATERIALIZED (
+      SELECT ROW_NUMBER() OVER () AS rid,
+             UNNEST(range(len({vec_col}))) AS dim,
+             UNNEST(list_transform({vec_col},
+               v -> CAST(FLOOR(CAST(v AS DOUBLE) * {fp} + 0.5) AS BIGINT))) AS fpv
+      FROM {table}),
+    nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM {table}),
+    s_ AS (SELECT dim, CAST(SUM(fpv) AS HUGEINT) AS s FROM ex GROUP BY dim),
+    g_ AS MATERIALIZED (
+      SELECT a.dim AS i, b.dim AS j,
+             CAST(SUM(CAST(a.fpv AS HUGEINT) * b.fpv) AS HUGEINT) AS g
+      FROM ex a JOIN ex b ON a.rid = b.rid GROUP BY a.dim, b.dim),
+    c_ AS MATERIALIZED (
+      SELECT i, j,
+             CASE WHEN (n * g - si.s * sj.s) < 0
+                  THEN -((-2 * (n * g - si.s * sj.s) * {cs}
+                          + n * n * {fp}::HUGEINT * {fp})
+                         // (2 * n * n * {fp}::HUGEINT * {fp}))
+                  ELSE (2 * (n * g - si.s * sj.s) * {cs}
+                        + n * n * {fp}::HUGEINT * {fp})
+                       // (2 * n * n * {fp}::HUGEINT * {fp})
+             END AS c
+      FROM g_ JOIN s_ si ON g_.i = si.dim JOIN s_ sj ON g_.j = sj.dim
+      CROSS JOIN nn),
+    v0 AS (SELECT dim, CAST({fp} AS HUGEINT) AS v FROM s_)"""
+    body = ""
+    prev = "v0"
+    for k in range(1, iters + 1):
+        body += f""",
+    w{k} AS MATERIALIZED (
+      SELECT c.j AS dim, CAST(SUM(c.c * v.v) AS HUGEINT) AS w
+      FROM c_ c JOIN {prev} v ON c.i = v.dim GROUP BY c.j),
+    n{k} AS MATERIALIZED (
+      SELECT CAST(FLOOR(SQRT(CAST(SUM(w * w) AS DOUBLE))) AS HUGEINT) AS nrm
+      FROM w{k}),
+    v{k} AS MATERIALIZED (SELECT dim, (w * {fp}) // nrm AS v FROM w{k}, n{k})"""
+        prev = f"v{k}"
+    tail = f""",
+    wf AS MATERIALIZED (
+      SELECT c.j AS dim, CAST(SUM(c.c * v.v) AS HUGEINT) AS w
+      FROM c_ c JOIN {prev} v ON c.i = v.dim GROUP BY c.j),
+    ray AS (
+      SELECT ROUND(CAST(SUM(v.v * w.w) AS DOUBLE)
+                   / CAST(SUM(v.v * v.v) AS DOUBLE) / {cs}, 6) AS eigenvalue
+      FROM {prev} v JOIN wf w ON v.dim = w.dim),
+    sgn AS (
+      SELECT CASE WHEN (SELECT v FROM {prev}
+                        ORDER BY ABS(v) DESC, dim ASC LIMIT 1) < 0
+                  THEN -1 ELSE 1 END AS s)
+    SELECT CAST(v.dim AS BIGINT) AS dim,
+           ROUND(CAST(sgn.s * v.v AS DOUBLE) / {fp}, 6) AS loading,
+           ray.eigenvalue AS eigenvalue
+    FROM {prev} v CROSS JOIN sgn CROSS JOIN ray
+    ORDER BY dim"""
+    return head + body + tail

@@ -162,24 +162,59 @@ def cosine_pairs_lsh(
         for i in range(bits_per_band):
             expr = expr * 2 + sketch_bits[b * bits_per_band + i]
         band_cols.append(expr.alias(f"band_{b}"))
-    sk = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), *band_cols)
-    cand = None
-    for b in range(bands):
-        x = sk.select("id", "v", F.col(f"band_{b}").alias("bk"))
-        pair = (
-            x.alias("x")
-            .join(x.alias("y"), (F.col("x.bk") == F.col("y.bk")) & (F.col("x.id") < F.col("y.id")))
-            .select(
-                F.col("x.id").alias("id_a"),
-                F.col("y.id").alias("id_b"),
-                F.col("x.v").alias("va"),
-                F.col("y.v").alias("vb"),
-            )
+    sk = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), *band_cols
+    )
+    # Candidate generation restructured for the true cost profile
+    # (profiled at sf0.1): the band collisions are ~100x more numerous
+    # than the verified pairs, so
+    #  1. ONE equi-join on (band_index, bucket) over exploded band rows
+    #     (instead of `bands` separate self-joins unioned),
+    #  2. the join carries ONLY ids — the duplicate-heavy candidate
+    #     stream is deduped before any 64-float vector is attached,
+    #  3. vectors and their PRE-COMPUTED norms join back once per unique
+    #     pair, so the exact-verify fold does one dot product per pair
+    #     instead of dot + two norms (same doubles — the per-vector norm
+    #     is the identical fold the oracle computes).
+    x = sk.select(
+        "id",
+        F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
+            "band", "bk"
+        ),
+    )
+    cand = (
+        x.alias("x")
+        .join(
+            x.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bk") == F.col("y.bk"))
+            & (F.col("x.id") < F.col("y.id")),
         )
-        cand = pair if cand is None else cand.unionByName(pair)
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vn = sk.select("id", "v", _norm(F.col("v")).alias("nrm"))
     return (
-        cand.dropDuplicates(["id_a", "id_b"])
-        .withColumn("cosine_sim", F.round(cosine_sim(F.col("va"), F.col("vb")), 4))
+        cand.join(
+            vn.select(
+                F.col("id").alias("id_a"),
+                F.col("v").alias("va"),
+                F.col("nrm").alias("na"),
+            ),
+            "id_a",
+        )
+        .join(
+            vn.select(
+                F.col("id").alias("id_b"),
+                F.col("v").alias("vb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "cosine_sim",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4),
+        )
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )

@@ -1535,11 +1535,8 @@ def boilerplate_ngram_flags(spark, sf_dir):
             ).otherwise(""),
         ).alias("text"),
     )
-    sh = dirty.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(D._shingles(F.col("text"), 3))
-        ).alias("g"),
+    sh = D.shingle_rows(dirty, "doc_id", "text", 3, distinct=True).select(
+        F.col("id").alias("doc_id"), F.col("s").alias("g")
     )
     n_total = d.count()
     df_tab = sh.groupBy("g").agg(F.count(F.lit(1)).alias("n_docs"))
@@ -1761,10 +1758,9 @@ def exact_span_dedup(spark, sf_dir):
     from delta_unity_duckdb_spark.functions.hashing import hash60
 
     d = load_table(spark, sf_dir, "documents")
-    spans = d.select(
-        "doc_id",
-        F.explode(F.array_distinct(D._shingles(F.col("text"), 8))).alias("s"),
-    ).select("doc_id", hash60(F.col("s")).alias("h"))
+    spans = D.shingle_rows(d, "doc_id", "text", 8, distinct=True).select(
+        F.col("id").alias("doc_id"), hash60(F.col("s")).alias("h")
+    )
     marked = (
         spans.groupBy("h")
         .agg(F.count(F.lit(1)).alias("nd"))
@@ -1953,3 +1949,100 @@ def embedding_dim_stats(spark, sf_dir):
             8,
         ).alias("var_r"),
     ).orderBy("dim")
+
+
+# ---------------------------------------------------------------- outliers
+@query(
+    "embedding_centroid_outliers",
+    oracle="""
+    WITH ex AS (
+      SELECT UNNEST(range(len(embedding))) AS dim,
+             UNNEST(list_transform(embedding,
+               v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)))
+               AS fp
+      FROM embeddings),
+    agg AS (
+      SELECT dim, CAST(SUM(fp) AS DOUBLE) / COUNT(*) / 1000000 AS mu
+      FROM ex GROUP BY dim),
+    mus AS (SELECT list(mu ORDER BY dim) AS mu FROM agg)
+    SELECT vec_id, CAST(label AS BIGINT) AS label,
+           ROUND(list_sum(list_transform(
+             list_zip(list_transform(embedding, v -> CAST(v AS DOUBLE)), mu),
+             p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS sq_dist
+    FROM embeddings, mus
+    ORDER BY sq_dist DESC, vec_id LIMIT 50
+    """,
+)
+def embedding_centroid_outliers(spark, sf_dir):
+    """Embedding-space outlier detection: squared L2 distance from the
+    corpus centroid, top 50 — the cheap first-pass filter for
+    corrupt/off-distribution vectors before they poison ANN recall or
+    k-means initialization.
+
+    Determinism: the centroid comes from EXACT fixed-point sums (same
+    pattern as embedding_dim_stats), so it is identical at any
+    partitioning; the per-vector distance folds the 64 elements in list
+    order, matching the oracle's list_sum to the last ulp before the
+    display ROUND.
+
+    Scale: one dim-sized aggregation for the centroid, then a broadcast
+    of the 64-double centroid into a narrow map + TakeOrdered(50) — two
+    passes over the corpus, no self-join, no wide shuffle.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        F.posexplode(
+            F.transform(
+                F.col("embedding"),
+                lambda v: F.floor(v.cast("double") * 1000000 + 0.5).cast("long"),
+            )
+        ).alias("dim", "fp")
+    )
+    mu_row = (
+        ex.groupBy("dim")
+        .agg(
+            (
+                F.sum(F.col("fp").cast("decimal(38,0)")).cast("double")
+                / F.count(F.lit(1))
+                / 1000000
+            ).alias("mu")
+        )
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mu"))),
+                lambda s: s.mu,
+            ).alias("mu")
+        )
+    )
+    xs = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    dist = F.aggregate(
+        F.zip_with(xs, F.col("mu"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        e.crossJoin(F.broadcast(mu_row))
+        .select(
+            "vec_id",
+            F.col("label").cast("bigint").alias("label"),
+            F.round(dist, 6).alias("sq_dist"),
+        )
+        .orderBy(F.desc("sq_dist"), "vec_id")
+        .limit(50)
+    )
+
+
+# ---------------------------------------------------------------- PCA
+from delta_unity_duckdb_spark.operators import pca as P  # noqa: E402
+
+
+@query("pca_top_component", oracle=P.pca_power_sql("embeddings", "embedding", iters=24))
+def pca_top_component(spark, sf_dir):
+    """Top principal component of the embedding corpus (operators/pca.py):
+    Arrow-batched EXACT integer Gram partials via mapInPandas -> one
+    dim^2-sized aggregation -> driver-side fixed-point power iteration.
+    The oracle replays the identical iteration in HUGEINT CTEs, so the
+    loadings hash-match bit-for-bit — a fully-verified distributed
+    eigensolve."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return P.pca_top_component(e, spark, "embedding", iters=24)

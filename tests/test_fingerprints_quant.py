@@ -211,3 +211,86 @@ class TestEmbeddingDimStats:
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old)
         assert base == alt
+
+
+class TestPcaTopComponent:
+    def _spark_loadings(self, spark, sf_dir, df=None):
+        from delta_unity_duckdb_spark.operators.pca import pca_top_component
+
+        if df is None:
+            df = load_table(spark, sf_dir, "embeddings")
+        rows = pca_top_component(df, spark, "embedding", iters=24).collect()
+        return [r.loading for r in sorted(rows, key=lambda r: r.dim)], rows[0].eigenvalue
+
+    def test_rayleigh_near_lambda_max(self, spark, sf_dir):
+        """The fixed-point iterate must capture (almost) all of the true
+        dominant eigenvalue of the float covariance."""
+        import numpy as np
+
+        v, lam = self._spark_loadings(spark, sf_dir)
+        mat = np.array(
+            [r.embedding for r in load_table(spark, sf_dir, "embeddings").collect()],
+            dtype=np.float64,
+        )
+        cov = np.cov(mat, rowvar=False, bias=True)
+        lam_max = float(np.linalg.eigvalsh(cov).max())
+        v = np.array(v)
+        rq = float(v @ cov @ v / (v @ v))
+        assert rq > 0.95 * lam_max
+        assert abs(lam - rq) < 0.05 * lam_max
+        assert abs(float(v @ v) - 1.0) < 1e-3  # unit norm on the 1e-6 grid
+
+    def test_sign_convention(self, spark, sf_dir):
+        v, _ = self._spark_loadings(spark, sf_dir)
+        assert max(v, key=abs) > 0
+
+    def test_partition_independence(self, spark, sf_dir):
+        base = self._spark_loadings(spark, sf_dir)
+        df = load_table(spark, sf_dir, "embeddings").repartition(7)
+        alt = self._spark_loadings(spark, sf_dir, df)
+        assert base == alt
+
+    def test_planted_component(self, spark):
+        """Data lying (noisily) along one axis must recover that axis."""
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        d = 8
+        axis = np.zeros(d)
+        axis[3] = 1.0
+        pts = (
+            np.outer(rng.randn(200) * 5.0, axis)
+            + rng.randn(200, d) * 0.05
+        )
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in row]) for i, row in enumerate(pts)],
+            "vec_id long, embedding array<float>",
+        )
+        from delta_unity_duckdb_spark.operators.pca import pca_top_component
+
+        rows = pca_top_component(df, spark, "embedding", iters=24).collect()
+        v = np.array([r.loading for r in sorted(rows, key=lambda r: r.dim)])
+        assert abs(v[3]) > 0.99
+        assert rows[0].eigenvalue > 20.0
+
+
+class TestCentroidOutliers:
+    def test_numpy_reference(self, spark, sf_dir):
+        import numpy as np
+
+        from delta_unity_duckdb_spark.workload.llm import (
+            embedding_centroid_outliers,
+        )
+
+        rows = load_table(spark, sf_dir, "embeddings").collect()
+        mat = np.array([r.embedding for r in rows], dtype=np.float64)
+        fp = np.floor(mat * 1e6 + 0.5)
+        mu = fp.mean(axis=0) / 1e6
+        d2 = ((mat - mu) ** 2).sum(axis=1)
+        want = sorted(
+            zip([r.vec_id for r in rows], d2), key=lambda t: (-t[1], t[0])
+        )[:50]
+        got = embedding_centroid_outliers(spark, sf_dir).collect()
+        assert [g.vec_id for g in got] == [w[0] for w in want]
+        for g, w in zip(got, want):
+            assert g.sq_dist == pytest.approx(w[1], abs=2e-6)
