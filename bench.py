@@ -64,6 +64,15 @@ HEADLINE = [
     "pii_redact",
     "llm_pipeline_end_to_end",
     "graph_kcore",
+    # round-3 additions: dedup/fingerprint families + distributed PCA
+    "minhash_near_dups",
+    "simhash_near_dups",
+    "near_dup_clusters",
+    "incremental_near_dup_ingest",
+    "winnow_fingerprint_pairs",
+    "exact_span_dedup",
+    "boilerplate_ngram_flags",
+    "pca_top_component",
 ]
 
 

@@ -719,7 +719,12 @@ def winnow_fingerprints(
     B = WINNOW_POS_MOD
     # words materialized first, ONE Generate evaluating the hash array
     # once per doc — see the perf note on _shingles (projection collapse
-    # otherwise re-inlines the md5 transform into every reference)
+    # otherwise re-inlines the md5 transform into every reference).
+    # An array-side formulation (array_min over per-start slices, no
+    # shuffle) was tried and is QUADRATIC in doc length: lambda-captured
+    # arrays are re-evaluated per element — no subexpression elimination
+    # reaches inside higher-order-function lambdas — so the rolling min
+    # runs as a window aggregate over exploded rows instead.
     words = F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE)
     dw = df.select(F.col(id_col).alias("id"), words.alias("_w"))
     hs = F.transform(_shingles_of_words(F.col("_w"), k), hash31)
