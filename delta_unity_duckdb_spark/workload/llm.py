@@ -2046,3 +2046,62 @@ def pca_top_component(spark, sf_dir):
     eigensolve."""
     e = load_table(spark, sf_dir, "embeddings")
     return P.pca_top_component(e, spark, "embedding", iters=24)
+
+
+# ---------------------------------------------------------------- ANN recall
+@query(
+    "ann_recall_eval",
+    oracle=f"""
+    WITH exact AS (
+      WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+      SELECT e.vec_id,
+             ROUND(
+               list_sum(list_transform(list_zip(e.embedding, q.qvec),
+                                       p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (SQRT(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                  * SQRT(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+               4) AS cosine_sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0
+      ORDER BY cosine_sim DESC, e.vec_id LIMIT 10),
+    approx AS ({S.ivf_topk_sql(k=10, nlist=16, nprobe=4)})
+    SELECT CAST(10 AS BIGINT) AS k,
+           (SELECT COUNT(*) FROM exact) AS n_exact,
+           (SELECT COUNT(*) FROM approx) AS n_approx,
+           (SELECT COUNT(*) FROM exact e JOIN approx a ON e.vec_id = a.vec_id)
+             AS n_common,
+           ROUND(CAST((SELECT COUNT(*) FROM exact e JOIN approx a
+                       ON e.vec_id = a.vec_id) AS DOUBLE) / 10, 4) AS recall
+    """,
+)
+def ann_recall_eval(spark, sf_dir):
+    """ANN index-quality monitor: recall@10 of the IVF approximate search
+    against the exact brute-force top-10 for the same query vector — the
+    metric a production retrieval pipeline tracks to decide when nprobe
+    (or the index) needs retuning. Both arms are the engine's own
+    operators; the oracle replays both deterministic searches and the
+    intersection, so even the EVALUATION is value-verified.
+
+    Scale: exact arm is one broadcast-query scan + TakeOrdered(10); the
+    IVF arm probes nprobe/nlist of the corpus; the intersection joins
+    two 10-row frames. The monitor costs two searches, not an index
+    rebuild.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    cand = e.filter(F.col("vec_id") != 0)
+    exact = S.cosine_topk(cand, q, k=10).select("vec_id")
+    approx = S.ivf_topk(cand, q, k=10, nlist=16, nprobe=4).select("vec_id")
+    common = exact.join(approx, "vec_id")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(approx.agg(F.count(F.lit(1)).alias("n_approx")))
+        .crossJoin(common.agg(F.count(F.lit(1)).alias("n_common")))
+        .select(
+            F.lit(10).cast("bigint").alias("k"),
+            "n_exact",
+            "n_approx",
+            "n_common",
+            F.round(F.col("n_common").cast("double") / 10, 4).alias("recall"),
+        )
+    )

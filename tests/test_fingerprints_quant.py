@@ -294,3 +294,17 @@ class TestCentroidOutliers:
         assert [g.vec_id for g in got] == [w[0] for w in want]
         for g, w in zip(got, want):
             assert g.sq_dist == pytest.approx(w[1], abs=2e-6)
+
+
+class TestAnnRecallEval:
+    def test_recall_bounds_and_consistency(self, spark, sf_dir):
+        from delta_unity_duckdb_spark.workload.llm import ann_recall_eval
+
+        row = ann_recall_eval(spark, sf_dir).collect()[0]
+        assert row.k == 10
+        assert row.n_exact == 10
+        assert 0 <= row.n_common <= min(row.n_exact, row.n_approx)
+        assert row.recall == pytest.approx(row.n_common / 10, abs=1e-9)
+        # IVF with nprobe=4/nlist=16 on near-isotropic data still finds
+        # a meaningful share of the true neighborhood
+        assert row.recall >= 0.2
