@@ -55,6 +55,17 @@ CHECKED = [
     # (count DESC, lhs, rhs) and capped word-frequency boundary
     # (cnt DESC, word) must hold under any layout
     "bpe_vocab_merges",
+    # round-3b fingerprint/embedding surface: winnowing window-min,
+    # span census, per-vector quantization, fixed-point dim stats, the
+    # Gram-partial PCA (Arrow batch boundaries shift with layout — the
+    # exact integer algebra must not), and the two-arm recall eval
+    "winnow_fingerprint_pairs",
+    "exact_span_dedup",
+    "embedding_quantization",
+    "embedding_dim_stats",
+    "embedding_centroid_outliers",
+    "pca_top_component",
+    "ann_recall_eval",
 ]
 
 
