@@ -287,3 +287,21 @@ def scd2_stream_sync(
     q.awaitTermination()
     assert holder["state"] is not None, "change stream produced no batches"
     return holder["state"]
+
+
+def read_events_stream_from_dir(
+    spark: SparkSession,
+    feed_dir: str,
+    schema,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-source stream over a STAGED feed directory: one parquet file
+    per micro-batch (``maxFilesPerTrigger=1``), batch order pinned by the
+    files' mtimes — the harness for replay scenarios that need controlled
+    batch boundaries (late-data drops, incremental index updates)."""
+    _ensure_session_confs(spark)
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(feed_dir)
+    )

@@ -529,3 +529,106 @@ def stream_incremental_dedup(spark, sf_dir):
     )
     out = run_available_now(verdict, output_mode="complete")
     return out.orderBy("new_id").limit(500)
+
+
+@query(
+    "stream_late_data_drop",
+    oracle="""
+    WITH b AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+    mx AS (SELECT MAX(ts) AS tmax FROM b),
+    recent AS (
+      SELECT ts, event_type FROM b, mx
+      WHERE ts > tmax - INTERVAL '30 hours'),
+    late AS (
+      SELECT ts, event_type FROM b, mx
+      WHERE ts <= tmax - INTERVAL '30 hours'),
+    wm AS (SELECT MAX(ts) - INTERVAL '36 hours' AS w FROM recent),
+    kept AS (
+      SELECT ts, event_type FROM recent
+      UNION ALL
+      SELECT l.ts, l.event_type FROM late l, wm
+      WHERE time_bucket(INTERVAL '6 hours', l.ts) + INTERVAL '6 hours' > wm.w)
+    SELECT time_bucket(INTERVAL '6 hours', ts) AS window_start,
+           event_type, COUNT(*) AS n
+    FROM kept GROUP BY 1, 2
+    """,
+)
+def stream_late_data_drop(spark, sf_dir):
+    """Watermark LATE-DATA DROP semantics made observable — the one
+    streaming behavior the availableNow twins cannot show (a single
+    batch never drops anything). The events table replays as TWO
+    micro-batches (maxFilesPerTrigger=1, mtime-pinned order): first the
+    most recent 30 hours, then everything older as a late straggler batch.
+    After batch 1 the watermark stands at max(ts) - 36h, so batch 2's
+    rows count ONLY where their 6-hour window is still open
+    (window_end > watermark) — the rest are dropped exactly as a live
+    pipeline would drop them. The oracle replays the same two-phase
+    rule in SQL: this is a value-level check of Spark's documented
+    drop boundary, not just a smoke test.
+
+    Update output mode: per-key counts re-emit as they grow, so the
+    final value per (window, event_type) is the MAX over sink rows.
+
+    Scale: state is bounded by the watermark horizon (windows close and
+    evict); the late batch costs one filter against the broadcast
+    watermark — dropping is free, which is the point of watermarks.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    from delta_unity_duckdb_spark.sources.tables import load_table
+    from delta_unity_duckdb_spark.streaming.events import (
+        read_events_stream_from_dir,
+        run_available_now,
+    )
+
+    # watermarks require TIMESTAMP (ltz); the fixture surfaces NTZ — the
+    # session runs UTC so the cast is value-preserving either way
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    tmax = ev.agg(F.max("ts")).collect()[0][0]
+    cutoff = F.lit(tmax) - F.expr("INTERVAL 30 HOURS")
+    # THREE micro-batches, the middle one EMPTY: since Spark 3.4
+    # (SPARK-40925) the late-event filter uses the PREVIOUS batch's
+    # watermark while state eviction uses the current one — so the
+    # watermark advanced by batch 0 only starts dropping input in
+    # batch 2. The empty marker batch advances the late-event filter
+    # without adding any rows; without it, the straggler batch would be
+    # aggregated-then-evicted instead of dropped (measured, not
+    # guessed: numRowsDroppedByWatermark 0 vs 446 at sf0.001).
+    batches = [
+        ev.filter(F.col("ts") > cutoff),
+        ev.limit(0),
+        ev.filter(F.col("ts") <= cutoff),
+    ]
+
+    feed_dir = tempfile.mkdtemp(prefix="late_feed_")
+    base_mtime = 1_700_000_000
+    for i, bdf in enumerate(batches):
+        stage = tempfile.mkdtemp(prefix=f"late_stage_{i}_")
+        bdf.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(
+            f
+            for f in os.listdir(stage)
+            if f.endswith(".parquet") and f.startswith("part-")
+        )
+        dst = os.path.join(feed_dir, f"feed-{i}.parquet")
+        shutil.copy(os.path.join(stage, part), dst)
+        os.utime(dst, (base_mtime + i * 100, base_mtime + i * 100))
+        shutil.rmtree(stage)
+
+    stream = read_events_stream_from_dir(spark, feed_dir, batches[0].schema)
+    agg = (
+        stream.withWatermark("ts", "36 hours")
+        .groupBy(F.window("ts", "6 hours"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"), "event_type", "n"
+        )
+    )
+    sink = run_available_now(agg, output_mode="update")
+    return sink.groupBy("window_start", "event_type").agg(
+        F.max("n").cast("bigint").alias("n")
+    )

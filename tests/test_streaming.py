@@ -173,3 +173,32 @@ def test_stream_incremental_dedup_equals_batch(spark, sf_dir):
     batch = {tuple(r) for r in incremental_near_dup_ingest(spark, sf_dir).collect()}
     stream = {tuple(r) for r in stream_incremental_dedup(spark, sf_dir).collect()}
     assert batch == stream
+
+
+def test_late_data_drop_actually_drops(spark, sf_dir):
+    """The 3-batch replay must DROP most straggler rows: the final window
+    totals are far below the full-table totals, and every window present
+    either is recent or was still open (end > watermark) when the late
+    batch arrived."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from delta_unity_duckdb_spark.sources.tables import load_table
+    from delta_unity_duckdb_spark.workload.streamq import stream_late_data_drop
+
+    out = stream_late_data_drop(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    total = ev.count()
+    kept = sum(r.n for r in out)
+    assert 0 < kept < 0.2 * total, f"kept {kept} of {total} — no drop happened"
+    tmax = ev.agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0]
+    wm = tmax - datetime.timedelta(hours=36)
+    cutoff = tmax - datetime.timedelta(hours=30)
+    for r in out:
+        w_end = r.window_start + datetime.timedelta(hours=6)
+        assert w_end > wm, f"window ending {w_end} predates the watermark {wm}"
+    # and at least one surviving window contains LATE contributions
+    # (window straddling the cutoff counts rows from both batches)
+    late_windows = [r for r in out if r.window_start < cutoff]
+    assert late_windows, "no late contribution survived — boundary too coarse"
