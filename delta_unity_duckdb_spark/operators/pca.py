@@ -238,3 +238,84 @@ def pca_power_sql(table: str = "embeddings", vec_col: str = "embedding",
     FROM {prev} v CROSS JOIN sgn CROSS JOIN ray
     ORDER BY dim"""
     return head + body + tail
+
+
+def pca_projection_scores(
+    df: DataFrame,
+    spark: SparkSession,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 24,
+) -> DataFrame:
+    """TRAIN -> APPLY: fit the top component (driver-side eigensolve over
+    the distributed exact Gram), then score every vector by its exact
+    fixed-point projection onto it — the corpus-scale application pass
+    (rank by |score| for outlier/diversity sampling, threshold for
+    direction-specific filtering).
+
+    The score is an EXACT integer dot product (component loadings live
+    on the 1e-6 grid, vectors are 1e-6-quantized), so the apply pass is
+    partition-independent and engine-exact like the fit. One broadcast
+    of dim longs + a narrow map: nothing about the corpus moves.
+    """
+    parts = (
+        df.select(F.col(vec_col).alias("embedding"))
+        .mapInPandas(_make_gram_partials(FP_SCALE), "i int, j int, val long")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("val").cast("decimal(38,0)")).alias("val"))
+        .collect()
+    )
+    cells = {(r.i, r.j): int(r.val) for r in parts}
+    n = cells.pop((-1, -1), 0)
+    if n == 0:
+        return spark.createDataFrame([], f"{id_col} bigint, score double")
+    d = 1 + max(i for i, j in cells if j == -1)
+    s = [cells.pop((i, -1)) for i in range(d)]
+    g = [[0] * d for _ in range(d)]
+    for (i, j), v in cells.items():
+        g[i][j] = v
+        g[j][i] = v
+    _, loadings, _ = _power_iterate(g, s, n, d, iters)
+    # back to the exact integer grid the eigensolve produced them on
+    v_fp = [int(round(x * FP_SCALE)) for x in loadings]
+    varr = F.array(*[F.lit(v) for v in v_fp])
+    x_fp = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * FP_SCALE + 0.5).cast("long"),
+    )
+    # exact integer dot (|v|<=1e6, |x|<=~1e7, dim * 1e13 << 2^63), then
+    # one deterministic conversion to the display double
+    dot = F.aggregate(
+        F.zip_with(x_fp, varr, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc + p,
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(dot.cast("double") / (FP_SCALE * FP_SCALE), 6).alias("score"),
+    )
+
+
+def pca_projection_sql(table: str = "embeddings", vec_col: str = "embedding",
+                       id_expr: str = "vec_id", iters: int = 24) -> str:
+    """DuckDB twin: the full fit chain (``pca_power_sql`` internals) up to
+    the SIGN-FIXED final component, then the identical exact integer dot
+    per vector."""
+    fp = FP_SCALE
+    fit = pca_power_sql(table, vec_col, iters)
+    # reuse the fit SQL as a CTE: it yields (dim, loading, eigenvalue);
+    # loading is ROUND(signed v / fp, 6) — recover the exact grid value
+    return f"""
+    WITH fit AS ({fit}),
+    comp AS (
+      SELECT list(CAST(ROUND(loading * {fp}) AS BIGINT) ORDER BY dim) AS v
+      FROM fit)
+    SELECT {id_expr},
+           ROUND(CAST(list_sum(list_transform(
+                   list_zip(list_transform({vec_col},
+                     x -> CAST(FLOOR(CAST(x AS DOUBLE) * {fp} + 0.5) AS BIGINT)),
+                     v),
+                   p -> p[1] * p[2])) AS DOUBLE) / ({fp}::DOUBLE * {fp}), 6)
+             AS score
+    FROM {table}, comp
+    """

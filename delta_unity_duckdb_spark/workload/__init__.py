@@ -35,7 +35,7 @@ from delta_unity_duckdb_spark.workload.registry import ORACLE, QUERIES
 #     key_skew_profile bpe_vocab_merges bpe_encode_stats curation_verdicts
 #     winnow_fingerprint_pairs exact_span_dedup embedding_quantization
 #     embedding_dim_stats embedding_centroid_outliers pca_top_component
-#     ann_recall_eval stream_late_data_drop
+#     ann_recall_eval stream_late_data_drop pca_projection_scores
 #   stragglers: bigram_surprisal interval_join_events stats_moments
 #     winsorized_stats incremental_agg_refresh cohort_retention
 #     basket_pairs skyline_pareto regional_revenue price_outliers

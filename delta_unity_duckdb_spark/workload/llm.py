@@ -2110,3 +2110,23 @@ def ann_recall_eval(spark, sf_dir):
             F.round(F.col("n_common").cast("double") / 10, 4).alias("recall"),
         )
     )
+
+
+@query(
+    "pca_projection_scores",
+    oracle=f"""
+    WITH scored AS ({P.pca_projection_sql('embeddings', 'embedding', 'vec_id', iters=24)})
+    SELECT vec_id, score FROM scored
+    ORDER BY ABS(score) DESC, vec_id LIMIT 100
+    """,
+)
+def pca_projection_scores(spark, sf_dir):
+    """PCA train->apply loop: fit the top component on the corpus, then
+    rank vectors by |projection| — the diversity/outlier sampling signal
+    a curation pipeline derives from its OWN fitted transform. Both the
+    fit (fixed-point power iteration) and the apply (exact integer dot)
+    are engine-exact, so the entire learned-transform application is
+    value-verified."""
+    e = load_table(spark, sf_dir, "embeddings")
+    scores = P.pca_projection_scores(e, spark, "embedding", "vec_id", iters=24)
+    return scores.orderBy(F.abs(F.col("score")).desc(), "vec_id").limit(100)

@@ -308,3 +308,36 @@ class TestAnnRecallEval:
         # IVF with nprobe=4/nlist=16 on near-isotropic data still finds
         # a meaningful share of the true neighborhood
         assert row.recall >= 0.2
+
+
+class TestPcaProjection:
+    def test_scores_match_numpy_projection(self, spark, sf_dir):
+        """|score| ranking must agree with a float reference projection
+        onto the fitted component (grid quantization <= 1e-4 slack)."""
+        import numpy as np
+
+        from delta_unity_duckdb_spark.operators.pca import (
+            pca_projection_scores,
+            pca_top_component,
+        )
+
+        e = load_table(spark, sf_dir, "embeddings")
+        comp = pca_top_component(e, spark, "embedding", iters=24).collect()
+        v = np.array([r.loading for r in sorted(comp, key=lambda r: r.dim)])
+        rows = e.collect()
+        mat = np.array([r.embedding for r in rows], dtype=np.float64)
+        ref = {r.vec_id: float(m @ v) for r, m in zip(rows, mat)}
+        got = pca_projection_scores(e, spark, "embedding", "vec_id", iters=24).collect()
+        assert len(got) == len(rows)
+        for r in got:
+            assert r.score == pytest.approx(ref[r.vec_id], abs=1e-3)
+
+    def test_partition_independence(self, spark, sf_dir):
+        from delta_unity_duckdb_spark.operators.pca import pca_projection_scores
+
+        e = load_table(spark, sf_dir, "embeddings")
+        a = sorted(map(tuple, pca_projection_scores(e, spark).collect()))
+        b = sorted(
+            map(tuple, pca_projection_scores(e.repartition(7), spark).collect())
+        )
+        assert a == b
