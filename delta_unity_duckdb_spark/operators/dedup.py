@@ -194,14 +194,23 @@ def _shingles(text_col, n: int = 3):
 
 def _shingles_of_words(words, n: int):
     """Shingle array from an (ideally column-materialized) words array:
-    shingle i = words[i..i+n-1] joined by a single space."""
-    return F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(words) - n + 1),
-            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    shingle i = words[i..i+n-1] joined by a single space.
+
+    Null contract: NULL words (i.e. NULL text) -> NULL shingles, so
+    non-exploded consumers (``F.size``/set ops in the minhash + jaccard
+    paths) see null rows, not spurious empty docs; short-but-present
+    text -> empty array."""
+    return (
+        F.when(words.isNull(), F.lit(None).cast("array<string>"))
+        .when(
+            F.size(words) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+    )
 
 
 def shingle_rows(

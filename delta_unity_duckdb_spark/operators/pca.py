@@ -54,6 +54,21 @@ def _rnd_div(a: int, b: int) -> int:
     return -((-2 * a + b) // (2 * b)) if a < 0 else (2 * a + b) // (2 * b)
 
 
+def _round_half_away(x: float, nd: int) -> float:
+    """DuckDB ``ROUND(double, nd)`` exactly: ``std::round(x*10^nd)/10^nd``
+    with C++ half-away-from-zero tie handling. Python's ``round()`` is
+    banker's half-even and could diverge by 1e-6 on a decimal tie; the
+    naive ``floor(y+0.5)`` diverges when ``y+0.5`` rounds up across an
+    integer in double arithmetic (e.g. y=0.49999999999999994), so the
+    fraction is compared exactly instead."""
+    p = float(10**nd)
+    y = x * p
+    a = abs(y)
+    f = math.floor(a)
+    r = f + 1.0 if a - f >= 0.5 else f
+    return (r if y >= 0 else -r) / p
+
+
 def _make_gram_partials(fp_scale: int):
     """Build the mapInPandas kernel as a CLOSURE so cloudpickle ships it
     by value — a module-level function pickles by reference and Python
@@ -62,10 +77,13 @@ def _make_gram_partials(fp_scale: int):
 
     Kernel: per Arrow batch, emit the upper-triangle of the exact int64
     Gram matrix of the fixed-point vectors, plus the per-dimension sums
-    (j = -1) and the row count (i = j = -1). Bounds: |fp| <= ~1e7 for
-    unit-ish embeddings, so a batch entry is <= 1e14 * batch_rows —
-    Arrow's default ~10k-row batches stay far inside int64; the
-    cross-batch/cross-partition summation is exact DECIMAL(38,0) on the
+    (j = -1) and the row count (i = j = -1). Overflow safety is ENFORCED,
+    not assumed: a Gram entry is bounded by ``rows * max|fp|^2``, so each
+    Arrow batch is re-chunked to the largest row count that provably fits
+    int64 for ITS observed ``max|fp|`` — raising
+    ``arrow.maxRecordsPerBatch`` or feeding giant-magnitude vectors
+    yields more (still-exact) partials instead of silent wraparound. The
+    cross-chunk/cross-partition summation is exact DECIMAL(38,0) on the
     Spark side.
     """
 
@@ -80,28 +98,38 @@ def _make_gram_partials(fp_scale: int):
                 [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
             )
             fp = np.floor(mat * float(fp_scale) + 0.5).astype(np.int64)
-            g = fp.T @ fp
-            d = g.shape[0]
+            max_fp = int(np.abs(fp).max()) or 1
+            if max_fp * max_fp >= (1 << 62):  # even a single row would wrap
+                raise ValueError(
+                    f"pca: |fixed-point value| {max_fp} exceeds the int64 "
+                    f"Gram bound (scale {fp_scale}); rescale the vectors"
+                )
+            # rows * max_fp^2 must stay under 2^62 (one spare bit)
+            safe_rows = max(1, (1 << 62) // (max_fp * max_fp))
+            d = fp.shape[1]
             iu, ju = np.triu_indices(d)
-            yield pd.concat(
-                [
-                    pd.DataFrame(
-                        {
-                            "i": iu.astype("int32"),
-                            "j": ju.astype("int32"),
-                            "val": g[iu, ju],
-                        }
-                    ),
-                    pd.DataFrame(
-                        {
-                            "i": np.arange(d, dtype="int32"),
-                            "j": np.full(d, -1, dtype="int32"),
-                            "val": fp.sum(axis=0),
-                        }
-                    ),
-                    pd.DataFrame({"i": [-1], "j": [-1], "val": [len(pdf)]}),
-                ]
-            )
+            for lo in range(0, len(fp), safe_rows):
+                ck = fp[lo : lo + safe_rows]
+                g = ck.T @ ck
+                yield pd.concat(
+                    [
+                        pd.DataFrame(
+                            {
+                                "i": iu.astype("int32"),
+                                "j": ju.astype("int32"),
+                                "val": g[iu, ju],
+                            }
+                        ),
+                        pd.DataFrame(
+                            {
+                                "i": np.arange(d, dtype="int32"),
+                                "j": np.full(d, -1, dtype="int32"),
+                                "val": ck.sum(axis=0),
+                            }
+                        ),
+                        pd.DataFrame({"i": [-1], "j": [-1], "val": [len(ck)]}),
+                    ]
+                )
 
     return gram_partials
 
@@ -165,7 +193,7 @@ def _power_iterate(g, s, n, d, iters):
     w = [sum(c[i][j] * v[i] for i in range(d)) for j in range(d)]
     num = sum(v[j] * w[j] for j in range(d))
     dd = sum(x * x for x in v)
-    lam = round(float(num) / float(dd) / C_SCALE, 6) if dd else 0.0
+    lam = _round_half_away(float(num) / float(dd) / C_SCALE, 6) if dd else 0.0
     # sign fix: the largest-|v| dimension (ties -> lowest dim) is positive
     star = min(range(d), key=lambda j: (-abs(v[j]), j))
     sgn = -1 if v[star] < 0 else 1

@@ -19,6 +19,7 @@ Scale posture:
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -182,23 +183,39 @@ def stateful_running_totals(events: DataFrame) -> DataFrame:
 
 
 def run_available_now(
-    stream_df: DataFrame, query_name: str | None = None, output_mode: str = "complete"
+    stream_df: DataFrame,
+    query_name: str | None = None,
+    output_mode: str = "complete",
+    progress_out: list | None = None,
 ) -> DataFrame:
     """Drain all available input in one go (Trigger.AvailableNow) into a
     memory sink and return the result as a batch DataFrame. The test /
     backfill harness for every streaming pipeline here: identical code
-    path to a live run, bounded by current data."""
+    path to a live run, bounded by current data.
+
+    The throwaway checkpoint dir is removed once the query terminates
+    (the memory-sink table lives in the session, not on disk), so
+    repeated bench iterations don't accumulate /tmp state. Pass
+    ``progress_out`` to receive ``q.recentProgress`` — callers that
+    depend on version-specific micro-batch semantics (watermark drop
+    timing) can assert on the observed metrics instead of trusting them.
+    """
     name = query_name or f"q_{uuid.uuid4().hex[:8]}"
     ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if progress_out is not None:
+            progress_out.extend(q.recentProgress)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
     return stream_df.sparkSession.table(name)
 
 

@@ -960,17 +960,53 @@ def percentile_agg(spark, sf_dir):
     )
 
 
-# ---------------------------------------------------------------- C agg: sketches (rows-only)
-@query("approx_aggs")
+# ---------------------------------------------------------------- C agg: sketches
+@query(
+    "approx_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           ABS(CAST(approx_count_distinct(l_orderkey) AS DOUBLE)
+               - COUNT(DISTINCT l_orderkey))
+             <= 0.05 * COUNT(DISTINCT l_orderkey) AS approx_orders_ok,
+           ROUND(quantile_cont(l_quantity, 0.5), 4) AS exact_p50,
+           ABS(CAST(approx_quantile(l_quantity, 0.5) AS DOUBLE)
+               - quantile_cont(l_quantity, 0.5)) <= 2.0 AS approx_p50_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def approx_aggs(spark, sf_dir):
     """HLL distinct-count + quantile sketches: the 100 TB path where exact
-    DISTINCT/percentile shuffles are unaffordable. Engine sketches differ
-    (Spark HLL++ vs DuckDB HLL), so no value-hash oracle — tests bound the
-    relative error against exact instead."""
+    DISTINCT/percentile shuffles are unaffordable. The raw estimates are
+    engine-specific (Spark HLL++ vs DuckDB HLL, GK vs t-digest), so the
+    value-level contract verified here is the one that transfers: each
+    engine's sketch agrees with the EXACT answer within a 5σ bound (5%
+    relative for distinct at rsd=0.01 — the default 0.05 is a STANDARD
+    deviation, measured overshooting 5% on this data — and 2.0 quantity
+    units for the median at accuracy=1000). Both engines emit the exact values
+    plus the bound verdicts — hash-comparable despite different sketch
+    internals. The exact arms exist only to certify the sketches; a
+    production 100 TB run keeps just the approx columns."""
     li = _t(spark, sf_dir, "lineitem")
+    exact_orders = F.count_distinct("l_orderkey")
+    exact_p50 = F.percentile("l_quantity", F.lit(0.5))
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_quantity", 0.5, 1000).alias("approx_p50"),
+        exact_orders.alias("exact_orders"),
+        (
+            F.abs(
+                F.approx_count_distinct("l_orderkey", 0.01).cast("double")
+                - exact_orders
+            )
+            <= 0.05 * exact_orders
+        ).alias("approx_orders_ok"),
+        F.round(exact_p50, 4).alias("exact_p50"),
+        (
+            F.abs(
+                F.percentile_approx("l_quantity", 0.5, 1000).cast("double")
+                - exact_p50
+            )
+            <= 2.0
+        ).alias("approx_p50_ok"),
     )
 
 

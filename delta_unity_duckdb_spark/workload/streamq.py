@@ -605,30 +605,54 @@ def stream_late_data_drop(spark, sf_dir):
     ]
 
     feed_dir = tempfile.mkdtemp(prefix="late_feed_")
-    base_mtime = 1_700_000_000
-    for i, bdf in enumerate(batches):
-        stage = tempfile.mkdtemp(prefix=f"late_stage_{i}_")
-        bdf.coalesce(1).write.mode("overwrite").parquet(stage)
-        part = next(
-            f
-            for f in os.listdir(stage)
-            if f.endswith(".parquet") and f.startswith("part-")
-        )
-        dst = os.path.join(feed_dir, f"feed-{i}.parquet")
-        shutil.copy(os.path.join(stage, part), dst)
-        os.utime(dst, (base_mtime + i * 100, base_mtime + i * 100))
-        shutil.rmtree(stage)
+    try:
+        base_mtime = 1_700_000_000
+        for i, bdf in enumerate(batches):
+            stage = tempfile.mkdtemp(prefix=f"late_stage_{i}_")
+            bdf.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(
+                f
+                for f in os.listdir(stage)
+                if f.endswith(".parquet") and f.startswith("part-")
+            )
+            dst = os.path.join(feed_dir, f"feed-{i}.parquet")
+            shutil.copy(os.path.join(stage, part), dst)
+            os.utime(dst, (base_mtime + i * 100, base_mtime + i * 100))
+            shutil.rmtree(stage)
 
-    stream = read_events_stream_from_dir(spark, feed_dir, batches[0].schema)
-    agg = (
-        stream.withWatermark("ts", "36 hours")
-        .groupBy(F.window("ts", "6 hours"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            F.col("window.start").alias("window_start"), "event_type", "n"
+        stream = read_events_stream_from_dir(spark, feed_dir, batches[0].schema)
+        agg = (
+            stream.withWatermark("ts", "36 hours")
+            .groupBy(F.window("ts", "6 hours"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.col("window.start").alias("window_start"), "event_type", "n"
+            )
         )
-    )
-    sink = run_available_now(agg, output_mode="update")
-    return sink.groupBy("window_start", "event_type").agg(
-        F.max("n").cast("bigint").alias("n")
-    )
+        progress: list = []
+        sink = run_available_now(agg, output_mode="update", progress_out=progress)
+        # The whole query depends on the SPARK-40925 one-batch
+        # watermark-filter lag (the empty marker batch above). Pin the
+        # assumption at runtime: if this Spark build aggregates the
+        # straggler batch instead of dropping it, fail with a clear
+        # message rather than an oracle hash mismatch downstream.
+        dropped = sum(
+            int(op.get("numRowsDroppedByWatermark", 0))
+            for p in progress
+            for op in (p.get("stateOperators") or [])
+        )
+        if dropped == 0:
+            raise RuntimeError(
+                "stream_late_data_drop: runtime dropped 0 rows by watermark "
+                "— this Spark build's late-event filter semantics differ "
+                "from the SPARK-40925 behavior the query (and its oracle) "
+                "encode"
+            )
+        # memory-sink rows are materialized in the session; the feed files
+        # are no longer referenced, so the final groupBy below never
+        # re-reads them
+        return sink.groupBy("window_start", "event_type").agg(
+            F.max("n").cast("bigint").alias("n")
+        )
+    finally:
+        shutil.rmtree(feed_dir, ignore_errors=True)

@@ -149,3 +149,28 @@ def test_quality_score_bit_identical_cross_engine(spark, texts):
         ).fetchall()
     )
     assert got == want
+
+
+def test_null_text_propagates_to_null_shingles(spark):
+    """Null contract (round-4 ADVICE): NULL text -> NULL shingle array so
+    non-exploded consumers (F.size / set ops in the minhash + jaccard
+    paths) see null, not a spurious empty doc; short-but-present text ->
+    empty array; normal text -> populated array."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "one two"), (4, "one two three four")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            D._shingles(F.col("text"), 3).alias("sh"),
+            F.size(D._shingles(F.col("text"), 3)).alias("sz"),
+        ).collect()
+    }
+    assert rows[1].sh is None and rows[1].sz is None
+    assert rows[2].sh == [] and rows[2].sz == 0
+    assert rows[3].sh == [] and rows[3].sz == 0  # 2 words < n=3
+    assert rows[4].sh == ["one two three", "two three four"] and rows[4].sz == 2
