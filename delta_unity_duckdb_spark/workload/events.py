@@ -369,15 +369,28 @@ def ewma_trailing(spark, sf_dir):
 def user_jaccard_pairs(spark, sf_dir):
     """Set-similarity join: top user pairs by Jaccard overlap of their
     event-property sets (behavioral cohort discovery; same shape as the
-    top-k similarity-search literature in PAPERS.md). The scalable move is
-    the CO-OCCURRENCE join: pairs are generated only through shared set
-    elements (equi-join on k), so zero-overlap pairs — the overwhelming
-    majority at scale — are never materialized; a cross join of users
-    never exists. Intersection counts aggregate per pair, sizes join back,
-    and Jaccard lands as integer ppm (floor) for cross-engine exactness.
-    Heavy-hitter elements (a k shared by millions of users) would be
-    pre-split by the salting operators in operators/skew.py.
+    top-k similarity-search literature in PAPERS.md). Jaccard lands as
+    integer ppm (floor) for cross-engine exactness.
+
+    TWO density regimes, picked by probing the element universe
+    (round-4 rework; both value-identical to the oracle):
+
+    - DENSE (universe ≤ 4096, the fixtures' K=100 / density ≈ 0.5):
+      blocked incidence-matrix tiles (``dense_jaccard_pairs``). The
+      co-occurrence join is the WRONG plan here — every pair overlaps,
+      so it materializes ~density·K rows per pair (measured 26.6M
+      intermediate rows for 1.1M pairs at sf0.1) and its "zero-overlap
+      pairs never materialize" advantage is vacuous.
+    - SPARSE (large universe): the co-occurrence equi-join on k — pairs
+      are generated only through shared elements, so the overwhelming
+      zero-overlap majority never materializes. Heavy-hitter elements
+      (a k shared by millions of users) would be pre-split by the
+      salting operators in operators/skew.py.
     """
+    from delta_unity_duckdb_spark.operators.similarity import (
+        dense_jaccard_pairs,
+    )
+
     e = load_table(spark, sf_dir, "events")
     uk = (
         e.filter(F.col("props").isNotNull())
@@ -387,34 +400,39 @@ def user_jaccard_pairs(spark, sf_dir):
         )
         .distinct()
     )
-    sizes = uk.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = uk.alias("a"), uk.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.k") == F.col("b.k"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
+    pairs = dense_jaccard_pairs(uk)
+    if pairs is None:  # sparse regime: co-occurrence join
+        sizes = uk.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        a, b = uk.alias("a"), uk.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.k") == F.col("b.k"))
+                & (F.col("a.user_id") < F.col("b.user_id")),
+            )
+            .select(
+                F.col("a.user_id").alias("u1"), F.col("b.user_id").alias("u2")
+            )
+            .groupBy("u1", "u2")
+            .agg(F.count(F.lit(1)).alias("both_n"))
         )
-        .select(F.col("a.user_id").alias("u1"), F.col("b.user_id").alias("u2"))
-        .groupBy("u1", "u2")
-        .agg(F.count(F.lit(1)).alias("both_n"))
-    )
-    s1 = sizes.select(F.col("user_id").alias("u1"), F.col("n").alias("n1"))
-    s2 = sizes.select(F.col("user_id").alias("u2"), F.col("n").alias("n2"))
-    # sizes is |users|-cardinality — no forced broadcast; AQE broadcasts
-    # when it fits, shuffles on the pair keys otherwise.
-    return (
-        inter.join(s1, "u1")
-        .join(s2, "u2")
-        .select(
-            "u1",
-            "u2",
-            "both_n",
-            F.expr("(both_n * 1000000) div (n1 + n2 - both_n)").alias("jaccard_ppm"),
+        s1 = sizes.select(F.col("user_id").alias("u1"), F.col("n").alias("n1"))
+        s2 = sizes.select(F.col("user_id").alias("u2"), F.col("n").alias("n2"))
+        # sizes is |users|-cardinality — no forced broadcast; AQE
+        # broadcasts when it fits, shuffles on the pair keys otherwise.
+        pairs = (
+            inter.join(s1, "u1")
+            .join(s2, "u2")
+            .select(
+                "u1",
+                "u2",
+                "both_n",
+                F.expr("(both_n * 1000000) div (n1 + n2 - both_n)").alias(
+                    "jaccard_ppm"
+                ),
+            )
         )
-        .orderBy(F.desc("jaccard_ppm"), "u1", "u2")
-        .limit(50)
-    )
+    return pairs.orderBy(F.desc("jaccard_ppm"), "u1", "u2").limit(50)
 
 
 # ---------------------------------------------------------------- distribution drift

@@ -401,3 +401,26 @@ def test_lsh_pairs_dedup_before_vector_attach(plans):
     # before the vector joins (the first dedup exchange carries no 'v')
     first_dedup = p.split("Exchange hashpartitioning(id_a", 1)
     assert len(first_dedup) == 2
+
+
+# ---------------------------------------------------- round-4 reworks
+def test_semantic_dedup_pair_kernel_is_grouped_arrow(plans):
+    """Within-block pair cosine runs as ONE grouped Arrow kernel per
+    (cid, sub) block — not a self-join evaluating interpreted
+    higher-order-function lambdas per pair — and never a cartesian."""
+    p = plans["semantic_dedup_blocks"]
+    assert "FlatMapGroupsInPandas" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_user_jaccard_dense_regime_is_tiled_gemm(plans):
+    """With the fixtures' small element universe the dense regime must be
+    chosen: blocked incidence tiles via a grouped Arrow kernel (plus the
+    final top-k), no co-occurrence self-join row explosion, no
+    cartesian."""
+    p = plans["user_jaccard_pairs"]
+    assert "FlatMapGroupsInPandas" in p
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
