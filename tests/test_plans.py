@@ -283,12 +283,22 @@ def test_cohort_single_fact_shuffle(plans):
     assert "Window" in p
 
 
-def test_basket_pairs_keyed_join_no_cartesian(plans):
+def test_basket_pairs_keyed_join_no_cartesian(plans, spark, sf_dir):
     """Pair generation must be an equi-join on l_orderkey (quadratic only
-    in basket size), never a cartesian or nested-loop product."""
+    in basket size), never a cartesian or nested-loop product — and it
+    must NOT re-shuffle: the collect_set basket fold is the only
+    l_orderkey exchange, its exploded output is still hash-partitioned
+    on l_orderkey, so the self-join plans sort-only (no Exchange between
+    the basket aggregate and the join) and AQE's stage cache executes
+    the fold ONCE for all three consumers — pinned on the
+    post-execution adaptive plan via ReusedExchange."""
     p = plans["basket_pairs"]
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+    df = QUERIES["basket_pairs"](spark, sf_dir)
+    df.collect()
+    executed = plan_of(df)
+    assert "ReusedExchange" in executed or "ReusedQueryStage" in executed
 
 
 # ---------------------------------------------------- round-2 surface
