@@ -163,9 +163,13 @@ def test_topn_per_group_single_window_shuffle(plans):
 
 
 def test_knn_join_broadcasts_queries(plans):
+    """The query batch is driver-held and the candidate scan scores all
+    queries in one vectorized Arrow pass — no join of any kind, and the
+    only exchange is the per-qid ranking window."""
     p = plans["knn_join"]
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+    assert "MapInPandas" in p
+    assert "Window" in p
 
 
 def test_q21_semi_and_anti_share_order_key(plans):
