@@ -16,6 +16,7 @@ from delta_unity_duckdb_spark.workload import (  # noqa: F401
     llm,
     media,
     relational,
+    retrieval,
     scd,
     sketches,
     streamq,

@@ -580,3 +580,92 @@ def curation_verdicts(spark, sf_dir):
         )
     )
     return out.orderBy("doc_id").limit(1000)
+
+
+# ------------------------------------------------- repetition: top-bigram char share
+from delta_unity_duckdb_spark.operators.text import TOKEN_SPLIT_RE as _TSRE
+
+
+@query(
+    "dup_ngram_char_share",
+    oracle=f"""
+    WITH grams AS (
+      SELECT doc_id, n_chars, UNNEST(list_transform(
+               range(1, len(words)),
+               i -> array_to_string(list_slice(words, i, i + 1), ' '))) AS gram
+      FROM (SELECT doc_id, n_chars,
+                   string_split_regex(lower(text), '{_TSRE}') AS words
+            FROM documents)),
+    counts AS (
+      SELECT doc_id, n_chars, gram, COUNT(*) AS cnt
+      FROM grams GROUP BY doc_id, n_chars, gram),
+    mx AS (SELECT doc_id, MAX(cnt) AS max_cnt FROM counts GROUP BY doc_id),
+    top AS (
+      SELECT c.doc_id, c.n_chars, m.max_cnt, MIN(c.gram) AS top_gram
+      FROM counts c JOIN mx m ON c.doc_id = m.doc_id AND c.cnt = m.max_cnt
+      GROUP BY c.doc_id, c.n_chars, m.max_cnt)
+    SELECT doc_id, top_gram, max_cnt,
+           (max_cnt * LENGTH(top_gram) * 1000000) // n_chars AS share_ppm
+    FROM top
+    ORDER BY share_ppm DESC, doc_id LIMIT 200
+    """,
+)
+def dup_ngram_char_share(spark, sf_dir):
+    """Gopher-style repetition signal (Rae et al. 2021, "repetitious
+    text" filters): the fraction of a document's characters covered by
+    occurrences of its single most frequent word bigram, in integer ppm.
+    Complements ``doc_repetition`` (max single-token share) — templated
+    or machine-generated text repeats PHRASES, which a unigram share
+    misses. Filter threshold in the Gopher paper: drop if the top
+    2-gram covers >20% of characters.
+
+    Argmax is the join-back form (max count, tie -> lexicographically
+    SMALLEST gram) rather than ``max_by``/``arg_max``, whose tie choice
+    both engines leave unspecified — the pick must be engine-exact
+    because the gram's LENGTH feeds the score.
+
+    Scale: gram counting, the per-doc max, and the join-back all key on
+    doc_id (gram is a subkey), so the three operators share ONE
+    hash-partition of the corpus; no window, no per-doc sort, no second
+    wide shuffle. Same partition-reuse shape as ``doc_repetition``.
+    """
+    from delta_unity_duckdb_spark.operators.dedup import shingle_rows
+
+    d = load_table(spark, sf_dir, "documents")
+    grams = (
+        shingle_rows(
+            d.withColumnRenamed("doc_id", "_did"), "_did", "text", 2,
+            distinct=False,
+        )
+        .select(F.col("id").alias("doc_id"), F.col("s").alias("gram"))
+        # ONE explicit doc_id exchange: hashpartitioning(doc_id) satisfies
+        # the (doc_id, gram) clustering of the count, the doc_id
+        # clustering of the max, AND the join-back — and because counts
+        # feeds two consumers, the shared exchange subtree (with the
+        # explode below it) plans as ReusedExchange instead of running
+        # the tokenizer twice.
+        .repartition("doc_id")
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    mx = counts.groupBy("doc_id").agg(F.max("cnt").alias("max_cnt"))
+    top = (
+        counts.join(mx, "doc_id")
+        .filter(F.col("cnt") == F.col("max_cnt"))
+        .groupBy("doc_id", "max_cnt")
+        .agg(F.min("gram").alias("top_gram"))
+    )
+    return (
+        top.join(d.select("doc_id", "n_chars"), "doc_id")
+        .select(
+            "doc_id",
+            "top_gram",
+            "max_cnt",
+            F.expr(
+                "(max_cnt * LENGTH(top_gram) * 1000000) div n_chars"
+            ).alias("share_ppm"),
+        )
+        .orderBy(F.desc("share_ppm"), "doc_id")
+        .limit(200)
+    )

@@ -1,0 +1,235 @@
+"""Retrieval + batch-assembly workload: BM25 ranking over the corpus and
+the deterministic training-order shuffle that feeds packed shards.
+
+These extend the reference's text surface (delta-unity-duckdb exposes
+keyword scans over document tables; SURVEY.md §2-E) with the two moves a
+training-data pipeline runs between curation and the data loader:
+score/select documents against a term query (BM25 — Robertson et al.,
+the standard sparse-retrieval baseline) and lay the surviving corpus out
+in a reproducible shuffled order, sharded so no single machine ever
+holds the global permutation.
+
+All arithmetic is engine-exact: BM25's k1/b constants are rationals
+folded into one integer fraction, the idf is a log-free rational
+surrogate, and the shuffle key is the portable md5-derived hash — so
+both queries carry full value-level DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from delta_unity_duckdb_spark.functions.hashing import hash60, hash60_sql
+from delta_unity_duckdb_spark.sources.tables import load_table
+from delta_unity_duckdb_spark.workload.registry import query
+
+# Query terms span the corpus' df spectrum (one rare term, two common)
+# so the idf weighting is actually exercised, not a constant factor.
+_BM25_TERMS = ("dup", "spark", "merge")
+
+# k1 = 1.2, b = 0.75 (the standard BM25 operating point) folded into an
+# exact integer fraction. With sdl = SUM(dl) over the corpus and n = doc
+# count, the per-term saturation tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+# becomes, after clearing denominators (avgdl = sdl/n, k1 = 6/5, b = 3/4):
+#
+#     44*tf*sdl / (20*tf*sdl + 6*sdl + 18*dl*n)
+#
+# — a ratio of int64s, identical in both engines, no float in sight.
+_FRAC_NUM = 44
+_FRAC_D_TF = 20
+_FRAC_D_SDL = 6
+_FRAC_D_DLN = 18
+
+
+def _eq_term(term: str):
+    """One-arg HOF lambda with the term captured by closure — a default
+    arg (``lambda x, t=t``) would make PySpark treat it as the two-arg
+    (element, index) form and bind the INDEX column to ``t``."""
+    return lambda x: x == F.lit(term)
+
+
+def _bm25_oracle() -> str:
+    """Build the DuckDB twin from the same term list and constants."""
+    tf_cols = ",\n           ".join(
+        f"len(list_filter(string_split(lower(text), ' '), x -> x = '{t}'))"
+        f" AS tf_{t}"
+        for t in _BM25_TERMS
+    )
+    df_cols = ", ".join(
+        f"COUNT(CASE WHEN tf_{t} > 0 THEN 1 END) AS df_{t}"
+        for t in _BM25_TERMS
+    )
+    idf = {
+        t: f"((2 * (n - df_{t}) + 1) * 1000000) // (2 * df_{t} + 1)"
+        for t in _BM25_TERMS
+    }
+    frac = {
+        t: (
+            f"(({_FRAC_NUM} * tf_{t} * sdl * 1000000) // "
+            f"({_FRAC_D_TF} * tf_{t} * sdl + {_FRAC_D_SDL} * sdl + "
+            f"{_FRAC_D_DLN} * dl * n))"
+        )
+        for t in _BM25_TERMS
+    }
+    score = " + ".join(
+        f"(({idf[t]}) * {frac[t]}) // 1000000" for t in _BM25_TERMS
+    )
+    return f"""
+    WITH docs AS (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS dl,
+             {tf_cols}
+      FROM documents),
+    stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) AS sdl, {df_cols} FROM docs)
+    SELECT doc_id, dl, CAST({score} AS BIGINT) AS score_micro
+    FROM docs CROSS JOIN stats
+    WHERE {" + ".join(f"tf_{t}" for t in _BM25_TERMS)} > 0
+    ORDER BY score_micro DESC, doc_id LIMIT 100
+    """
+
+
+@query("bm25_topk", oracle=_bm25_oracle())
+def bm25_topk(spark, sf_dir):
+    """BM25 top-k keyword retrieval over the documents table
+    (k1 = 1.2, b = 0.75), all-integer so the ranking is engine-exact.
+
+    Two deliberate departures from textbook BM25, both documented in the
+    module docstring: constants are cleared into one int64 fraction, and
+    idf uses the log-free rational surrogate
+    ``floor((2(N-df)+1)*1e6 / (2df+1))`` — the same (N-df+0.5)/(df+0.5)
+    core as Robertson idf without the ``ln`` whose last-ulp behavior
+    differs across engines (Java ``Math.log`` is not correctly-rounded;
+    a floor/hash boundary 1-ulp apart would flip the oracle). Rankings
+    for single-term queries are identical to Robertson's; multi-term
+    scores weight rare terms more steeply, which is the direction BM25's
+    saturation already pushes.
+
+    Spark plan — the 100 TB shape:
+    - tf per query term is ``size(filter(words, x = t))`` — a narrow map
+      over the token array, NO explode and NO shuffle for term counting;
+      only the |terms| expressions run, not a corpus-wide token pivot.
+    - corpus stats (N, sum dl, per-term df) are ONE global aggregate
+      producing a single row, broadcast back over the scoring scan.
+    - the only data shuffle in the whole query is the final top-k
+      (TakeOrdered), which ships k rows per partition.
+    Two linear passes over the corpus, zero wide shuffles. The words
+    array is materialized in a projection BEFORE the per-term filters so
+    the tokenizer split runs once per document, not once per term
+    (subexpression elimination does not reach into HOF lambdas — the
+    measured 7-13x pitfall documented at operators/dedup.py).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    docs = d.select(F.col("doc_id"), words.alias("_w")).select(
+        "doc_id",
+        F.size("_w").alias("dl"),
+        *[
+            F.size(F.filter("_w", _eq_term(t))).alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("sdl"),
+        *[
+            F.count(F.when(F.col(f"tf_{t}") > 0, 1)).alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    scored = docs.crossJoin(F.broadcast(stats))
+    score = None
+    for t in _BM25_TERMS:
+        idf = f"((2 * (n - df_{t}) + 1) * 1000000) div (2 * df_{t} + 1)"
+        frac = (
+            f"(({_FRAC_NUM} * tf_{t} * sdl * 1000000) div "
+            f"({_FRAC_D_TF} * tf_{t} * sdl + {_FRAC_D_SDL} * sdl + "
+            f"{_FRAC_D_DLN} * dl * n))"
+        )
+        part = F.expr(f"(({idf}) * {frac}) div 1000000")
+        score = part if score is None else score + part
+    hit = sum(F.col(f"tf_{t}") for t in _BM25_TERMS) > 0
+    return (
+        scored.filter(hit)
+        .select("doc_id", "dl", score.alias("score_micro"))
+        .orderBy(F.desc("score_micro"), "doc_id")
+        .limit(100)
+    )
+
+
+_EPOCHS = 2
+_SHARDS = 16
+
+
+@query(
+    "training_order_shuffle",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT e.epoch, d.doc_id,
+             {hash60_sql("CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)")} AS k
+      FROM documents d CROSS JOIN (VALUES (0), (1)) AS e(epoch)),
+    placed AS (
+      SELECT epoch, doc_id, k % {_SHARDS} AS shard_id,
+             ROW_NUMBER() OVER (PARTITION BY epoch, k % {_SHARDS}
+                                ORDER BY k, doc_id) AS position
+      FROM keyed)
+    SELECT epoch, shard_id, position, doc_id
+    FROM placed
+    ORDER BY epoch, shard_id, position LIMIT 400
+    """,
+)
+def training_order_shuffle(spark, sf_dir):
+    """Deterministic epoch-varying training-order shuffle, sharded.
+
+    The data-loader contract for LLM training: every epoch visits the
+    whole corpus exactly once in a pseudo-random order that (a) is
+    reproducible bit-for-bit from (epoch, doc_id) alone — resumable from
+    any step with no stored permutation — and (b) differs across epochs.
+    The order key is the portable 60-bit md5 hash of ``epoch:doc_id``.
+
+    Scale design: a GLOBAL row_number would serialize onto one partition
+    — the classic 100 TB anti-pattern — so the permutation is sharded
+    first (``hash % n_shards``) and positions are assigned WITHIN each
+    (epoch, shard): one hash-partitioned exchange, then each window sorts
+    only its shard's slice, all shards in parallel. Consumers read
+    shard files independently; the global order is (shard round-robin x
+    position), which is exactly how packed shard manifests are consumed
+    (see ``shard_manifest``). Collision ties break on doc_id, so the
+    order is total and engine-exact.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    placed = training_order(d, "doc_id")
+    return placed.orderBy("epoch", "shard_id", "position").limit(400)
+
+
+def training_order(df, id_col: str, epochs: int = _EPOCHS,
+                   shards: int = _SHARDS):
+    """(epoch, shard_id, position, id) for every row of ``df`` — the
+    reusable core of ``training_order_shuffle`` (see its docstring for
+    the scale rationale)."""
+    spark = df.sparkSession
+    ep = spark.range(epochs).select(F.col("id").alias("epoch"))
+    keyed = df.crossJoin(F.broadcast(ep)).select(
+        "epoch",
+        F.col(id_col).alias("doc_id"),
+        hash60(
+            F.concat_ws(
+                ":",
+                F.col("epoch").cast("string"),
+                F.col(id_col).cast("string"),
+            )
+        ).alias("k"),
+    )
+    return keyed.select(
+        "epoch",
+        (F.col("k") % shards).alias("shard_id"),
+        F.row_number()
+        .over(
+            Window.partitionBy("epoch", F.col("k") % shards).orderBy(
+                "k", "doc_id"
+            )
+        )
+        .alias("position"),
+        "doc_id",
+    )
