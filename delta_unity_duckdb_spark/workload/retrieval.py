@@ -80,7 +80,7 @@ def _bm25_oracle() -> str:
       SELECT doc_id,
              len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS dl,
              {tf_cols}
-      FROM documents),
+      FROM documents WHERE text IS NOT NULL),
     stats AS (
       SELECT COUNT(*) AS n, SUM(dl) AS sdl, {df_cols} FROM docs)
     SELECT doc_id, dl, CAST({score} AS BIGINT) AS score_micro
@@ -122,7 +122,13 @@ def bm25_topk(spark, sf_dir):
     """
     d = load_table(spark, sf_dir, "documents")
     words = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
-    docs = d.select(F.col("doc_id"), words.alias("_w")).select(
+    # Null-text contract, explicit on BOTH sides: Spark's size(NULL
+    # array) is -1 (it would silently poison the sdl corpus stat) while
+    # DuckDB propagates NULL — so null-text docs are excluded from the
+    # ranked corpus outright, on both engines.
+    docs = d.filter(F.col("text").isNotNull()).select(
+        F.col("doc_id"), words.alias("_w")
+    ).select(
         "doc_id",
         F.size("_w").alias("dl"),
         *[
