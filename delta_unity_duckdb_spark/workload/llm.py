@@ -2146,3 +2146,254 @@ def pca_projection_scores(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     scores = P.pca_projection_scores(e, spark, "embedding", "vec_id", iters=24)
     return scores.orderBy(F.abs(F.col("score")).desc(), "vec_id").limit(100)
+
+
+# --------------------------------------------- E2/E6+: leakage-safe split
+from delta_unity_duckdb_spark.functions.hashing import hash60  # noqa: E402
+
+
+@query(
+    "leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({D.minhash_pairs_sql(num_perm=32, bands=8)}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs),
+    reach AS (
+      SELECT u AS node, u AS r FROM edges
+      UNION
+      SELECT e.v AS node, rr.r
+      FROM reach rr JOIN edges e ON e.u = rr.node),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    lab AS (
+      SELECT d.doc_id AS id, COALESCE(c.component, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+    sz AS (SELECT cluster, COUNT(*) AS csize FROM lab GROUP BY cluster),
+    routed AS (
+      SELECT l.id, l.cluster, s.csize,
+             CASE WHEN ({hash60_sql("CAST(l.cluster AS VARCHAR)")}) % 10 < 8
+                    THEN 'train'
+                  WHEN ({hash60_sql("CAST(l.cluster AS VARCHAR)")}) % 10 = 8
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM lab l JOIN sz s ON s.cluster = l.cluster)
+    SELECT split, COUNT(*) AS n_docs,
+           COUNT(DISTINCT cluster) AS n_clusters,
+           COUNT(CASE WHEN csize > 1 THEN 1 END) AS n_dup_docs
+    FROM routed GROUP BY split ORDER BY split
+    """,
+)
+def leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split: near-duplicate CLUSTERS route
+    atomically — the split is a hash of the cluster label, so two
+    near-identical documents can never land on opposite sides of the
+    train/test boundary (the contamination mode a doc-level split like
+    ``dataset_split_assign`` cannot rule out). Routing is the portable
+    md5 hash of the cluster id (80/10/10), deterministic on any engine
+    or partitioning; per split: docs, distinct clusters, and docs that
+    belong to multi-member (actual-duplicate) families.
+
+    The no-leakage invariant is structural — split = f(cluster) — and
+    asserted in tests (no cluster id appears under two splits).
+
+    Scale: cluster labels come from the same banded-MinHash + pointer-
+    jumping components as ``near_dup_clusters`` (equi-join candidates,
+    bucket census cap, no all-pairs); sizing + routing add one keyed
+    count over cluster and a stateless row-local hash; the rollup
+    shuffles 3 groups.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    clusters = D.near_dup_clusters(d, "doc_id", "text").select("id", "cluster")
+    sized = clusters.select(
+        "cluster",
+        F.count(F.lit(1)).over(Window.partitionBy("cluster")).alias("csize"),
+    )
+    bucket = hash60(F.col("cluster").cast("string")) % 10
+    routed = sized.select(
+        "cluster",
+        "csize",
+        F.when(bucket < 8, "train")
+        .when(bucket == 8, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return (
+        routed.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("cluster").alias("n_clusters"),
+            F.count(F.when(F.col("csize") > 1, 1)).alias("n_dup_docs"),
+        )
+        .orderBy("split")
+    )
+
+
+# ------------------------------------------- E6+: token-budget mixture fill
+@query(
+    "token_budget_mixture",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '')) AS n_tok,
+             {hash60_sql("'tb:' || CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents WHERE text IS NOT NULL),
+    per_source AS (
+      SELECT source, CAST(SUM(n_tok) AS BIGINT) AS src_tokens
+      FROM toks GROUP BY source),
+    q AS (
+      SELECT source, src_tokens,
+             CAST(FLOOR(SQRT(CAST(src_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS qs
+      FROM per_source),
+    b AS (
+      SELECT source, src_tokens,
+             CAST((qs * 1000000) // CAST(SUM(qs) OVER () AS BIGINT) AS BIGINT) AS w_ppm,
+             CAST((SUM(src_tokens) OVER () * 2) // 5 AS BIGINT) AS b40
+      FROM q),
+    budgets AS (
+      SELECT source, src_tokens, w_ppm,
+             (b40 // 1000000) * w_ppm
+               + ((b40 % 1000000) * w_ppm) // 1000000 AS budget_tokens
+      FROM b),
+    ordered AS (
+      SELECT source, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source
+                              ORDER BY h % 64, h, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS running
+      FROM toks),
+    sel AS (
+      SELECT o.source, COUNT(*) AS n_docs_sel,
+             CAST(SUM(o.n_tok) AS BIGINT) AS tokens_sel
+      FROM ordered o JOIN budgets bu ON bu.source = o.source
+      WHERE o.running <= bu.budget_tokens
+      GROUP BY o.source)
+    SELECT bu.source, bu.src_tokens, bu.budget_tokens,
+           COALESCE(s.n_docs_sel, 0) AS n_docs_sel,
+           COALESCE(s.tokens_sel, 0) AS tokens_sel,
+           CAST((COALESCE(s.tokens_sel, 0) * 1000000)
+                // GREATEST(bu.budget_tokens, 1) AS BIGINT) AS fill_ppm
+    FROM budgets bu LEFT JOIN sel s ON s.source = bu.source
+    ORDER BY bu.source
+    """,
+)
+def token_budget_mixture(spark, sf_dir):
+    """Token-budget mixture fill — the data-selection step between
+    mixture design and shard writing: a 40%-of-corpus token budget is
+    allocated across sources by the sqrt-damped weights of
+    ``source_mixture_weights``, then each source is filled in a
+    deterministic pseudo-random order (portable md5 hash of the doc id)
+    until its budget is exhausted. Small sources may fill completely
+    (fill_ppm < 1e6 with all docs taken) — exactly the "epoch the small
+    domains" behavior mixture training expects.
+
+    Integer exactness at scale: ``budget = floor(b40 * w_ppm / 1e6)`` is
+    computed as ``(b40 div 1e6)*w_ppm + ((b40 mod 1e6)*w_ppm) div 1e6``
+    — algebraically identical, but every intermediate stays under 2^63
+    even at 100 TB corpus sizes where the naive product overflows.
+
+    Scale design: the per-source prefix scan is SHARDED — docs order by
+    ``(h mod 64, h, doc_id)``, so Spark computes 64 parallel in-shard
+    running sums plus a 64-row per-source shard rollup, never one
+    serialized window over a whole (possibly 30%-of-corpus) source; the
+    oracle's single window over the same total order is value-identical
+    by associativity of the prefix sum.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    w = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    toks = d.select(
+        "source",
+        "doc_id",
+        F.size(w).alias("n_tok"),
+        hash60(
+            F.concat(F.lit("tb:"), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    ).withColumn("shard", F.col("h") % 64)
+
+    per_source = (
+        toks.groupBy("source")
+        .agg(F.sum("n_tok").cast("bigint").alias("src_tokens"))
+        .withColumn(
+            "qs",
+            F.expr(
+                "CAST(FLOOR(SQRT(CAST(src_tokens AS DOUBLE)) * 1000000) AS BIGINT)"
+            ),
+        )
+    )
+    everything = Window.partitionBy()
+    budgets = (
+        per_source.select(
+            "source",
+            "src_tokens",
+            F.expr("qs * 1000000").cast("bigint").alias("num"),
+            F.sum("qs").over(everything).alias("den"),
+            (F.sum("src_tokens").over(everything) * 2).alias("tot2"),
+        )
+        .select(
+            "source",
+            "src_tokens",
+            F.expr("num div den").alias("w_ppm"),
+            F.expr("tot2 div 5").alias("b40"),
+        )
+        .select(
+            "source",
+            "src_tokens",
+            F.expr(
+                "(b40 div 1000000) * w_ppm"
+                " + ((b40 % 1000000) * w_ppm) div 1000000"
+            ).alias("budget_tokens"),
+        )
+    )
+
+    # Two-phase sharded prefix sum: shard subtotals -> cumulative tokens
+    # before each shard (64 rows/source), then an in-shard running sum.
+    shard_cum = (
+        toks.groupBy("source", "shard")
+        .agg(F.sum("n_tok").alias("st"))
+        .select(
+            "source",
+            "shard",
+            F.coalesce(
+                F.sum("st").over(
+                    Window.partitionBy("source")
+                    .orderBy("shard")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("cum_before"),
+        )
+    )
+    in_shard = Window.partitionBy("source", "shard").orderBy(
+        "h", "doc_id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ordered = toks.join(shard_cum, ["source", "shard"]).select(
+        "source",
+        "doc_id",
+        "n_tok",
+        (F.col("cum_before") + F.sum("n_tok").over(in_shard)).alias("running"),
+    )
+    sel = (
+        ordered.join(F.broadcast(budgets), "source")
+        .filter(F.col("running") <= F.col("budget_tokens"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_sel"),
+            F.sum("n_tok").cast("bigint").alias("tokens_sel"),
+        )
+    )
+    return (
+        budgets.join(sel, "source", "left")
+        .select(
+            "source",
+            "src_tokens",
+            "budget_tokens",
+            F.coalesce("n_docs_sel", F.lit(0)).alias("n_docs_sel"),
+            F.coalesce("tokens_sel", F.lit(0)).alias("tokens_sel"),
+            F.expr(
+                "(COALESCE(tokens_sel, 0) * 1000000)"
+                " div GREATEST(budget_tokens, 1)"
+            ).alias("fill_ppm"),
+        )
+        .orderBy("source")
+    )

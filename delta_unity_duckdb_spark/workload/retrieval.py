@@ -21,6 +21,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from delta_unity_duckdb_spark.functions.hashing import hash60, hash60_sql
+from delta_unity_duckdb_spark.operators.similarity import cosine_sim
 from delta_unity_duckdb_spark.sources.tables import load_table
 from delta_unity_duckdb_spark.workload.registry import query
 
@@ -49,8 +50,10 @@ def _eq_term(term: str):
     return lambda x: x == F.lit(term)
 
 
-def _bm25_oracle() -> str:
-    """Build the DuckDB twin from the same term list and constants."""
+def _bm25_scored_ctes() -> str:
+    """The shared DuckDB CTE chain ending in ``bm25_scored(doc_id, dl,
+    score_micro)`` — hit docs only. Reused by the ``bm25_topk`` oracle and
+    the hybrid-fusion oracle so both replay the IDENTICAL ranking."""
     tf_cols = ",\n           ".join(
         f"len(list_filter(string_split(lower(text), ' '), x -> x = '{t}'))"
         f" AS tf_{t}"
@@ -75,17 +78,25 @@ def _bm25_oracle() -> str:
     score = " + ".join(
         f"(({idf[t]}) * {frac[t]}) // 1000000" for t in _BM25_TERMS
     )
-    return f"""
-    WITH docs AS (
+    return f"""docs AS (
       SELECT doc_id,
              len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS dl,
              {tf_cols}
       FROM documents WHERE text IS NOT NULL),
     stats AS (
-      SELECT COUNT(*) AS n, SUM(dl) AS sdl, {df_cols} FROM docs)
-    SELECT doc_id, dl, CAST({score} AS BIGINT) AS score_micro
-    FROM docs CROSS JOIN stats
-    WHERE {" + ".join(f"tf_{t}" for t in _BM25_TERMS)} > 0
+      SELECT COUNT(*) AS n, SUM(dl) AS sdl, {df_cols} FROM docs),
+    bm25_scored AS (
+      SELECT doc_id, dl, CAST({score} AS BIGINT) AS score_micro
+      FROM docs CROSS JOIN stats
+      WHERE {" + ".join(f"tf_{t}" for t in _BM25_TERMS)} > 0)"""
+
+
+def _bm25_oracle() -> str:
+    """Build the DuckDB twin from the same term list and constants."""
+    return f"""
+    WITH {_bm25_scored_ctes()}
+    SELECT doc_id, dl, score_micro
+    FROM bm25_scored
     ORDER BY score_micro DESC, doc_id LIMIT 100
     """
 
@@ -120,6 +131,16 @@ def bm25_topk(spark, sf_dir):
     (subexpression elimination does not reach into HOF lambdas — the
     measured 7-13x pitfall documented at operators/dedup.py).
     """
+    return (
+        _bm25_scored_frame(spark, sf_dir)
+        .orderBy(F.desc("score_micro"), "doc_id")
+        .limit(100)
+    )
+
+
+def _bm25_scored_frame(spark, sf_dir):
+    """(doc_id, dl, score_micro) for every hit doc — the Spark twin of the
+    ``bm25_scored`` CTE, shared by ``bm25_topk`` and ``hybrid_rrf_fusion``."""
     d = load_table(spark, sf_dir, "documents")
     words = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
     # Null-text contract, explicit on BOTH sides: Spark's size(NULL
@@ -156,11 +177,122 @@ def bm25_topk(spark, sf_dir):
         part = F.expr(f"(({idf}) * {frac}) div 1000000")
         score = part if score is None else score + part
     hit = sum(F.col(f"tf_{t}") for t in _BM25_TERMS) > 0
-    return (
-        scored.filter(hit)
-        .select("doc_id", "dl", score.alias("score_micro"))
+    return scored.filter(hit).select(
+        "doc_id", "dl", score.alias("score_micro")
+    )
+
+
+# Hybrid-fusion constants: per-arm candidate depth and the standard RRF
+# smoothing constant (Cormack et al. 2009 use k=60).
+_RRF_DEPTH = 50
+_RRF_K = 60
+
+# The dense arm's cosine expression — textually identical to the
+# `similarity_topk` oracle so the two queries rank by the same doubles.
+_COSINE_SQL = """
+      ROUND(list_sum(list_transform(list_zip(e.embedding, q.qvec),
+                                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+            / (SQRT(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+               * SQRT(list_sum(list_transform(q.qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+            4)"""
+
+
+@query(
+    "hybrid_rrf_fusion",
+    oracle=f"""
+    WITH {_bm25_scored_ctes()},
+    sparse AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS bm25_rank
+      FROM bm25_scored ORDER BY score_micro DESC, doc_id LIMIT {_RRF_DEPTH}),
+    q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    dense0 AS (
+      SELECT e.vec_id AS doc_id, {_COSINE_SQL} AS sim
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+    dense AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS cos_rank
+      FROM dense0 ORDER BY sim DESC, doc_id LIMIT {_RRF_DEPTH}),
+    fused AS (
+      SELECT COALESCE(s.doc_id, de.doc_id) AS doc_id,
+             COALESCE(s.bm25_rank, 0) AS bm25_rank,
+             COALESCE(de.cos_rank, 0) AS cos_rank,
+             COALESCE(1000000 // ({_RRF_K} + s.bm25_rank), 0)
+               + COALESCE(1000000 // ({_RRF_K} + de.cos_rank), 0) AS rrf_micro
+      FROM sparse s FULL OUTER JOIN dense de ON s.doc_id = de.doc_id)
+    SELECT doc_id, CAST(bm25_rank AS BIGINT) AS bm25_rank,
+           CAST(cos_rank AS BIGINT) AS cos_rank,
+           CAST(rrf_micro AS BIGINT) AS rrf_micro
+    FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT 20
+    """,
+)
+def hybrid_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval: BM25 (sparse) and embedding-cosine (dense) top-50
+    lists fused by reciprocal-rank fusion — ``sum(1e6 div (60 + rank))``
+    over the arms a doc appears in, the standard integer-exact RRF
+    (k = 60). Docs missing from an arm report rank 0 and contribute
+    nothing, so the output is null-free and the oracle hash is immune to
+    nullable-int64 pandas coercion.
+
+    This is the retrieval shape RAG/eval pipelines actually run: neither
+    arm alone is robust (BM25 misses paraphrase, dense misses rare
+    exact terms); RRF needs only ranks, no score calibration across arms.
+
+    Spark plan — the 100 TB shape: each arm is a corpus scan + a
+    TakeOrderedAndProject shipping 50 rows per partition; the rank
+    row_number then runs on 50 rows (a one-partition window is fine AFTER
+    the top-k cut, never before). The fusion join touches <=100 rows.
+    Ranking is engine-exact on both arms: BM25 scores are int64 and the
+    cosine is the same ROUND(..., 4) double `similarity_topk` already
+    hash-matches.
+    """
+    sparse = (
+        _bm25_scored_frame(spark, sf_dir)
         .orderBy(F.desc("score_micro"), "doc_id")
-        .limit(100)
+        .limit(_RRF_DEPTH)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score_micro"), "doc_id"))
+            .alias("bm25_rank"),
+        )
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    dense = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(cosine_sim(F.col("embedding"), F.col("qvec")), 4).alias("sim"),
+        )
+        .orderBy(F.desc("sim"), "doc_id")
+        .limit(_RRF_DEPTH)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("sim"), "doc_id"))
+            .alias("cos_rank"),
+        )
+    )
+    fused = sparse.join(dense, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("bm25_rank", F.lit(0)).alias("bm25_rank"),
+        F.coalesce("cos_rank", F.lit(0)).alias("cos_rank"),
+    )
+    rrf = F.coalesce(
+        F.expr(f"CASE WHEN bm25_rank > 0 THEN 1000000 div ({_RRF_K} + bm25_rank) END"),
+        F.lit(0),
+    ) + F.coalesce(
+        F.expr(f"CASE WHEN cos_rank > 0 THEN 1000000 div ({_RRF_K} + cos_rank) END"),
+        F.lit(0),
+    )
+    return (
+        fused.select(
+            "doc_id", "bm25_rank", "cos_rank", rrf.alias("rrf_micro")
+        )
+        .orderBy(F.desc("rrf_micro"), "doc_id")
+        .limit(20)
     )
 
 
