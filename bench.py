@@ -73,6 +73,13 @@ HEADLINE = [
     "exact_span_dedup",
     "boilerplate_ngram_flags",
     "pca_top_component",
+    # round-4 additions: retrieval + batch assembly + leakage-safe split
+    "bm25_topk",
+    "training_order_shuffle",
+    "dup_ngram_char_share",
+    "hybrid_rrf_fusion",
+    "leakage_safe_split",
+    "token_budget_mixture",
 ]
 
 

@@ -438,3 +438,39 @@ def test_user_jaccard_dense_regime_is_tiled_gemm(plans):
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
+
+
+# ---------------------------------------------------- round-4 additions
+def test_hybrid_rrf_arms_are_takeordered(plans):
+    """Each fusion arm cuts to top-50 via TakeOrderedAndProject BEFORE any
+    single-partition rank window; the dense arm's query vector arrives by
+    broadcast. No cartesian anywhere."""
+    p = plans["hybrid_rrf_fusion"]
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+def test_token_budget_prefix_scan_is_sharded(plans):
+    """The per-source running sum must window on (source, shard) — 64
+    parallel prefix scans — never a single ordered window over a whole
+    source's documents."""
+    p = plans["token_budget_mixture"]
+    assert "CartesianProduct" not in p
+    # the in-shard running sum: both source and shard in one window spec
+    assert "windowspecdefinition(source" in p
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert any("source" in s and "shard" in s for s in specs)
+    # any window partitioned by source alone must order by shard (the
+    # 64-row-per-source rollup), never by the per-doc hash
+    for s in specs:
+        if "source" in s and "shard" not in s:
+            assert " h#" not in s
+
+
+def test_leakage_split_no_cartesian_or_allpairs(plans):
+    p = plans["leakage_safe_split"]
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
