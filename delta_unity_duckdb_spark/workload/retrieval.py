@@ -157,6 +157,13 @@ def _bm25_scored_frame(spark, sf_dir):
             for t in _BM25_TERMS
         ],
     )
+    # The tf frame feeds TWO consumers (the corpus-stats aggregate and the
+    # scoring scan); without a materialization barrier Spark recomputes
+    # the tokenizer chain for each — measured 44% of query wall at sf1.
+    # Checkpoint the NARROW frame (id + 4 ints — ~40 bytes/doc, the
+    # "term-stats table" a deployment materializes anyway) so the corpus
+    # text is tokenized exactly once per execution.
+    docs = docs.localCheckpoint(eager=False)
     stats = docs.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("dl").alias("sdl"),
