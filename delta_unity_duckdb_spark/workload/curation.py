@@ -687,3 +687,105 @@ def dup_ngram_char_share(spark, sf_dir):
         .orderBy(F.desc("share_ppm"), "doc_id")
         .limit(200)
     )
+
+
+# -------------------------------------------------- markup text extraction
+_SCRIPT_RE = "<script[^>]*>[^<]*</script>"
+_TAG_RE = "<[^>]*>"
+
+
+@query(
+    "markup_text_extract",
+    oracle=f"""
+    WITH raw AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN
+               '<nav><a href="/">home</a></nav><div class="content"><p>'
+                 || text ||
+               '</p></div><script type="text/javascript">var t=1;</script>'
+             ELSE text END AS html,
+             doc_id % 3 = 0 AS had_markup
+      FROM documents
+      ORDER BY doc_id LIMIT 500),
+    ex AS (
+      SELECT doc_id, had_markup, html,
+             trim(regexp_replace(regexp_replace(regexp_replace(html,
+               '{_SCRIPT_RE}', ' ', 'g'),
+               '{_TAG_RE}', ' ', 'g'),
+               ' +', ' ', 'g')) AS extracted
+      FROM raw)
+    SELECT doc_id, had_markup,
+           CAST(length(html) AS BIGINT) AS raw_len,
+           CAST(length(extracted) AS BIGINT) AS extracted_len,
+           CAST((length(extracted) * 1000000)
+                // GREATEST(length(html), 1) AS BIGINT) AS retention_ppm,
+           substr(extracted, 1, 40) AS preview
+    FROM ex ORDER BY doc_id LIMIT 500
+    """,
+)
+def markup_text_extract(spark, sf_dir):
+    """Markup-to-text extraction — the boilerplate-stripping stage between
+    crawl and curation: drop script blocks (content AND code), strip the
+    remaining tags, collapse whitespace; report per-doc retention (the
+    text-density signal crawl pipelines threshold on) plus an extracted
+    preview so the oracle hashes the actual extraction output, not just
+    lengths. The fixture text is markup-free, so a deterministic dirty
+    twin wraps every third doc in nav/div/script scaffolding (same CASE
+    in the oracle) — the regex chain is the operator under test.
+
+    Pure JVM-side regexp — a narrow, shuffle-free map at 100 TB (same
+    class as ``pii_redact``; the scripted-block pattern uses ``[^<]*``
+    rather than a non-greedy dot so it can never scan past a nested
+    tag, and every pattern is shared verbatim with the RE2 oracle).
+    The fixture query returns the 500 lowest doc_ids, so the top-k runs
+    on (doc_id, text) before the three regex projections — doc_id is
+    unique, so deferring the expensive columns past the cut is
+    value-identical (the full-corpus regex shape is covered by
+    ``llm_pipeline_end_to_end``'s redaction stage)."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = (
+        d.select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(
+                        '<nav><a href="/">home</a></nav>'
+                        '<div class="content"><p>'
+                    ),
+                    F.col("text"),
+                    F.lit(
+                        "</p></div>"
+                        '<script type="text/javascript">var t=1;</script>'
+                    ),
+                ),
+            )
+            .otherwise(F.col("text"))
+            .alias("html"),
+            (F.col("doc_id") % 3 == 0).alias("had_markup"),
+        )
+        .orderBy("doc_id")
+        .limit(500)
+    )
+    extracted = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col("html"), _SCRIPT_RE, " "),
+                _TAG_RE,
+                " ",
+            ),
+            " +",
+            " ",
+        )
+    )
+    ex = raw.select("doc_id", "had_markup", "html", extracted.alias("extracted"))
+    return ex.select(
+        "doc_id",
+        "had_markup",
+        F.length("html").cast("bigint").alias("raw_len"),
+        F.length("extracted").cast("bigint").alias("extracted_len"),
+        F.expr(
+            "(length(extracted) * 1000000) div GREATEST(length(html), 1)"
+        ).alias("retention_ppm"),
+        F.substring("extracted", 1, 40).alias("preview"),
+    ).orderBy("doc_id").limit(500)

@@ -189,3 +189,49 @@ class TestTokenBudgetMixture:
         # undershoots b40 by at most ~2 tokens per source, never exceeds
         assert got <= b40
         assert got >= b40 - 2 * len(mix) - b40 * len(mix) // 1000000
+
+
+class TestMarkupExtract:
+    @pytest.fixture(scope="class")
+    def ex(self, spark, sf_dir):
+        return QUERIES["markup_text_extract"](spark, sf_dir).toPandas()
+
+    def test_extraction_recompute(self, spark, sf_dir, ex):
+        """Independent Python recompute of the full regex chain."""
+        import re
+
+        texts = dict(
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .orderBy("doc_id")
+            .limit(500)
+            .toPandas()
+            .itertuples(index=False, name=None)
+        )
+        for _, r in ex.iterrows():
+            t = texts[r["doc_id"]]
+            if r["doc_id"] % 3 == 0:
+                html = (
+                    '<nav><a href="/">home</a></nav><div class="content"><p>'
+                    + t
+                    + '</p></div><script type="text/javascript">var t=1;</script>'
+                )
+            else:
+                html = t
+            got = re.sub(r"<script[^>]*>[^<]*</script>", " ", html)
+            got = re.sub(r"<[^>]*>", " ", got)
+            got = re.sub(r" +", " ", got).strip()
+            assert r["raw_len"] == len(html)
+            assert r["extracted_len"] == len(got)
+            assert r["preview"] == got[:40]
+            assert r["retention_ppm"] == len(got) * 1000000 // max(len(html), 1)
+
+    def test_markup_docs_lose_scaffolding_only(self, ex):
+        """Marked-up docs retain their text (plus the nav word) — the
+        script PAYLOAD must be gone, so retention is well below 1e6 but
+        the extracted text is never empty."""
+        m = ex[ex["had_markup"]]
+        assert (m["retention_ppm"] < 1000000).all()
+        assert (m["extracted_len"] > 0).all()
+        clean = ex[~ex["had_markup"]]
+        assert (clean["retention_ppm"] <= 1000000).all()
