@@ -266,11 +266,19 @@ def block_cosine_pairs(
         import numpy as np
         import pandas as pd
 
-        if len(pdf) > max_block_rows:
+        # Callers shard to EXPECTED size <= max_block_rows (count/nsub);
+        # hash placement fluctuates around that mean, so a literal ">"
+        # check false-alarms on healthy data (first seen at 100x scale:
+        # a 200k-corpus sub-block landed at 1027/1024). Multiplicative
+        # Chernoff puts P(block > 2*mean) below e^(-mean/3) — vanishing
+        # for mean ~1024 — so 2x is the anomaly line: anything past it
+        # means the sharding contract itself is broken, while the pair
+        # sweep's O(N*B) bound degrades by at most that constant 2.
+        if len(pdf) > 2 * max_block_rows:
             raise ValueError(
                 f"block_cosine_pairs: block {key} has {len(pdf)} rows > "
-                f"max_block_rows={max_block_rows} — the caller's block "
-                f"cap is not holding"
+                f"2*max_block_rows={2 * max_block_rows} — the caller's "
+                f"block cap is not holding"
             )
         if len(pdf) < 2:
             return pd.DataFrame(

@@ -74,7 +74,11 @@ def get_spark(
         # the most common pruning dimension at lakehouse scale.
         .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode driver IS the executor: size the heap for iterative
+        # graph/dedup checkpoints at the larger synthetic SFs (an 8g heap
+        # OOMed k-core's edge checkpoint at sf10); override per-run with
+        # SPARK_GRAFT_DRIVER_MEM.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
     if _delta_available():
