@@ -2397,3 +2397,93 @@ def token_budget_mixture(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------- E5+: context-length sweep
+@query(
+    "context_length_sweep",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+                  * (1 + doc_id % 100) AS BIGINT) AS n_tok
+      FROM documents WHERE text IS NOT NULL),
+    ctxs AS (SELECT UNNEST([512, 1024, 2048, 4096]) AS ctx),
+    sweep AS (
+      SELECT c.ctx,
+             COUNT(*) AS n_docs,
+             COUNT(CASE WHEN t.n_tok > c.ctx THEN 1 END) AS docs_truncated,
+             CAST(SUM(t.n_tok) AS BIGINT) AS tokens_total,
+             CAST(SUM(GREATEST(t.n_tok - c.ctx, 0)) AS BIGINT) AS tokens_lost,
+             CAST(SUM(LEAST(t.n_tok, c.ctx)) AS BIGINT) AS tokens_kept
+      FROM toks t CROSS JOIN ctxs c
+      GROUP BY c.ctx)
+    SELECT ctx, n_docs, docs_truncated, tokens_total, tokens_lost,
+           CAST((tokens_lost * 1000000) // GREATEST(tokens_total, 1)
+                AS BIGINT) AS loss_ppm,
+           CAST((tokens_kept + ctx - 1) // ctx AS BIGINT) AS n_sequences
+    FROM sweep ORDER BY ctx
+    """,
+)
+def context_length_sweep(spark, sf_dir):
+    """Context-length decision sweep: for each candidate training context
+    (512..4096), how many documents get truncated, what fraction of the
+    corpus' tokens the truncation discards (ppm), and how many packed
+    sequences the surviving stream fills (concat-then-split packing, so
+    intra-bin padding is zero and sequence count is just
+    ceil(kept/ctx)). This is the table a pipeline reads to pick its
+    context length — the truncation-loss/compute trade made before
+    ``sequence_packing`` lays out the chosen one. The fixture corpus is
+    uniformly short (~54 tokens), which would make every candidate
+    vacuously lossless, so a deterministic per-doc length spread
+    (``n_tok * (1 + doc_id mod 100)``, the dirty-twin pattern of
+    ``pii_redact``/``markup_text_extract``, identical in the oracle)
+    restores the long-tail regime the sweep exists to discriminate.
+
+    Scale: token counting is one narrow corpus pass; the 4-row context
+    table cross-joins by BROADCAST (4x row multiplication collapses
+    map-side into the partial aggregate — the sweep never shuffles more
+    than 4 groups). Same single-pass-multi-threshold shape as
+    ``quality_retention_sweep``."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    toks = d.select(
+        (
+            F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+            * (1 + F.col("doc_id") % 100)
+        )
+        .cast("bigint")
+        .alias("n_tok")
+    )
+    ctxs = spark.createDataFrame(
+        [(512,), (1024,), (2048,), (4096,)], "ctx bigint"
+    )
+    sweep = (
+        toks.crossJoin(F.broadcast(ctxs))
+        .groupBy("ctx")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("n_tok") > F.col("ctx"), 1)).alias(
+                "docs_truncated"
+            ),
+            F.sum("n_tok").cast("bigint").alias("tokens_total"),
+            F.sum(F.greatest(F.col("n_tok") - F.col("ctx"), F.lit(0)))
+            .cast("bigint")
+            .alias("tokens_lost"),
+            F.sum(F.least(F.col("n_tok"), F.col("ctx")))
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+    )
+    return sweep.select(
+        "ctx",
+        "n_docs",
+        "docs_truncated",
+        "tokens_total",
+        "tokens_lost",
+        F.expr(
+            "(tokens_lost * 1000000) div GREATEST(tokens_total, 1)"
+        ).alias("loss_ppm"),
+        F.expr("(tokens_kept + ctx - 1) div ctx").alias("n_sequences"),
+    ).orderBy("ctx")
