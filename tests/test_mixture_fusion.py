@@ -235,3 +235,27 @@ class TestMarkupExtract:
         assert (m["extracted_len"] > 0).all()
         clean = ex[~ex["had_markup"]]
         assert (clean["retention_ppm"] <= 1000000).all()
+
+
+class TestContextLengthSweep:
+    @pytest.fixture(scope="class")
+    def sweep(self, spark, sf_dir):
+        return QUERIES["context_length_sweep"](spark, sf_dir).toPandas()
+
+    def test_monotone_in_ctx(self, sweep):
+        s = sweep.sort_values("ctx")
+        assert s["docs_truncated"].is_monotonic_decreasing
+        assert s["tokens_lost"].is_monotonic_decreasing
+        assert s["n_sequences"].is_monotonic_decreasing
+        # one corpus: total tokens identical across candidates
+        assert s["tokens_total"].nunique() == 1
+        # non-vacuous: the smallest context must actually truncate
+        assert s.iloc[0]["docs_truncated"] > 0
+
+    def test_loss_arithmetic(self, sweep):
+        for _, r in sweep.iterrows():
+            kept = r["tokens_total"] - r["tokens_lost"]
+            assert r["loss_ppm"] == r["tokens_lost"] * 1000000 // max(
+                r["tokens_total"], 1
+            )
+            assert r["n_sequences"] == (kept + r["ctx"] - 1) // r["ctx"]
