@@ -50,10 +50,12 @@ def _eq_term(term: str):
     return lambda x: x == F.lit(term)
 
 
-def _bm25_scored_ctes() -> str:
+def _bm25_scored_ctes(table: str = "documents") -> str:
     """The shared DuckDB CTE chain ending in ``bm25_scored(doc_id, dl,
     score_micro)`` — hit docs only. Reused by the ``bm25_topk`` oracle and
-    the hybrid-fusion oracle so both replay the IDENTICAL ranking."""
+    the hybrid-fusion oracle so both replay the IDENTICAL ranking, and
+    parameterized by table name so the unicode fuzz (test_fuzz_bm25.py)
+    can point it at generated corpora."""
     tf_cols = ",\n           ".join(
         f"len(list_filter(string_split(lower(text), ' '), x -> x = '{t}'))"
         f" AS tf_{t}"
@@ -82,7 +84,7 @@ def _bm25_scored_ctes() -> str:
       SELECT doc_id,
              len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS dl,
              {tf_cols}
-      FROM documents WHERE text IS NOT NULL),
+      FROM {table} WHERE text IS NOT NULL),
     stats AS (
       SELECT COUNT(*) AS n, SUM(dl) AS sdl, {df_cols} FROM docs),
     bm25_scored AS (
@@ -141,7 +143,13 @@ def bm25_topk(spark, sf_dir):
 def _bm25_scored_frame(spark, sf_dir):
     """(doc_id, dl, score_micro) for every hit doc — the Spark twin of the
     ``bm25_scored`` CTE, shared by ``bm25_topk`` and ``hybrid_rrf_fusion``."""
-    d = load_table(spark, sf_dir, "documents")
+    return bm25_scores(load_table(spark, sf_dir, "documents"))
+
+
+def bm25_scores(d):
+    """BM25 scoring of a (doc_id, text, ...) frame — the reusable core
+    of ``_bm25_scored_frame``, frame-parameterized so arbitrary corpora
+    (incl. the unicode fuzz) run through the identical plan."""
     words = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
     # Null-text contract, explicit on BOTH sides: Spark's size(NULL
     # array) is -1 (it would silently poison the sdl corpus stat) while
