@@ -11,11 +11,15 @@ Design for 100 TB of media:
 - Partitioning: assets are salted into ``target_partitions`` by hash of
   the id so a handful of giant videos can't skew an executor.
 
-The actual codecs (PIL/ffmpeg/soundfile) are NOT in this container, so the
+Image/video codecs (PIL/ffmpeg) are NOT in this container, so those
 decode kernels are deterministic fakes behind ``_decode_bytes`` — clearly
 marked; the Spark-side plumbing (schemas, batch iteration, UDF signatures,
 partitioning) is real and tested. Swap ``_decode_bytes`` for a real codec
-and nothing else changes.
+and nothing else changes. The AUDIO arm is no longer a stub: a pure-stdlib
+RIFF/PCM16 WAV codec (``encode_wav_pcm16``/``decode_wav_pcm16``,
+cross-validated against stdlib ``wave`` both directions) feeds a real
+decoded-sample feature pass (``audio_features``), value-verified by the
+``audio_wav_features`` oracle.
 """
 
 from __future__ import annotations
@@ -250,3 +254,186 @@ def ingest_binary_dir(spark, path: str) -> DataFrame:
             F.lit(None).cast("int").alias("sample_rate"),
         ).alias("meta"),
     )
+
+
+# --------------------------------------------------------------------------
+# REAL audio arm: PCM WAV encode/decode in pure stdlib (struct + array).
+# Unlike the image/video stubs above, nothing here is faked — the decoder
+# walks actual RIFF chunks and the features come from the decoded samples.
+# --------------------------------------------------------------------------
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("peak", LongType()),
+        StructField("sum_sq", LongType()),
+        StructField("zcr", LongType()),
+        StructField("rms_milli", LongType()),
+    ]
+)
+
+
+def encode_wav_pcm16(samples: list[int], sample_rate: int) -> bytes:
+    """Minimal RIFF/WAVE writer: 16-bit mono PCM, little-endian."""
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF",
+        36 + len(data),
+        b"WAVE",
+        b"fmt ",
+        16,
+        1,  # PCM
+        1,  # mono
+        sample_rate,
+        sample_rate * 2,
+        2,
+        16,
+        b"data",
+        len(data),
+    )
+    return hdr + data
+
+
+def decode_wav_pcm16(content: bytes) -> tuple[int, int, list[int]]:
+    """Real RIFF chunk walker → (sample_rate, channels, samples).
+
+    Accepts any chunk ordering/extra chunks (the spec allows LIST/fact
+    before data); raises ValueError on non-RIFF payloads, non-PCM
+    encodings, or bit depths other than 16 — loud, not wrong."""
+    import array
+    import struct
+    import sys
+
+    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(content):
+        cid, size = struct.unpack_from("<4sI", content, pos)
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported encoding: format={audio_format} bits={bits}")
+    pcm = array.array("h")
+    pcm.frombytes(data[: (len(data) // 2) * 2])
+    if sys.byteorder == "big":
+        pcm.byteswap()
+    return sample_rate, channels, list(pcm)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Decoded-sample features over audio assets via Arrow-batched
+    mapInPandas — the REAL decode stage the other modalities still stub:
+    peak amplitude, exact int64 energy (sum of squares), zero-crossing
+    count (sign transitions, zero counted as non-negative), and
+    floor-quantized RMS. All integer except ``rms_milli``
+    (``floor(sqrt(sum_sq/n)*1000)`` — one correctly-rounded double op,
+    engine-exact under the FLOOR-quantize rule). Non-audio rows and
+    malformed payloads are dropped with their asset ids recoverable by
+    anti-join — a 100 TB decode pass quarantines, it doesn't abort."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import array
+        import math
+        import struct
+        import sys
+
+        def decode(content: bytes):
+            if (
+                len(content) < 12
+                or content[:4] != b"RIFF"
+                or content[8:12] != b"WAVE"
+            ):
+                raise ValueError("not RIFF/WAVE")
+            pos, fmt, data = 12, None, None
+            while pos + 8 <= len(content):
+                cid, size = struct.unpack_from("<4sI", content, pos)
+                body = content[pos + 8 : pos + 8 + size]
+                if cid == b"fmt ":
+                    fmt = struct.unpack_from("<HHIIHH", body, 0)
+                elif cid == b"data":
+                    data = body
+                pos += 8 + size + (size & 1)
+            if fmt is None or data is None:
+                raise ValueError("missing fmt/data chunk")
+            audio_format, channels, sample_rate, _, _, bits = fmt
+            if audio_format != 1 or bits != 16:
+                raise ValueError("unsupported encoding")
+            pcm = array.array("h")
+            pcm.frombytes(data[: (len(data) // 2) * 2])
+            if sys.byteorder == "big":
+                pcm.byteswap()
+            return sample_rate, list(pcm)
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "asset_id", "sample_rate", "n_samples", "duration_ms",
+                "peak", "sum_sq", "zcr", "rms_milli",
+            )}
+            aud = pdf[pdf["modality"] == "audio"]
+            for asset_id, content in zip(aud["asset_id"], aud["content"]):
+                try:
+                    sr, s = decode(bytes(content))
+                except ValueError:
+                    continue  # quarantine: recoverable by anti-join
+                n = len(s)
+                if n == 0:
+                    continue
+                sum_sq = sum(x * x for x in s)
+                zcr = sum(
+                    1
+                    for a, b in zip(s, s[1:])
+                    if (a >= 0) != (b >= 0)
+                )
+                rows["asset_id"].append(asset_id)
+                rows["sample_rate"].append(sr)
+                rows["n_samples"].append(n)
+                rows["duration_ms"].append(n * 1000 // sr)
+                rows["peak"].append(max(abs(x) for x in s))
+                rows["sum_sq"].append(sum_sq)
+                rows["zcr"].append(zcr)
+                rows["rms_milli"].append(
+                    math.floor(math.sqrt(sum_sq / n) * 1000)
+                )
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def make_wav_media(spark, n: int = 24) -> DataFrame:
+    """Deterministic REAL-WAV audio fixture: asset i carries an actual
+    RIFF/PCM16 payload of the integer sawtooth
+    ``s(t) = ((t * (13 + i%7)) mod 2048) - 1024`` over
+    ``4000 + 250*(i%8)`` samples at 8 kHz — a closed-form waveform both
+    a SQL oracle and a Python referee can regenerate without touching
+    the bytes."""
+    rows: list[tuple[Any, ...]] = []
+    for i in range(n):
+        n_samples = 4000 + 250 * (i % 8)
+        step = 13 + (i % 7)
+        samples = [((t * step) % 2048) - 1024 for t in range(n_samples)]
+        content = encode_wav_pcm16(samples, 8000)
+        meta = {
+            "mime": "audio/wav",
+            "width": None,
+            "height": None,
+            "duration_ms": n_samples * 1000 // 8000,
+            "sample_rate": 8000,
+        }
+        rows.append((f"w{i:04d}", "audio", bytearray(content), meta))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

@@ -1,6 +1,8 @@
-"""Multimodal workload entries (rows-only: media fixtures are generated
-in-memory; the decode kernels are deterministic stubs — see
-operators/multimodal.py)."""
+"""Multimodal workload entries. Media fixtures are generated in-memory;
+the image/video decode kernels are deterministic stubs, while the AUDIO
+arm is a real RIFF/PCM16 decoder (see operators/multimodal.py) — its
+`audio_wav_features` oracle regenerates the closed-form waveform in SQL
+and value-checks the decoded features."""
 
 from __future__ import annotations
 
@@ -100,3 +102,57 @@ def multimodal_frame_stats(spark, sf_dir):
         .groupBy("asset_id")
         .agg(F.count(F.lit(1)).alias("n_frames"))
     )
+
+
+@query(
+    "audio_wav_features",
+    oracle="""
+    WITH params AS (
+      SELECT i, 4000 + 250 * (i % 8) AS n, 13 + (i % 7) AS step
+      FROM (SELECT UNNEST(RANGE(0, 24)) AS i)),
+    samples AS (
+      SELECT p.i, t.t, ((t.t * p.step) % 2048) - 1024 AS s
+      FROM params p, LATERAL (SELECT UNNEST(RANGE(0, p.n)) AS t) t),
+    lagged AS (
+      SELECT i, t, s, LAG(s) OVER (PARTITION BY i ORDER BY t) AS prev
+      FROM samples),
+    feat AS (
+      SELECT i,
+             COUNT(*) AS n_samples,
+             MAX(ABS(s)) AS peak,
+             SUM(CAST(s AS BIGINT) * s) AS sum_sq,
+             SUM(CASE WHEN prev IS NOT NULL
+                       AND ((prev >= 0) <> (s >= 0)) THEN 1 ELSE 0 END) AS zcr
+      FROM lagged GROUP BY i)
+    SELECT 'w' || lpad(CAST(i AS VARCHAR), 4, '0') AS asset_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(n_samples AS BIGINT) AS n_samples,
+           CAST((n_samples * 1000) // 8000 AS BIGINT) AS duration_ms,
+           CAST(peak AS BIGINT) AS peak,
+           CAST(sum_sq AS BIGINT) AS sum_sq,
+           CAST(zcr AS BIGINT) AS zcr,
+           CAST(FLOOR(SQRT(CAST(sum_sq AS DOUBLE) / n_samples) * 1000)
+                AS BIGINT) AS rms_milli
+    FROM feat ORDER BY asset_id
+    """,
+)
+def audio_wav_features(spark, sf_dir):
+    """REAL audio decode — the multimodal arm that is no longer a stub:
+    the fixture carries actual RIFF/PCM16 WAV payloads (encoder
+    cross-validated against stdlib ``wave`` in tests), the mapInPandas
+    kernel walks the RIFF chunks and extracts peak / exact-int64 energy /
+    zero-crossings / floor-quantized RMS from the DECODED samples, and
+    the oracle regenerates the closed-form sawtooth waveform in SQL and
+    computes the same aggregates — so any byte-layout, chunk-walking,
+    endianness, or sample-alignment bug in the decoder value-mismatches.
+
+    Scale: identical shape to ``multimodal_features`` — Arrow-batched
+    decode, one pass per record batch, no driver involvement; malformed
+    payloads quarantine (drop) rather than abort the pass."""
+    from delta_unity_duckdb_spark.operators.multimodal import (
+        audio_features,
+        make_wav_media,
+    )
+
+    media = make_wav_media(spark, 24)
+    return audio_features(media).orderBy("asset_id")
