@@ -15,11 +15,14 @@ Image/video codecs (PIL/ffmpeg) are NOT in this container, so those
 decode kernels are deterministic fakes behind ``_decode_bytes`` — clearly
 marked; the Spark-side plumbing (schemas, batch iteration, UDF signatures,
 partitioning) is real and tested. Swap ``_decode_bytes`` for a real codec
-and nothing else changes. The AUDIO arm is no longer a stub: a pure-stdlib
+and nothing else changes. TWO arms are no longer stubs: a pure-stdlib
 RIFF/PCM16 WAV codec (``encode_wav_pcm16``/``decode_wav_pcm16``,
 cross-validated against stdlib ``wave`` both directions) feeds a real
-decoded-sample feature pass (``audio_features``), value-verified by the
-``audio_wav_features`` oracle.
+decoded-sample feature pass (``audio_features``, oracle
+``audio_wav_features``), and a pure-stdlib PNG codec (zlib inflate, all
+five scanline filters, per-chunk CRC) feeds ``image_features`` (oracle
+``image_png_features``). Only video / JPEG remain gated on absent
+ffmpeg/libjpeg.
 """
 
 from __future__ import annotations
@@ -436,4 +439,306 @@ def make_wav_media(spark, n: int = 24) -> DataFrame:
             "sample_rate": 8000,
         }
         rows.append((f"w{i:04d}", "audio", bytearray(content), meta))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# REAL image arm: PNG encode/decode in pure stdlib (zlib + struct).
+# Supports 8-bit grayscale / RGB / RGBA, no interlace — the PNG subset a
+# training-data pipeline normalizes everything into. All five scanline
+# filters are implemented; the fixture encoder deliberately rotates
+# through them so a wrong unfilter can never pass the oracle.
+# --------------------------------------------------------------------------
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("asset_id", StringType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("channels", LongType()),
+        StructField("pix_sum", LongType()),
+        StructField("pix_min", LongType()),
+        StructField("pix_max", LongType()),
+        StructField("mean_milli", LongType()),
+    ]
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_CT_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(pixels: list[list[list[int]]], filter_mode: str = "rotate") -> bytes:
+    """Minimal PNG writer for 8-bit images: ``pixels[y][x] = [c, ...]``
+    with 1 (gray), 3 (RGB) or 4 (RGBA) channels. ``filter_mode``
+    'rotate' cycles scanline filters 0..4 per row (exercises every
+    unfilter path in the decoder); 'none' writes filter 0 only."""
+    import struct
+    import zlib
+
+    h = len(pixels)
+    w = len(pixels[0])
+    ch = len(pixels[0][0])
+    color_type = {1: 0, 3: 2, 4: 6}[ch]
+    raw = bytearray()
+    prev = bytes(w * ch)
+    for y in range(h):
+        row = bytes(v for px in pixels[y] for v in px)
+        ft = (y % 5) if filter_mode == "rotate" else 0
+        raw.append(ft)
+        if ft == 0:
+            raw += row
+        elif ft == 1:  # sub
+            raw += bytes(
+                (row[i] - (row[i - ch] if i >= ch else 0)) & 0xFF
+                for i in range(len(row))
+            )
+        elif ft == 2:  # up
+            raw += bytes((row[i] - prev[i]) & 0xFF for i in range(len(row)))
+        elif ft == 3:  # average
+            raw += bytes(
+                (row[i] - (((row[i - ch] if i >= ch else 0) + prev[i]) >> 1))
+                & 0xFF
+                for i in range(len(row))
+            )
+        else:  # paeth
+            raw += bytes(
+                (
+                    row[i]
+                    - _paeth(
+                        row[i - ch] if i >= ch else 0,
+                        prev[i],
+                        prev[i - ch] if i >= ch else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(len(row))
+            )
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(content: bytes) -> tuple[int, int, int, bytes]:
+    """Real PNG decoder → (width, height, channels, pixel bytes in
+    row-major [y][x][c] order). Walks chunks with CRC validation,
+    inflates IDAT, and undoes all five scanline filters. Raises
+    ValueError loudly on bad signature/CRC or unsupported shapes
+    (interlace, 16-bit, palette)."""
+    import struct
+    import zlib
+
+    if content[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(content):
+        length, ctype = struct.unpack_from(">I4s", content, pos)
+        data = content[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", content, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or color_type not in _CT_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG shape: depth={depth} color={color_type} "
+            f"interlace={interlace}"
+        )
+    ch = _CT_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("IDAT length does not match dimensions")
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ft == 1:
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ft == 2:
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                c = prev[i - ch] if i >= ch else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown filter type {ft}")
+        out += line
+        prev = bytes(line)
+    return w, h, ch, bytes(out)
+
+
+def image_features(media: DataFrame) -> DataFrame:
+    """Decoded-pixel features over image assets via Arrow-batched
+    mapInPandas — the real decode stage for the PNG subset: dimensions,
+    channel count, exact pixel sum / min / max, and floor-quantized mean.
+    Malformed payloads quarantine (drop), mirroring ``audio_features``."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+        import zlib
+
+        SIG = b"\x89PNG\r\n\x1a\n"
+        CH = {0: 1, 2: 3, 6: 4}
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            if pa <= pb and pa <= pc:
+                return a
+            if pb <= pc:
+                return b
+            return c
+
+        def decode(content: bytes):
+            if content[: len(SIG)] != SIG:
+                raise ValueError("not PNG")
+            pos, ihdr, idat = len(SIG), None, bytearray()
+            while pos + 8 <= len(content):
+                length, ctype = struct.unpack_from(">I4s", content, pos)
+                data = content[pos + 8 : pos + 8 + length]
+                (crc,) = struct.unpack_from(">I", content, pos + 8 + length)
+                if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+                    raise ValueError("CRC mismatch")
+                if ctype == b"IHDR":
+                    ihdr = struct.unpack(">IIBBBBB", data)
+                elif ctype == b"IDAT":
+                    idat += data
+                elif ctype == b"IEND":
+                    break
+                pos += 12 + length
+            if ihdr is None or not idat:
+                raise ValueError("missing IHDR/IDAT")
+            w, h, depth, color_type, _, _, interlace = ihdr
+            if depth != 8 or interlace != 0 or color_type not in CH:
+                raise ValueError("unsupported PNG shape")
+            ch = CH[color_type]
+            raw = zlib.decompress(bytes(idat))
+            stride = w * ch
+            if len(raw) != h * (stride + 1):
+                raise ValueError("bad IDAT length")
+            out = bytearray()
+            prev = bytes(stride)
+            for y in range(h):
+                ft = raw[y * (stride + 1)]
+                line = bytearray(
+                    raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+                )
+                if ft == 1:
+                    for i in range(ch, stride):
+                        line[i] = (line[i] + line[i - ch]) & 0xFF
+                elif ft == 2:
+                    for i in range(stride):
+                        line[i] = (line[i] + prev[i]) & 0xFF
+                elif ft == 3:
+                    for i in range(stride):
+                        a = line[i - ch] if i >= ch else 0
+                        line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+                elif ft == 4:
+                    for i in range(stride):
+                        a = line[i - ch] if i >= ch else 0
+                        c = prev[i - ch] if i >= ch else 0
+                        line[i] = (line[i] + paeth(a, prev[i], c)) & 0xFF
+                elif ft != 0:
+                    raise ValueError("unknown filter")
+                out += line
+                prev = bytes(line)
+            return w, h, ch, bytes(out)
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "asset_id", "width", "height", "channels",
+                "pix_sum", "pix_min", "pix_max", "mean_milli",
+            )}
+            img = pdf[pdf["modality"] == "image"]
+            for asset_id, content in zip(img["asset_id"], img["content"]):
+                try:
+                    w, h, ch, px = decode(bytes(content))
+                except ValueError:
+                    continue
+                total = sum(px)
+                rows["asset_id"].append(asset_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(ch)
+                rows["pix_sum"].append(total)
+                rows["pix_min"].append(min(px))
+                rows["pix_max"].append(max(px))
+                rows["mean_milli"].append(total * 1000 // (w * h * ch))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def make_png_media(spark, n: int = 16) -> DataFrame:
+    """Deterministic REAL-PNG image fixture: asset i is a
+    ``(32 + 8*(i%5)) x (24 + 8*(i%3))`` RGB image with the closed-form
+    pixel ``p(x,y,c) = (7x + 13y + 29c + 31i) mod 256``, encoded with
+    the scanline filter rotating 0..4 per row — so the oracle's SQL
+    regeneration of the same formula catches any unfilter bug."""
+    rows: list[tuple[Any, ...]] = []
+    for i in range(n):
+        w = 32 + 8 * (i % 5)
+        h = 24 + 8 * (i % 3)
+        pixels = [
+            [
+                [(7 * x + 13 * y + 29 * c + 31 * i) % 256 for c in range(3)]
+                for x in range(w)
+            ]
+            for y in range(h)
+        ]
+        content = encode_png(pixels, filter_mode="rotate")
+        meta = {
+            "mime": "image/png",
+            "width": w,
+            "height": h,
+            "duration_ms": None,
+            "sample_rate": None,
+        }
+        rows.append((f"p{i:04d}", "image", bytearray(content), meta))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

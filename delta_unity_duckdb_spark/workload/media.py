@@ -1,8 +1,9 @@
 """Multimodal workload entries. Media fixtures are generated in-memory;
-the image/video decode kernels are deterministic stubs, while the AUDIO
-arm is a real RIFF/PCM16 decoder (see operators/multimodal.py) — its
-`audio_wav_features` oracle regenerates the closed-form waveform in SQL
-and value-checks the decoded features."""
+the video/JPEG decode kernels are deterministic stubs, while the AUDIO
+(RIFF/PCM16 WAV) and IMAGE (PNG) arms are real pure-stdlib decoders
+(see operators/multimodal.py) — their `audio_wav_features` /
+`image_png_features` oracles regenerate the closed-form waveform/pixel
+functions in SQL and value-check the decoded features."""
 
 from __future__ import annotations
 
@@ -156,3 +157,51 @@ def audio_wav_features(spark, sf_dir):
 
     media = make_wav_media(spark, 24)
     return audio_features(media).orderBy("asset_id")
+
+
+@query(
+    "image_png_features",
+    oracle="""
+    WITH params AS (
+      SELECT i, 32 + 8 * (i % 5) AS w, 24 + 8 * (i % 3) AS h
+      FROM (SELECT UNNEST(RANGE(0, 16)) AS i)),
+    px AS (
+      SELECT p.i, p.w, p.h,
+             (7 * x.x + 13 * y.y + 29 * c.c + 31 * p.i) % 256 AS v
+      FROM params p,
+           LATERAL (SELECT UNNEST(RANGE(0, p.w)) AS x) x,
+           LATERAL (SELECT UNNEST(RANGE(0, p.h)) AS y) y,
+           LATERAL (SELECT UNNEST(RANGE(0, 3)) AS c) c),
+    feat AS (
+      SELECT i, w, h,
+             CAST(SUM(v) AS BIGINT) AS pix_sum,
+             MIN(v) AS pix_min, MAX(v) AS pix_max
+      FROM px GROUP BY i, w, h)
+    SELECT 'p' || lpad(CAST(i AS VARCHAR), 4, '0') AS asset_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           pix_sum,
+           CAST(pix_min AS BIGINT) AS pix_min,
+           CAST(pix_max AS BIGINT) AS pix_max,
+           CAST((pix_sum * 1000) // (w * h * 3) AS BIGINT) AS mean_milli
+    FROM feat ORDER BY asset_id
+    """,
+)
+def image_png_features(spark, sf_dir):
+    """REAL image decode — PNG, pure stdlib (zlib inflate + all five
+    scanline unfilters + per-chunk CRC validation): the fixture carries
+    actual PNG payloads whose encoder rotates the filter type per row,
+    the kernel decodes the pixels, and the oracle regenerates the
+    closed-form pixel function in SQL and aggregates — any unfilter,
+    CRC, stride, or channel-order bug value-mismatches. With this, only
+    video/JPEG codecs remain stubbed (genuinely absent libs).
+
+    Scale: same Arrow-batched one-pass shape as the other media ops;
+    malformed payloads quarantine rather than abort."""
+    from delta_unity_duckdb_spark.operators.multimodal import (
+        image_features,
+        make_png_media,
+    )
+
+    return image_features(make_png_media(spark, 16)).orderBy("asset_id")
