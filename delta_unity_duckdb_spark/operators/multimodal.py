@@ -742,3 +742,49 @@ def make_png_media(spark, n: int = 16) -> DataFrame:
         }
         rows.append((f"p{i:04d}", "image", bytearray(content), meta))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def resize_png_images(media: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL resize for the PNG arm: decode → nearest-neighbor resample
+    (``src = floor(dst * src_dim / dst_dim)``, the standard NN mapping)
+    → re-encode. Binary in, binary out, metadata updated — the contract
+    ``resize_images`` stubs, made real for the decodable subset.
+    Non-PNG/malformed payloads quarantine."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids, contents, metas = [], [], []
+            img = pdf[pdf["modality"] == "image"]
+            for asset_id, content, meta in zip(
+                img["asset_id"], img["content"], img["meta"]
+            ):
+                try:
+                    sw, sh, ch, px = decode_png(bytes(content))
+                except ValueError:
+                    continue
+                pixels = [
+                    [
+                        [
+                            px[
+                                ((y * sh // height) * sw + (x * sw // width))
+                                * ch
+                                + c
+                            ]
+                            for c in range(ch)
+                        ]
+                        for x in range(width)
+                    ]
+                    for y in range(height)
+                ]
+                ids.append(asset_id)
+                contents.append(bytearray(encode_png(pixels, "rotate")))
+                m = dict(meta)
+                m["width"], m["height"] = width, height
+                metas.append(m)
+            yield pd.DataFrame(
+                {"asset_id": ids, "modality": "image", "content": contents,
+                 "meta": metas}
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)

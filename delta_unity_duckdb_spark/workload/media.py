@@ -205,3 +205,54 @@ def image_png_features(spark, sf_dir):
     )
 
     return image_features(make_png_media(spark, 16)).orderBy("asset_id")
+
+
+@query(
+    "image_resize_stats",
+    oracle="""
+    WITH params AS (
+      SELECT i, 32 + 8 * (i % 5) AS sw, 24 + 8 * (i % 3) AS sh
+      FROM (SELECT UNNEST(RANGE(0, 16)) AS i)),
+    px AS (
+      SELECT p.i,
+             (7 * ((x.x * p.sw) // 16) + 13 * ((y.y * p.sh) // 12)
+              + 29 * c.c + 31 * p.i) % 256 AS v
+      FROM params p,
+           LATERAL (SELECT UNNEST(RANGE(0, 16)) AS x) x,
+           LATERAL (SELECT UNNEST(RANGE(0, 12)) AS y) y,
+           LATERAL (SELECT UNNEST(RANGE(0, 3)) AS c) c),
+    feat AS (
+      SELECT i, CAST(SUM(v) AS BIGINT) AS pix_sum,
+             MIN(v) AS pix_min, MAX(v) AS pix_max
+      FROM px GROUP BY i)
+    SELECT 'p' || lpad(CAST(i AS VARCHAR), 4, '0') AS asset_id,
+           CAST(16 AS BIGINT) AS width,
+           CAST(12 AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           pix_sum,
+           CAST(pix_min AS BIGINT) AS pix_min,
+           CAST(pix_max AS BIGINT) AS pix_max,
+           CAST((pix_sum * 1000) // (16 * 12 * 3) AS BIGINT) AS mean_milli
+    FROM feat ORDER BY asset_id
+    """,
+)
+def image_resize_stats(spark, sf_dir):
+    """REAL resize→re-encode→re-decode loop for the PNG arm: the fixture
+    images resize to 16x12 by nearest-neighbor (decode, resample at
+    ``src = floor(dst*src_dim/dst_dim)``, re-encode with rotating
+    filters), then the feature pass decodes the RESIZED payloads. The
+    oracle composes the closed-form pixel function with the same NN
+    index mapping in SQL — the full decode→transform→encode→decode
+    chain must agree value-for-value, or any stage broke.
+
+    Scale: two Arrow-batched passes (resize, features) — in deployment
+    the resized table persists between them; here they chain in one
+    plan."""
+    from delta_unity_duckdb_spark.operators.multimodal import (
+        image_features,
+        make_png_media,
+        resize_png_images,
+    )
+
+    resized = resize_png_images(make_png_media(spark, 16), 16, 12)
+    return image_features(resized).orderBy("asset_id")

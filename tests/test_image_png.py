@@ -120,3 +120,40 @@ class TestImageFeaturesPass:
         )
         ids = [r["asset_id"] for r in image_features(corrupt).collect()]
         assert sorted(ids) == ["p0000", "p0002"]
+
+
+class TestResize:
+    def test_resize_pixels_match_nn_referee(self, spark):
+        from delta_unity_duckdb_spark.operators.multimodal import (
+            resize_png_images,
+        )
+
+        media = make_png_media(spark, 4)
+        out = {
+            r["asset_id"]: bytes(r["content"])
+            for r in resize_png_images(media, 16, 12).collect()
+        }
+        assert len(out) == 4
+        for i in range(4):
+            sw, sh = 32 + 8 * (i % 5), 24 + 8 * (i % 3)
+            w, h, ch, px = decode_png(out[f"p{i:04d}"])
+            assert (w, h, ch) == (16, 12, 3)
+            for y in range(12):
+                for x in range(16):
+                    for c in range(3):
+                        want = (
+                            7 * (x * sw // 16)
+                            + 13 * (y * sh // 12)
+                            + 29 * c
+                            + 31 * i
+                        ) % 256
+                        assert px[(y * 16 + x) * 3 + c] == want
+
+    def test_resized_meta_updated(self, spark):
+        from delta_unity_duckdb_spark.operators.multimodal import (
+            resize_png_images,
+        )
+
+        media = make_png_media(spark, 2)
+        for r in resize_png_images(media, 16, 12).collect():
+            assert (r["meta"]["width"], r["meta"]["height"]) == (16, 12)
