@@ -256,3 +256,58 @@ def image_resize_stats(spark, sf_dir):
 
     resized = resize_png_images(make_png_media(spark, 16), 16, 12)
     return image_features(resized).orderBy("asset_id")
+
+
+@query(
+    "video_frame_features",
+    oracle="""
+    WITH assets AS (
+      SELECT i, 4 + (i % 3) AS n_frames
+      FROM (SELECT UNNEST(RANGE(0, 8)) AS i)),
+    kept AS (
+      -- fps=4 (frame every 250ms), every_ms=500 => every 2nd frame kept
+      SELECT a.i, f.f
+      FROM assets a, LATERAL (SELECT UNNEST(RANGE(0, a.n_frames)) AS f) f
+      WHERE f.f % 2 = 0),
+    px AS (
+      SELECT k.i, k.f,
+             (7 * x.x + 13 * y.y + 29 * c.c + 41 * k.f + 31 * k.i) % 256 AS v
+      FROM kept k,
+           LATERAL (SELECT UNNEST(RANGE(0, 16)) AS x) x,
+           LATERAL (SELECT UNNEST(RANGE(0, 12)) AS y) y,
+           LATERAL (SELECT UNNEST(RANGE(0, 3)) AS c) c),
+    feat AS (
+      SELECT i, f, CAST(SUM(v) AS BIGINT) AS pix_sum FROM px GROUP BY i, f)
+    SELECT 'v' || lpad(CAST(i AS VARCHAR), 4, '0') AS asset_id,
+           CAST(f AS BIGINT) AS frame_index,
+           CAST(16 AS BIGINT) AS width,
+           CAST(12 AS BIGINT) AS height,
+           pix_sum,
+           CAST((pix_sum * 1000) // (16 * 12 * 3) AS BIGINT) AS mean_milli
+    FROM feat ORDER BY asset_id, frame_index
+    """,
+)
+def video_frame_features(spark, sf_dir):
+    """REAL video-frame extraction + per-frame decode: the fixture's
+    motion-PNG containers (the MJPEG pattern with PNG payloads —
+    length-prefixed real frames behind a tiny header) are walked by
+    ``sample_frames_pngv`` (1 row → N frame rows, every-500ms sampling at
+    4 fps = every 2nd frame), and each SAMPLED frame is then actually
+    PNG-decoded by ``frame_features``. The oracle regenerates the
+    closed-form per-frame pixel function for the kept frames — container
+    walking, sampling cadence, and frame decode must all agree. Standard
+    containers (mp4/mkv) still require ffmpeg and remain stubbed in
+    ``sample_frames``; the extraction/decode dataflow itself is no
+    longer a stub.
+
+    Scale: two Arrow-batched passes; the frame explosion multiplies rows
+    BEFORE the per-frame decode, so frame work parallelizes across the
+    cluster rather than serializing inside one asset's task."""
+    from delta_unity_duckdb_spark.operators.multimodal import (
+        frame_features,
+        make_pngv_media,
+        sample_frames_pngv,
+    )
+
+    frames = sample_frames_pngv(make_pngv_media(spark, 8), every_ms=500)
+    return frame_features(frames).orderBy("asset_id", "frame_index")
