@@ -1036,3 +1036,146 @@ def frame_features(frames: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return frames.mapInPandas(run, schema=FRAME_FEATURES_SCHEMA)
+
+
+def make_png_media_mixed_encodings(spark, n: int = 16) -> DataFrame:
+    """PNG fixture for content-defined dedup: assets j and j+n/2 carry
+    the SAME pixels (function keyed by ``j mod n/2``) but DIFFERENT byte
+    encodings (rotating filters vs filter-0 only) — byte-level hashing
+    sees 2 distinct payloads, pixel-level dedup must see 1 image."""
+    rows: list[tuple[Any, ...]] = []
+    half = n // 2
+    for j in range(n):
+        k = j % half
+        w = 24 + 8 * (k % 3)
+        h = 16 + 8 * (k % 2)
+        pixels = [
+            [
+                [(11 * x + 17 * y + 23 * c + 37 * k) % 256 for c in range(3)]
+                for x in range(w)
+            ]
+            for y in range(h)
+        ]
+        content = encode_png(
+            pixels, filter_mode="rotate" if j < half else "none"
+        )
+        meta = {
+            "mime": "image/png",
+            "width": w,
+            "height": h,
+            "duration_ms": None,
+            "sample_rate": None,
+        }
+        rows.append((f"d{j:04d}", "image", bytearray(content), meta))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def image_pixel_dedup(media: DataFrame) -> DataFrame:
+    """Content-defined image dedup: decode every PNG and key on the md5
+    of the DECODED pixel buffer (prefixed with dims/channels so equal
+    buffers of different geometry never collide) — the dedup byte-level
+    hashing cannot do, since the same image re-encoded (different
+    filters, different compressor level) changes every payload byte.
+    Emits one row per distinct IMAGE: survivor asset, member count, and
+    how many distinct BYTE payloads the group spanned (>1 = byte dedup
+    would have missed it)."""
+    import pandas as pd
+
+    from pyspark.sql import functions as SF
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib as hl
+        import struct
+        import zlib
+
+        SIG = b"\x89PNG\r\n\x1a\n"
+        CH = {0: 1, 2: 3, 6: 4}
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            if pa <= pb and pa <= pc:
+                return a
+            if pb <= pc:
+                return b
+            return c
+
+        def decode(content: bytes):
+            if content[: len(SIG)] != SIG:
+                raise ValueError("not PNG")
+            pos, ihdr, idat = len(SIG), None, bytearray()
+            while pos + 8 <= len(content):
+                length, ctype = struct.unpack_from(">I4s", content, pos)
+                data = content[pos + 8 : pos + 8 + length]
+                (crc,) = struct.unpack_from(">I", content, pos + 8 + length)
+                if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+                    raise ValueError("CRC mismatch")
+                if ctype == b"IHDR":
+                    ihdr = struct.unpack(">IIBBBBB", data)
+                elif ctype == b"IDAT":
+                    idat += data
+                elif ctype == b"IEND":
+                    break
+                pos += 12 + length
+            if ihdr is None or not idat:
+                raise ValueError("missing IHDR/IDAT")
+            w, h, depth, color_type, _, _, interlace = ihdr
+            if depth != 8 or interlace != 0 or color_type not in CH:
+                raise ValueError("unsupported PNG shape")
+            ch = CH[color_type]
+            raw = zlib.decompress(bytes(idat))
+            stride = w * ch
+            if len(raw) != h * (stride + 1):
+                raise ValueError("bad IDAT length")
+            out = bytearray()
+            prev = bytes(stride)
+            for y in range(h):
+                ft = raw[y * (stride + 1)]
+                line = bytearray(
+                    raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+                )
+                if ft == 1:
+                    for i in range(ch, stride):
+                        line[i] = (line[i] + line[i - ch]) & 0xFF
+                elif ft == 2:
+                    for i in range(stride):
+                        line[i] = (line[i] + prev[i]) & 0xFF
+                elif ft == 3:
+                    for i in range(stride):
+                        a = line[i - ch] if i >= ch else 0
+                        line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+                elif ft == 4:
+                    for i in range(stride):
+                        a = line[i - ch] if i >= ch else 0
+                        c = prev[i - ch] if i >= ch else 0
+                        line[i] = (line[i] + paeth(a, prev[i], c)) & 0xFF
+                elif ft != 0:
+                    raise ValueError("unknown filter")
+                out += line
+                prev = bytes(line)
+            return w, h, ch, bytes(out)
+
+        for pdf in batches:
+            rows = {k: [] for k in ("asset_id", "pixel_key", "byte_key")}
+            img = pdf[pdf["modality"] == "image"]
+            for asset_id, content in zip(img["asset_id"], img["content"]):
+                raw = bytes(content)
+                try:
+                    w, h, ch, px = decode(raw)
+                except ValueError:
+                    continue
+                rows["asset_id"].append(asset_id)
+                rows["pixel_key"].append(
+                    hl.md5(struct.pack("<III", w, h, ch) + px).hexdigest()
+                )
+                rows["byte_key"].append(hl.md5(raw).hexdigest())
+            yield pd.DataFrame(rows)
+
+    keyed = media.mapInPandas(
+        run, schema="asset_id string, pixel_key string, byte_key string"
+    )
+    return keyed.groupBy("pixel_key").agg(
+        SF.min("asset_id").alias("survivor"),
+        SF.count(SF.lit(1)).cast("bigint").alias("n_assets"),
+        SF.countDistinct("byte_key").cast("bigint").alias("n_byte_variants"),
+    )

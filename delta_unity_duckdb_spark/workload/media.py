@@ -311,3 +311,45 @@ def video_frame_features(spark, sf_dir):
 
     frames = sample_frames_pngv(make_pngv_media(spark, 8), every_ms=500)
     return frame_features(frames).orderBy("asset_id", "frame_index")
+
+
+@query(
+    "image_pixel_dedup",
+    oracle="""
+    WITH assets AS (
+      SELECT j, j % 8 AS k FROM (SELECT UNNEST(RANGE(0, 16)) AS j)),
+    groups AS (
+      SELECT k,
+             MIN('d' || lpad(CAST(j AS VARCHAR), 4, '0')) AS survivor,
+             COUNT(*) AS n_assets,
+             -- one rotate-filtered + one filter-0 payload per group
+             CAST(2 AS BIGINT) AS n_byte_variants
+      FROM assets GROUP BY k)
+    SELECT survivor, CAST(n_assets AS BIGINT) AS n_assets, n_byte_variants
+    FROM groups ORDER BY survivor
+    """,
+)
+def image_pixel_dedup(spark, sf_dir):
+    """Content-defined image dedup — the dedup a byte hash CANNOT do:
+    the fixture holds 8 distinct images, each stored TWICE under
+    different PNG encodings (rotating scanline filters vs filter-0), so
+    every byte-level key sees 16 distinct payloads while the decoded
+    pixel key must find exactly 8 groups of 2 with 2 byte-variants
+    each. Discovering that grouping requires correctly decoding BOTH
+    encodings of every image — a wrong unfilter splits a group and the
+    oracle (closed-form fixture-parameter replay) mismatches.
+
+    Scale: decode is the Arrow-batched map; the dedup itself is one
+    keyed shuffle on the 28-byte pixel digest — exactly the
+    `dedup_exact` shape with a decoded-content key. The byte-variant
+    count is the monitoring signal ("how much re-encoded duplication
+    does byte dedup miss")."""
+    from delta_unity_duckdb_spark.operators.multimodal import (
+        image_pixel_dedup as _dedup,
+        make_png_media_mixed_encodings,
+    )
+
+    media = make_png_media_mixed_encodings(spark, 16)
+    return _dedup(media).select(
+        "survivor", "n_assets", "n_byte_variants"
+    ).orderBy("survivor")

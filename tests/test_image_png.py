@@ -157,3 +157,24 @@ class TestResize:
         media = make_png_media(spark, 2)
         for r in resize_png_images(media, 16, 12).collect():
             assert (r["meta"]["width"], r["meta"]["height"]) == (16, 12)
+
+
+class TestPixelDedup:
+    def test_groups_require_decoding_both_encodings(self, spark):
+        from delta_unity_duckdb_spark.operators.multimodal import (
+            image_pixel_dedup,
+            make_png_media_mixed_encodings,
+        )
+
+        media = make_png_media_mixed_encodings(spark, 16)
+        # byte payloads are all distinct...
+        payloads = {bytes(r["content"]) for r in media.collect()}
+        assert len(payloads) == 16
+        # ...but pixel dedup must find 8 groups of 2, each spanning
+        # 2 byte variants, with the rotate-encoded copy as survivor
+        rows = image_pixel_dedup(media).collect()
+        assert len(rows) == 8
+        for r in rows:
+            assert r["n_assets"] == 2
+            assert r["n_byte_variants"] == 2
+            assert int(r["survivor"][1:]) < 8
