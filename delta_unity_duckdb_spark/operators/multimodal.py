@@ -1179,3 +1179,158 @@ def image_pixel_dedup(media: DataFrame) -> DataFrame:
         SF.count(SF.lit(1)).cast("bigint").alias("n_assets"),
         SF.countDistinct("byte_key").cast("bigint").alias("n_byte_variants"),
     )
+
+
+def make_png_media_perceptual(spark, n: int = 16) -> DataFrame:
+    """PNG fixture for PERCEPTUAL near-dup: 8 coarse 9x8 block patterns
+    (``C(gx,gy,k) = (31gx + 47gy + 61k) mod 224 + 16``), each rendered
+    twice (j and j+8) as a 36x32 image whose pixels are the upscaled
+    blocks PLUS variant-specific high-frequency noise that is ZERO at
+    every dHash sampling point (x,y multiples of 4) — so the two
+    variants are pixel-DIFFERENT (content dedup keeps both) but
+    dHash-identical (perceptual dedup pairs them)."""
+    rows: list[tuple[Any, ...]] = []
+    half = n // 2
+    for j in range(n):
+        k = j % half if half <= 8 else j % 8
+        variant = 1 if j < half else 2
+        pixels = []
+        for y in range(32):
+            row = []
+            for x in range(36):
+                base = (31 * (x // 4) + 47 * (y // 4) + 61 * (j % 8)) % 224 + 16
+                noise = 0 if (x % 4 == 0 and y % 4 == 0) else (5 * x + 3 * y) % 7
+                v = base + variant * noise
+                row.append([v, v, v])
+            pixels.append(row)
+        content = encode_png(pixels, "rotate" if j < half else "none")
+        meta = {
+            "mime": "image/png",
+            "width": 36,
+            "height": 32,
+            "duration_ms": None,
+            "sample_rate": None,
+        }
+        rows.append((f"h{j:04d}", "image", bytearray(content), meta))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def image_dhash_groups(media: DataFrame) -> DataFrame:
+    """Perceptual (difference-hash) image near-dup: decode, grayscale
+    (``(r+g+b) div 3``), nearest-neighbor-sample a 9x8 grid, emit the
+    64-bit signature ``g(x+1,y) > g(x,y)`` as a 64-char bit string, and
+    group on it — re-encodes, light noise, and small pixel edits that
+    survive the coarse grid land in the same bucket, the image analogue
+    of SimHash bucketing for text. Grouping on the exact signature is
+    the blocking step; at scale, band the 64 bits (4x16) for
+    Hamming-tolerant candidate joins exactly like dedup.py's LSH
+    banding."""
+    import pandas as pd
+
+    from pyspark.sql import functions as SF
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+        import zlib
+
+        SIG = b"\x89PNG\r\n\x1a\n"
+        CH = {0: 1, 2: 3, 6: 4}
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            if pa <= pb and pa <= pc:
+                return a
+            if pb <= pc:
+                return b
+            return c
+
+        def decode(content: bytes):
+            if content[: len(SIG)] != SIG:
+                raise ValueError("not PNG")
+            pos, ihdr, idat = len(SIG), None, bytearray()
+            while pos + 8 <= len(content):
+                length, ctype = struct.unpack_from(">I4s", content, pos)
+                data = content[pos + 8 : pos + 8 + length]
+                (crc,) = struct.unpack_from(">I", content, pos + 8 + length)
+                if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+                    raise ValueError("CRC mismatch")
+                if ctype == b"IHDR":
+                    ihdr = struct.unpack(">IIBBBBB", data)
+                elif ctype == b"IDAT":
+                    idat += data
+                elif ctype == b"IEND":
+                    break
+                pos += 12 + length
+            if ihdr is None or not idat:
+                raise ValueError("missing IHDR/IDAT")
+            w, h, depth, color_type, _, _, interlace = ihdr
+            if depth != 8 or interlace != 0 or color_type not in CH:
+                raise ValueError("unsupported PNG shape")
+            ch = CH[color_type]
+            raw = zlib.decompress(bytes(idat))
+            stride = w * ch
+            if len(raw) != h * (stride + 1):
+                raise ValueError("bad IDAT length")
+            out = bytearray()
+            prev = bytes(stride)
+            for y in range(h):
+                ft = raw[y * (stride + 1)]
+                line = bytearray(
+                    raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+                )
+                if ft == 1:
+                    for i in range(ch, stride):
+                        line[i] = (line[i] + line[i - ch]) & 0xFF
+                elif ft == 2:
+                    for i in range(stride):
+                        line[i] = (line[i] + prev[i]) & 0xFF
+                elif ft == 3:
+                    for i in range(stride):
+                        a = line[i - ch] if i >= ch else 0
+                        line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+                elif ft == 4:
+                    for i in range(stride):
+                        a = line[i - ch] if i >= ch else 0
+                        c = prev[i - ch] if i >= ch else 0
+                        line[i] = (line[i] + paeth(a, prev[i], c)) & 0xFF
+                elif ft != 0:
+                    raise ValueError("unknown filter")
+                out += line
+                prev = bytes(line)
+            return w, h, ch, bytes(out)
+
+        def gray_at(px, w, ch, x, y):
+            o = (y * w + x) * ch
+            if ch == 1:
+                return px[o]
+            return (px[o] + px[o + 1] + px[o + 2]) // 3
+
+        for pdf in batches:
+            rows = {"asset_id": [], "dhash": []}
+            img = pdf[pdf["modality"] == "image"]
+            for asset_id, content in zip(img["asset_id"], img["content"]):
+                try:
+                    w, h, ch, px = decode(bytes(content))
+                except ValueError:
+                    continue
+                if w < 9 or h < 8:
+                    continue
+                g = [
+                    [gray_at(px, w, ch, x * w // 9, y * h // 8) for x in range(9)]
+                    for y in range(8)
+                ]
+                bits = "".join(
+                    "1" if g[y][x + 1] > g[y][x] else "0"
+                    for y in range(8)
+                    for x in range(8)
+                )
+                rows["asset_id"].append(asset_id)
+                rows["dhash"].append(bits)
+            yield pd.DataFrame(rows)
+
+    keyed = media.mapInPandas(run, schema="asset_id string, dhash string")
+    return keyed.groupBy("dhash").agg(
+        SF.min("asset_id").alias("survivor"),
+        SF.count(SF.lit(1)).cast("bigint").alias("n_assets"),
+    )

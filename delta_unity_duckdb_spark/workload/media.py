@@ -353,3 +353,55 @@ def image_pixel_dedup(spark, sf_dir):
     return _dedup(media).select(
         "survivor", "n_assets", "n_byte_variants"
     ).orderBy("survivor")
+
+
+@query(
+    "image_dhash_near_dup",
+    oracle="""
+    WITH assets AS (
+      SELECT j, j % 8 AS k FROM (SELECT UNNEST(RANGE(0, 16)) AS j)),
+    ks AS (SELECT DISTINCT k FROM assets),
+    bits AS (
+      SELECT ks.k, gy.gy, gx.gx,
+             CASE WHEN ((31 * (gx.gx + 1) + 47 * gy.gy + 61 * ks.k) % 224 + 16)
+                     > ((31 * gx.gx + 47 * gy.gy + 61 * ks.k) % 224 + 16)
+                  THEN '1' ELSE '0' END AS b
+      FROM ks,
+           LATERAL (SELECT UNNEST(RANGE(0, 8)) AS gy) gy,
+           LATERAL (SELECT UNNEST(RANGE(0, 8)) AS gx) gx),
+    sigs AS (
+      SELECT k, string_agg(b, '' ORDER BY gy, gx) AS sig
+      FROM bits GROUP BY k),
+    grouped AS (
+      SELECT s.sig AS dhash,
+             MIN('h' || lpad(CAST(a.j AS VARCHAR), 4, '0')) AS survivor,
+             COUNT(*) AS n_assets
+      FROM assets a JOIN sigs s ON s.k = a.k
+      GROUP BY s.sig)
+    SELECT survivor, dhash, CAST(n_assets AS BIGINT) AS n_assets
+    FROM grouped ORDER BY survivor
+    """,
+)
+def image_dhash_near_dup(spark, sf_dir):
+    """Perceptual image near-dup via difference hash — the image
+    analogue of SimHash: decode, grayscale, 9x8 NN grid, 64-bit
+    horizontal-gradient signature, bucket on it. The fixture's 8 coarse
+    patterns each appear twice with DIFFERENT pixels (variant noise off
+    the sampling grid) and different byte encodings — exact/pixel dedup
+    both see 16 distinct items; dHash must find exactly the 8 intended
+    pairs. The oracle regenerates the coarse pattern's signature
+    closed-form, so grayscale arithmetic, NN sampling geometry, bit
+    order, and grouping are all value-checked.
+
+    Scale: narrow Arrow decode map + ONE keyed shuffle on a 64-char
+    key; Hamming-tolerant matching at scale bands the signature (4x16
+    bits) into LSH buckets exactly like the text SimHash path."""
+    from delta_unity_duckdb_spark.operators.multimodal import (
+        image_dhash_groups,
+        make_png_media_perceptual,
+    )
+
+    media = make_png_media_perceptual(spark, 16)
+    return image_dhash_groups(media).select(
+        "survivor", "dhash", "n_assets"
+    ).orderBy("survivor")

@@ -178,3 +178,26 @@ class TestPixelDedup:
             assert r["n_assets"] == 2
             assert r["n_byte_variants"] == 2
             assert int(r["survivor"][1:]) < 8
+
+
+class TestPerceptualDhash:
+    def test_pairs_found_despite_pixel_and_byte_differences(self, spark):
+        from delta_unity_duckdb_spark.operators.multimodal import (
+            decode_png,
+            image_dhash_groups,
+            make_png_media_perceptual,
+        )
+
+        media = make_png_media_perceptual(spark, 16)
+        rows = media.collect()
+        # all byte payloads distinct AND all pixel buffers distinct —
+        # exact and content-defined dedup both keep 16 items
+        assert len({bytes(r["content"]) for r in rows}) == 16
+        assert len({decode_png(bytes(r["content"]))[3] for r in rows}) == 16
+        groups = image_dhash_groups(media).collect()
+        assert len(groups) == 8
+        for g in groups:
+            assert g["n_assets"] == 2
+            assert len(g["dhash"]) == 64
+            assert set(g["dhash"]) <= {"0", "1"}
+            assert int(g["survivor"][1:]) < 8  # lower variant survives
