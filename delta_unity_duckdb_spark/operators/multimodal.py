@@ -1334,3 +1334,90 @@ def image_dhash_groups(media: DataFrame) -> DataFrame:
         SF.min("asset_id").alias("survivor"),
         SF.count(SF.lit(1)).cast("bigint").alias("n_assets"),
     )
+
+
+def make_wav_media_gated(spark, n: int = 8) -> DataFrame:
+    """WAV fixture for energy segmentation: the sawtooth is GATED into
+    alternating 500-sample bursts and silences
+    (``s(t) = saw(t) if (t div 500) even else 0``), so window-energy
+    thresholding yields real speech-like active segments."""
+    rows: list[tuple[Any, ...]] = []
+    for i in range(n):
+        n_samples = 4000 + 500 * (i % 4)
+        step = 13 + (i % 7)
+        samples = [
+            (((t * step) % 2048) - 1024) if (t // 500) % 2 == 0 else 0
+            for t in range(n_samples)
+        ]
+        content = encode_wav_pcm16(samples, 8000)
+        meta = {
+            "mime": "audio/wav",
+            "width": None,
+            "height": None,
+            "duration_ms": n_samples * 1000 // 8000,
+            "sample_rate": 8000,
+        }
+        rows.append((f"g{i:04d}", "audio", bytearray(content), meta))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+
+
+def audio_window_energy(media: DataFrame, window: int = 250) -> DataFrame:
+    """Decode audio assets and emit one row per fixed-size sample window
+    with its exact int64 energy — the frame table VAD/segmentation logic
+    runs on. Flat-map shape (1 asset → n/window rows); trailing partial
+    windows are dropped (standard frame alignment). Malformed payloads
+    quarantine."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import array
+        import struct
+        import sys
+
+        def decode(content: bytes):
+            if (
+                len(content) < 12
+                or content[:4] != b"RIFF"
+                or content[8:12] != b"WAVE"
+            ):
+                raise ValueError("not RIFF/WAVE")
+            pos, fmt, data = 12, None, None
+            while pos + 8 <= len(content):
+                cid, size = struct.unpack_from("<4sI", content, pos)
+                body = content[pos + 8 : pos + 8 + size]
+                if cid == b"fmt ":
+                    fmt = struct.unpack_from("<HHIIHH", body, 0)
+                elif cid == b"data":
+                    data = body
+                pos += 8 + size + (size & 1)
+            if fmt is None or data is None:
+                raise ValueError("missing fmt/data chunk")
+            audio_format, channels, sample_rate, _, _, bits = fmt
+            if audio_format != 1 or bits != 16:
+                raise ValueError("unsupported encoding")
+            pcm = array.array("h")
+            pcm.frombytes(data[: (len(data) // 2) * 2])
+            if sys.byteorder == "big":
+                pcm.byteswap()
+            return sample_rate, list(pcm)
+
+        for pdf in batches:
+            rows = {k: [] for k in ("asset_id", "sample_rate", "win_idx", "energy")}
+            aud = pdf[pdf["modality"] == "audio"]
+            for asset_id, content in zip(aud["asset_id"], aud["content"]):
+                try:
+                    sr, s = decode(bytes(content))
+                except ValueError:
+                    continue
+                for w in range(len(s) // window):
+                    seg = s[w * window : (w + 1) * window]
+                    rows["asset_id"].append(asset_id)
+                    rows["sample_rate"].append(sr)
+                    rows["win_idx"].append(w)
+                    rows["energy"].append(sum(x * x for x in seg))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(
+        run,
+        schema="asset_id string, sample_rate long, win_idx long, energy long",
+    )

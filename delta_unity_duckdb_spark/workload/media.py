@@ -405,3 +405,98 @@ def image_dhash_near_dup(spark, sf_dir):
     return image_dhash_groups(media).select(
         "survivor", "dhash", "n_assets"
     ).orderBy("survivor")
+
+
+@query(
+    "audio_energy_segments",
+    oracle="""
+    WITH assets AS (
+      SELECT i, 4000 + 500 * (i % 4) AS n, 13 + (i % 7) AS step
+      FROM (SELECT UNNEST(RANGE(0, 8)) AS i)),
+    samp AS (
+      SELECT a.i, t.t,
+             CASE WHEN (t.t // 500) % 2 = 0
+                  THEN ((t.t * a.step) % 2048) - 1024 ELSE 0 END AS s
+      FROM assets a, LATERAL (SELECT UNNEST(RANGE(0, a.n)) AS t) t),
+    wins AS (
+      SELECT i, t // 250 AS win_idx, SUM(CAST(s AS BIGINT) * s) AS energy
+      FROM samp GROUP BY i, t // 250),
+    active AS (
+      SELECT i, win_idx,
+             win_idx - ROW_NUMBER() OVER (PARTITION BY i ORDER BY win_idx)
+               AS grp
+      FROM wins WHERE energy > 0),
+    segs AS (
+      SELECT i, grp, COUNT(*) AS n_wins FROM active GROUP BY i, grp),
+    per_asset AS (
+      SELECT i, COUNT(*) AS n_segments,
+             CAST(SUM(n_wins) AS BIGINT) AS active_windows,
+             CAST(MAX(n_wins) AS BIGINT) AS longest_wins
+      FROM segs GROUP BY i)
+    SELECT 'g' || lpad(CAST(i AS VARCHAR), 4, '0') AS asset_id,
+           CAST(n_segments AS BIGINT) AS n_segments,
+           active_windows,
+           CAST((active_windows * 250 * 1000) // 8000 AS BIGINT) AS active_ms,
+           CAST((longest_wins * 250 * 1000) // 8000 AS BIGINT)
+             AS longest_segment_ms
+    FROM per_asset ORDER BY asset_id
+    """,
+)
+def audio_energy_segments(spark, sf_dir):
+    """VAD-style energy segmentation over REAL decoded audio — the
+    silence-trimming pass a speech pipeline runs before ASR: decode the
+    WAV, frame into 250-sample windows with exact int64 energies
+    (``audio_window_energy``), threshold, and collapse consecutive
+    active windows into segments with the islands-and-gaps window trick
+    (``win_idx - row_number``). Per asset: segment count, active
+    windows/milliseconds, longest segment. The fixture gates the
+    sawtooth into 500-sample bursts so the segmentation is non-trivial;
+    the oracle regenerates the gated waveform closed-form and replays
+    the identical windowing + islands logic.
+
+    Scale: the Arrow decode pass emits the window-energy frame (rows =
+    samples/window, a 250x reduction before any shuffle); segmentation
+    is one keyed window + one aggregate — the standard sessionization
+    shape over decoded media."""
+    from pyspark.sql import Window as W
+
+    from delta_unity_duckdb_spark.operators.multimodal import (
+        audio_window_energy,
+        make_wav_media_gated,
+    )
+
+    wins = audio_window_energy(make_wav_media_gated(spark, 8), window=250)
+    active = wins.filter(F.col("energy") > 0).select(
+        "asset_id",
+        "sample_rate",
+        "win_idx",
+        (
+            F.col("win_idx")
+            - F.row_number().over(
+                W.partitionBy("asset_id").orderBy("win_idx")
+            )
+        ).alias("grp"),
+    )
+    segs = active.groupBy("asset_id", "sample_rate", "grp").agg(
+        F.count(F.lit(1)).alias("n_wins")
+    )
+    return (
+        segs.groupBy("asset_id", "sample_rate")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.sum("n_wins").cast("bigint").alias("active_windows"),
+            F.max("n_wins").cast("bigint").alias("longest_wins"),
+        )
+        .select(
+            "asset_id",
+            "n_segments",
+            "active_windows",
+            F.expr("(active_windows * 250 * 1000) div sample_rate")
+            .cast("bigint")
+            .alias("active_ms"),
+            F.expr("(longest_wins * 250 * 1000) div sample_rate")
+            .cast("bigint")
+            .alias("longest_segment_ms"),
+        )
+        .orderBy("asset_id")
+    )

@@ -110,3 +110,43 @@ class TestAudioFeaturesPass:
         )
         ids = [r["asset_id"] for r in audio_features(corrupt).collect()]
         assert sorted(ids) == ["w0000", "w0002", "w0003"]
+
+
+class TestEnergySegments:
+    def test_segments_match_python_referee(self, spark):
+        from delta_unity_duckdb_spark.operators.multimodal import (
+            audio_window_energy,
+            make_wav_media_gated,
+        )
+
+        wins = {
+            (r["asset_id"], r["win_idx"]): r["energy"]
+            for r in audio_window_energy(
+                make_wav_media_gated(spark, 4), window=250
+            ).collect()
+        }
+        for i in range(4):
+            n = 4000 + 500 * (i % 4)
+            step = 13 + (i % 7)
+            s = [
+                (((t * step) % 2048) - 1024) if (t // 500) % 2 == 0 else 0
+                for t in range(n)
+            ]
+            for w in range(n // 250):
+                want = sum(x * x for x in s[w * 250 : (w + 1) * 250])
+                assert wins[(f"g{i:04d}", w)] == want
+            # gating: windows alternate active,active,silent,silent
+            for w in range(n // 250):
+                active = wins[(f"g{i:04d}", w)] > 0
+                assert active == ((w // 2) % 2 == 0)
+
+    def test_query_segment_structure(self, spark):
+        from delta_unity_duckdb_spark.workload import QUERIES
+
+        rows = QUERIES["audio_energy_segments"](spark, "unused").collect()
+        assert len(rows) == 8
+        for r in rows:
+            # 500-sample bursts over 250-sample windows: every segment is
+            # exactly 2 windows = 62ms
+            assert r["longest_segment_ms"] == 62
+            assert r["active_windows"] == 2 * r["n_segments"]
