@@ -28,7 +28,7 @@ from delta_unity_duckdb_spark.workload.registry import ORACLE, QUERIES
 # NEVER earned a driver-green row (r01–r03 greens stay valid; all of these
 # are local-strict green under tools/strict_check.py).
 #
-# ROUND-5 ROTATION (assuming this window goes green): 26 never-checked
+# ROUND-5 ROTATION (assuming this window goes green): 27 never-checked
 # queries remain — a final top-up window. Fill _PRIORITY with:
 #   stats_moments bitwise_aggs series_generate topn_per_group mode_agg
 #   string_distance calendar_breakdown window_range_frame histogram_bins
@@ -40,6 +40,7 @@ from delta_unity_duckdb_spark.workload.registry import ORACLE, QUERIES
 #   markup_text_extract context_length_sweep audio_wav_features
 #   image_png_features image_resize_stats video_frame_features
 #   image_pixel_dedup image_dhash_near_dup audio_energy_segments
+#   stream_media_decode
 _PRIORITY = [
     # round-3 LLM-pipeline flagships — PCA / BPE / winnowing / exact-span
     "pca_top_component",

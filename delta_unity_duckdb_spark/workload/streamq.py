@@ -656,3 +656,96 @@ def stream_late_data_drop(spark, sf_dir):
         )
     finally:
         shutil.rmtree(feed_dir, ignore_errors=True)
+
+
+@query(
+    "stream_media_decode",
+    oracle="""
+    WITH params AS (
+      SELECT i, 4000 + 250 * (i % 8) AS n, 13 + (i % 7) AS step
+      FROM (SELECT UNNEST(RANGE(0, 24)) AS i)),
+    samples AS (
+      SELECT p.i, t.t, ((t.t * p.step) % 2048) - 1024 AS s
+      FROM params p, LATERAL (SELECT UNNEST(RANGE(0, p.n)) AS t) t),
+    lagged AS (
+      SELECT i, t, s, LAG(s) OVER (PARTITION BY i ORDER BY t) AS prev
+      FROM samples),
+    feat AS (
+      SELECT i,
+             COUNT(*) AS n_samples,
+             MAX(ABS(s)) AS peak,
+             SUM(CAST(s AS BIGINT) * s) AS sum_sq,
+             SUM(CASE WHEN prev IS NOT NULL
+                       AND ((prev >= 0) <> (s >= 0)) THEN 1 ELSE 0 END) AS zcr
+      FROM lagged GROUP BY i)
+    SELECT 'w' || lpad(CAST(i AS VARCHAR), 4, '0') AS asset_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(n_samples AS BIGINT) AS n_samples,
+           CAST((n_samples * 1000) // 8000 AS BIGINT) AS duration_ms,
+           CAST(peak AS BIGINT) AS peak,
+           CAST(sum_sq AS BIGINT) AS sum_sq,
+           CAST(zcr AS BIGINT) AS zcr,
+           CAST(FLOOR(SQRT(CAST(sum_sq AS DOUBLE) / n_samples) * 1000)
+                AS BIGINT) AS rms_milli
+    FROM feat ORDER BY asset_id
+    """,
+)
+def stream_media_decode(spark, sf_dir):
+    """STREAMING multimodal ingest + decode: real WAV assets arrive as a
+    file-source stream (3 parquet feed files, one micro-batch each via
+    maxFilesPerTrigger) and the Arrow decode kernel (`audio_features` —
+    the same stateless mapInPandas as the batch arm) runs per
+    micro-batch into an append-mode memory sink drained with
+    Trigger.AvailableNow. Streaming and batch decode MUST agree on
+    complete input, so the oracle is the batch twin's closed-form
+    waveform regeneration — the strongest check available for a
+    streaming pass.
+
+    Scale: this is the live-ingest shape for a media lake — binary
+    assets land, decode/features run incrementally per micro-batch with
+    no global state (the kernel is stateless, so no watermark needed),
+    and the featurized table appends downstream."""
+    import os
+    import shutil
+    import tempfile
+
+    from delta_unity_duckdb_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features,
+        make_wav_media,
+    )
+
+    media = make_wav_media(spark, 24)
+    feed_dir = tempfile.mkdtemp(prefix="media_feed_")
+    try:
+        base_mtime = 1_700_000_000
+        for b in range(3):
+            part = media.filter(F.col("asset_id").substr(2, 4).cast("int") % 3 == b)
+            stage = tempfile.mkdtemp(prefix=f"media_stage_{b}_")
+            part.coalesce(1).write.mode("overwrite").parquet(stage)
+            src = next(
+                f
+                for f in os.listdir(stage)
+                if f.endswith(".parquet") and f.startswith("part-")
+            )
+            dst = os.path.join(feed_dir, f"feed-{b}.parquet")
+            shutil.copy(os.path.join(stage, src), dst)
+            os.utime(dst, (base_mtime + b * 100, base_mtime + b * 100))
+            shutil.rmtree(stage)
+
+        stream = (
+            spark.readStream.schema(MEDIA_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed_dir)
+        )
+        out = run_available_now(
+            audio_features(stream), output_mode="append"
+        )
+        # materialize BEFORE the feed dir is removed — the memory sink
+        # already holds the rows, but the returned plan must not point
+        # at deleted input files
+        return spark.createDataFrame(
+            out.orderBy("asset_id").collect(), out.schema
+        )
+    finally:
+        shutil.rmtree(feed_dir, ignore_errors=True)

@@ -150,3 +150,21 @@ class TestEnergySegments:
             # exactly 2 windows = 62ms
             assert r["longest_segment_ms"] == 62
             assert r["active_windows"] == 2 * r["n_segments"]
+
+
+class TestStreamMediaDecode:
+    def test_streaming_equals_batch_decode(self, spark):
+        from delta_unity_duckdb_spark.operators.multimodal import (
+            audio_features,
+            make_wav_media,
+        )
+        from delta_unity_duckdb_spark.workload import QUERIES
+
+        batch = sorted(
+            tuple(r) for r in audio_features(make_wav_media(spark, 24)).collect()
+        )
+        stream = sorted(
+            tuple(r)
+            for r in QUERIES["stream_media_decode"](spark, "unused").collect()
+        )
+        assert stream == batch
