@@ -262,6 +262,253 @@ def ingest_binary_dir(spark, path: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Codec closures for mapInPandas kernels. Each factory returns a
+# SELF-CONTAINED nested function (stdlib imports inside, no module-level
+# references) so cloudpickle ships it BY VALUE — executors of a
+# caller-owned bare session never need this package importable. Every
+# malformed-input failure mode (wrong magic, truncated chunks
+# [struct.error], corrupt deflate [zlib.error], non-PCM16, multi-channel,
+# unsupported PNG shapes) surfaces as ValueError — the ONE exception the
+# kernels' quarantine handlers catch, so a bad asset drops instead of
+# aborting the pass, and a logic bug still fails loud.
+# --------------------------------------------------------------------------
+
+
+def _make_wav_decoder():
+    """-> decode(content) -> (sample_rate, channels, samples[int]);
+    mono PCM16 only (channels != 1 raises — features below assume
+    non-interleaved samples)."""
+
+    def decode(content: bytes):
+        import array
+        import struct
+        import sys
+
+        try:
+            if (
+                len(content) < 12
+                or content[:4] != b"RIFF"
+                or content[8:12] != b"WAVE"
+            ):
+                raise ValueError("not a RIFF/WAVE payload")
+            pos, fmt, data = 12, None, None
+            while pos + 8 <= len(content):
+                cid, size = struct.unpack_from("<4sI", content, pos)
+                body = content[pos + 8 : pos + 8 + size]
+                if cid == b"fmt ":
+                    fmt = struct.unpack_from("<HHIIHH", body, 0)
+                elif cid == b"data":
+                    data = body
+                pos += 8 + size + (size & 1)  # chunks are word-aligned
+        except struct.error as exc:
+            raise ValueError(f"malformed WAV: {exc}") from exc
+        if fmt is None or data is None:
+            raise ValueError("missing fmt/data chunk")
+        audio_format, channels, sample_rate, _, _, bits = fmt
+        if audio_format != 1 or bits != 16:
+            raise ValueError(
+                f"unsupported encoding: format={audio_format} bits={bits}"
+            )
+        if channels != 1:
+            raise ValueError(f"unsupported: channels={channels} (mono only)")
+        pcm = array.array("h")
+        pcm.frombytes(data[: (len(data) // 2) * 2])
+        if sys.byteorder == "big":
+            pcm.byteswap()
+        return sample_rate, channels, list(pcm)
+
+    return decode
+
+
+def _make_png_decoder():
+    """-> decode(content) -> (width, height, channels, pixel bytes);
+    8-bit gray/RGB/RGBA, no interlace; CRC-validated chunk walk; all
+    five scanline unfilters."""
+
+    def decode(content: bytes):
+        import struct
+        import zlib
+
+        SIG = b"\x89PNG\r\n\x1a\n"
+        CH = {0: 1, 2: 3, 6: 4}
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            if pa <= pb and pa <= pc:
+                return a
+            if pb <= pc:
+                return b
+            return c
+
+        try:
+            if content[: len(SIG)] != SIG:
+                raise ValueError("not a PNG payload")
+            pos, ihdr, idat = len(SIG), None, bytearray()
+            while pos + 8 <= len(content):
+                length, ctype = struct.unpack_from(">I4s", content, pos)
+                data = content[pos + 8 : pos + 8 + length]
+                (crc,) = struct.unpack_from(">I", content, pos + 8 + length)
+                if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+                    raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+                if ctype == b"IHDR":
+                    ihdr = struct.unpack(">IIBBBBB", data)
+                elif ctype == b"IDAT":
+                    idat += data
+                elif ctype == b"IEND":
+                    break
+                pos += 12 + length
+            if ihdr is None or not idat:
+                raise ValueError("missing IHDR/IDAT")
+            w, h, depth, color_type, _, _, interlace = ihdr
+            if depth != 8 or interlace != 0 or color_type not in CH:
+                raise ValueError(
+                    f"unsupported PNG shape: depth={depth} "
+                    f"color={color_type} interlace={interlace}"
+                )
+            ch = CH[color_type]
+            raw = zlib.decompress(bytes(idat))
+        except (struct.error, zlib.error) as exc:
+            raise ValueError(f"malformed PNG: {exc}") from exc
+        stride = w * ch
+        if len(raw) != h * (stride + 1):
+            raise ValueError("IDAT length does not match dimensions")
+        out = bytearray()
+        prev = bytes(stride)
+        for y in range(h):
+            ft = raw[y * (stride + 1)]
+            line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+            if ft == 1:
+                for i in range(ch, stride):
+                    line[i] = (line[i] + line[i - ch]) & 0xFF
+            elif ft == 2:
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif ft == 3:
+                for i in range(stride):
+                    a = line[i - ch] if i >= ch else 0
+                    line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+            elif ft == 4:
+                for i in range(stride):
+                    a = line[i - ch] if i >= ch else 0
+                    c = prev[i - ch] if i >= ch else 0
+                    line[i] = (line[i] + paeth(a, prev[i], c)) & 0xFF
+            elif ft != 0:
+                raise ValueError(f"unknown filter type {ft}")
+            out += line
+            prev = bytes(line)
+        return w, h, ch, bytes(out)
+
+    return decode
+
+
+def _make_png_encoder():
+    """-> encode(pixels, filter_mode) -> PNG bytes; 'rotate' cycles
+    scanline filters 0..4 per row, 'none' writes filter 0 only."""
+
+    def encode(pixels, filter_mode="rotate"):
+        import struct
+        import zlib
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            if pa <= pb and pa <= pc:
+                return a
+            if pb <= pc:
+                return b
+            return c
+
+        def chunk(ctype, data):
+            return (
+                struct.pack(">I", len(data))
+                + ctype
+                + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            )
+
+        h = len(pixels)
+        w = len(pixels[0])
+        ch = len(pixels[0][0])
+        color_type = {1: 0, 3: 2, 4: 6}[ch]
+        raw = bytearray()
+        prev = bytes(w * ch)
+        for y in range(h):
+            row = bytes(v for px in pixels[y] for v in px)
+            ft = (y % 5) if filter_mode == "rotate" else 0
+            raw.append(ft)
+            if ft == 0:
+                raw += row
+            elif ft == 1:  # sub
+                raw += bytes(
+                    (row[i] - (row[i - ch] if i >= ch else 0)) & 0xFF
+                    for i in range(len(row))
+                )
+            elif ft == 2:  # up
+                raw += bytes((row[i] - prev[i]) & 0xFF for i in range(len(row)))
+            elif ft == 3:  # average
+                raw += bytes(
+                    (row[i] - (((row[i - ch] if i >= ch else 0) + prev[i]) >> 1))
+                    & 0xFF
+                    for i in range(len(row))
+                )
+            else:  # paeth
+                raw += bytes(
+                    (
+                        row[i]
+                        - paeth(
+                            row[i - ch] if i >= ch else 0,
+                            prev[i],
+                            prev[i - ch] if i >= ch else 0,
+                        )
+                    )
+                    & 0xFF
+                    for i in range(len(row))
+                )
+            prev = row
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    return encode
+
+
+def _make_pngv_decoder():
+    """-> decode(content) -> (fps, frame payloads); loud on bad magic,
+    truncated header/frames, or trailing garbage."""
+
+    def decode(content: bytes):
+        import struct
+
+        try:
+            if content[:4] != b"PNGV":
+                raise ValueError("not a PNGV payload")
+            fps, n = struct.unpack_from("<HI", content, 4)
+        except struct.error as exc:
+            raise ValueError(f"malformed PNGV: {exc}") from exc
+        pos = 10
+        frames = []
+        for _ in range(n):
+            if pos + 4 > len(content):
+                raise ValueError("truncated frame table")
+            (ln,) = struct.unpack_from("<I", content, pos)
+            pos += 4
+            if pos + ln > len(content):
+                raise ValueError("truncated frame payload")
+            frames.append(content[pos : pos + ln])
+            pos += ln
+        if pos != len(content):
+            raise ValueError("trailing garbage after last frame")
+        return fps, frames
+
+    return decode
+
+
+# --------------------------------------------------------------------------
 # REAL audio arm: PCM WAV encode/decode in pure stdlib (struct + array).
 # Unlike the image/video stubs above, nothing here is faked — the decoder
 # walks actual RIFF chunks and the features come from the decoded samples.
@@ -309,35 +556,12 @@ def decode_wav_pcm16(content: bytes) -> tuple[int, int, list[int]]:
     """Real RIFF chunk walker → (sample_rate, channels, samples).
 
     Accepts any chunk ordering/extra chunks (the spec allows LIST/fact
-    before data); raises ValueError on non-RIFF payloads, non-PCM
-    encodings, or bit depths other than 16 — loud, not wrong."""
-    import array
-    import struct
-    import sys
-
-    if len(content) < 12 or content[:4] != b"RIFF" or content[8:12] != b"WAVE":
-        raise ValueError("not a RIFF/WAVE payload")
-    pos = 12
-    fmt = None
-    data = None
-    while pos + 8 <= len(content):
-        cid, size = struct.unpack_from("<4sI", content, pos)
-        body = content[pos + 8 : pos + 8 + size]
-        if cid == b"fmt ":
-            fmt = struct.unpack_from("<HHIIHH", body, 0)
-        elif cid == b"data":
-            data = body
-        pos += 8 + size + (size & 1)  # chunks are word-aligned
-    if fmt is None or data is None:
-        raise ValueError("missing fmt/data chunk")
-    audio_format, channels, sample_rate, _, _, bits = fmt
-    if audio_format != 1 or bits != 16:
-        raise ValueError(f"unsupported encoding: format={audio_format} bits={bits}")
-    pcm = array.array("h")
-    pcm.frombytes(data[: (len(data) // 2) * 2])
-    if sys.byteorder == "big":
-        pcm.byteswap()
-    return sample_rate, channels, list(pcm)
+    before data); raises ValueError on non-RIFF payloads, truncated
+    chunks, non-PCM encodings, bit depths other than 16, or
+    multi-channel audio (the feature kernels assume non-interleaved
+    samples) — loud, not wrong. Thin wrapper over the by-value kernel
+    codec (`_make_wav_decoder`), the single source of truth."""
+    return _make_wav_decoder()(content)
 
 
 def audio_features(media: DataFrame) -> DataFrame:
@@ -352,38 +576,10 @@ def audio_features(media: DataFrame) -> DataFrame:
     anti-join — a 100 TB decode pass quarantines, it doesn't abort."""
     import pandas as pd
 
-    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import array
-        import math
-        import struct
-        import sys
+    decode = _make_wav_decoder()
 
-        def decode(content: bytes):
-            if (
-                len(content) < 12
-                or content[:4] != b"RIFF"
-                or content[8:12] != b"WAVE"
-            ):
-                raise ValueError("not RIFF/WAVE")
-            pos, fmt, data = 12, None, None
-            while pos + 8 <= len(content):
-                cid, size = struct.unpack_from("<4sI", content, pos)
-                body = content[pos + 8 : pos + 8 + size]
-                if cid == b"fmt ":
-                    fmt = struct.unpack_from("<HHIIHH", body, 0)
-                elif cid == b"data":
-                    data = body
-                pos += 8 + size + (size & 1)
-            if fmt is None or data is None:
-                raise ValueError("missing fmt/data chunk")
-            audio_format, channels, sample_rate, _, _, bits = fmt
-            if audio_format != 1 or bits != 16:
-                raise ValueError("unsupported encoding")
-            pcm = array.array("h")
-            pcm.frombytes(data[: (len(data) // 2) * 2])
-            if sys.byteorder == "big":
-                pcm.byteswap()
-            return sample_rate, list(pcm)
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import math
 
         for pdf in batches:
             rows = {k: [] for k in (
@@ -393,7 +589,7 @@ def audio_features(media: DataFrame) -> DataFrame:
             aud = pdf[pdf["modality"] == "audio"]
             for asset_id, content in zip(aud["asset_id"], aud["content"]):
                 try:
-                    sr, s = decode(bytes(content))
+                    sr, _ch, s = decode(bytes(content))
                 except ValueError:
                     continue  # quarantine: recoverable by anti-join
                 n = len(s)
@@ -469,149 +665,24 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _CT_CHANNELS = {0: 1, 2: 3, 6: 4}  # gray, RGB, RGBA
 
 
-def _png_chunk(ctype: bytes, data: bytes) -> bytes:
-    import struct
-    import zlib
-
-    return (
-        struct.pack(">I", len(data))
-        + ctype
-        + data
-        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
-    )
-
-
-def _paeth(a: int, b: int, c: int) -> int:
-    p = a + b - c
-    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-    if pa <= pb and pa <= pc:
-        return a
-    if pb <= pc:
-        return b
-    return c
-
-
 def encode_png(pixels: list[list[list[int]]], filter_mode: str = "rotate") -> bytes:
     """Minimal PNG writer for 8-bit images: ``pixels[y][x] = [c, ...]``
     with 1 (gray), 3 (RGB) or 4 (RGBA) channels. ``filter_mode``
     'rotate' cycles scanline filters 0..4 per row (exercises every
-    unfilter path in the decoder); 'none' writes filter 0 only."""
-    import struct
-    import zlib
-
-    h = len(pixels)
-    w = len(pixels[0])
-    ch = len(pixels[0][0])
-    color_type = {1: 0, 3: 2, 4: 6}[ch]
-    raw = bytearray()
-    prev = bytes(w * ch)
-    for y in range(h):
-        row = bytes(v for px in pixels[y] for v in px)
-        ft = (y % 5) if filter_mode == "rotate" else 0
-        raw.append(ft)
-        if ft == 0:
-            raw += row
-        elif ft == 1:  # sub
-            raw += bytes(
-                (row[i] - (row[i - ch] if i >= ch else 0)) & 0xFF
-                for i in range(len(row))
-            )
-        elif ft == 2:  # up
-            raw += bytes((row[i] - prev[i]) & 0xFF for i in range(len(row)))
-        elif ft == 3:  # average
-            raw += bytes(
-                (row[i] - (((row[i - ch] if i >= ch else 0) + prev[i]) >> 1))
-                & 0xFF
-                for i in range(len(row))
-            )
-        else:  # paeth
-            raw += bytes(
-                (
-                    row[i]
-                    - _paeth(
-                        row[i - ch] if i >= ch else 0,
-                        prev[i],
-                        prev[i - ch] if i >= ch else 0,
-                    )
-                )
-                & 0xFF
-                for i in range(len(row))
-            )
-        prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    return (
-        _PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
-        + _png_chunk(b"IEND", b"")
-    )
+    unfilter path in the decoder); 'none' writes filter 0 only. Thin
+    wrapper over the by-value kernel codec (`_make_png_encoder`)."""
+    return _make_png_encoder()(pixels, filter_mode)
 
 
 def decode_png(content: bytes) -> tuple[int, int, int, bytes]:
     """Real PNG decoder → (width, height, channels, pixel bytes in
     row-major [y][x][c] order). Walks chunks with CRC validation,
     inflates IDAT, and undoes all five scanline filters. Raises
-    ValueError loudly on bad signature/CRC or unsupported shapes
-    (interlace, 16-bit, palette)."""
-    import struct
-    import zlib
-
-    if content[: len(_PNG_SIG)] != _PNG_SIG:
-        raise ValueError("not a PNG payload")
-    pos = len(_PNG_SIG)
-    ihdr = None
-    idat = bytearray()
-    while pos + 8 <= len(content):
-        length, ctype = struct.unpack_from(">I4s", content, pos)
-        data = content[pos + 8 : pos + 8 + length]
-        (crc,) = struct.unpack_from(">I", content, pos + 8 + length)
-        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
-            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-        pos += 12 + length
-    if ihdr is None or not idat:
-        raise ValueError("missing IHDR/IDAT")
-    w, h, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8 or interlace != 0 or color_type not in _CT_CHANNELS:
-        raise ValueError(
-            f"unsupported PNG shape: depth={depth} color={color_type} "
-            f"interlace={interlace}"
-        )
-    ch = _CT_CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
-        raise ValueError("IDAT length does not match dimensions")
-    out = bytearray()
-    prev = bytes(stride)
-    for y in range(h):
-        ft = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
-        if ft == 1:
-            for i in range(ch, stride):
-                line[i] = (line[i] + line[i - ch]) & 0xFF
-        elif ft == 2:
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ft == 3:
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif ft == 4:
-            for i in range(stride):
-                a = line[i - ch] if i >= ch else 0
-                c = prev[i - ch] if i >= ch else 0
-                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
-        elif ft != 0:
-            raise ValueError(f"unknown filter type {ft}")
-        out += line
-        prev = bytes(line)
-    return w, h, ch, bytes(out)
+    ValueError loudly on bad signature/CRC, truncated chunks, corrupt
+    deflate streams, or unsupported shapes (interlace, 16-bit,
+    palette). Thin wrapper over the by-value kernel codec
+    (`_make_png_decoder`), the single source of truth."""
+    return _make_png_decoder()(content)
 
 
 def image_features(media: DataFrame) -> DataFrame:
@@ -621,76 +692,9 @@ def image_features(media: DataFrame) -> DataFrame:
     Malformed payloads quarantine (drop), mirroring ``audio_features``."""
     import pandas as pd
 
+    decode = _make_png_decoder()
+
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import struct
-        import zlib
-
-        SIG = b"\x89PNG\r\n\x1a\n"
-        CH = {0: 1, 2: 3, 6: 4}
-
-        def paeth(a, b, c):
-            p = a + b - c
-            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-            if pa <= pb and pa <= pc:
-                return a
-            if pb <= pc:
-                return b
-            return c
-
-        def decode(content: bytes):
-            if content[: len(SIG)] != SIG:
-                raise ValueError("not PNG")
-            pos, ihdr, idat = len(SIG), None, bytearray()
-            while pos + 8 <= len(content):
-                length, ctype = struct.unpack_from(">I4s", content, pos)
-                data = content[pos + 8 : pos + 8 + length]
-                (crc,) = struct.unpack_from(">I", content, pos + 8 + length)
-                if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
-                    raise ValueError("CRC mismatch")
-                if ctype == b"IHDR":
-                    ihdr = struct.unpack(">IIBBBBB", data)
-                elif ctype == b"IDAT":
-                    idat += data
-                elif ctype == b"IEND":
-                    break
-                pos += 12 + length
-            if ihdr is None or not idat:
-                raise ValueError("missing IHDR/IDAT")
-            w, h, depth, color_type, _, _, interlace = ihdr
-            if depth != 8 or interlace != 0 or color_type not in CH:
-                raise ValueError("unsupported PNG shape")
-            ch = CH[color_type]
-            raw = zlib.decompress(bytes(idat))
-            stride = w * ch
-            if len(raw) != h * (stride + 1):
-                raise ValueError("bad IDAT length")
-            out = bytearray()
-            prev = bytes(stride)
-            for y in range(h):
-                ft = raw[y * (stride + 1)]
-                line = bytearray(
-                    raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
-                )
-                if ft == 1:
-                    for i in range(ch, stride):
-                        line[i] = (line[i] + line[i - ch]) & 0xFF
-                elif ft == 2:
-                    for i in range(stride):
-                        line[i] = (line[i] + prev[i]) & 0xFF
-                elif ft == 3:
-                    for i in range(stride):
-                        a = line[i - ch] if i >= ch else 0
-                        line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-                elif ft == 4:
-                    for i in range(stride):
-                        a = line[i - ch] if i >= ch else 0
-                        c = prev[i - ch] if i >= ch else 0
-                        line[i] = (line[i] + paeth(a, prev[i], c)) & 0xFF
-                elif ft != 0:
-                    raise ValueError("unknown filter")
-                out += line
-                prev = bytes(line)
-            return w, h, ch, bytes(out)
 
         for pdf in batches:
             rows = {k: [] for k in (
@@ -754,6 +758,9 @@ def resize_png_images(media: DataFrame, width: int, height: int) -> DataFrame:
     Non-PNG/malformed payloads quarantine."""
     import pandas as pd
 
+    decode = _make_png_decoder()
+    encode = _make_png_encoder()
+
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             ids, contents, metas = [], [], []
@@ -762,7 +769,7 @@ def resize_png_images(media: DataFrame, width: int, height: int) -> DataFrame:
                 img["asset_id"], img["content"], img["meta"]
             ):
                 try:
-                    sw, sh, ch, px = decode_png(bytes(content))
+                    sw, sh, ch, px = decode(bytes(content))
                 except ValueError:
                     continue
                 pixels = [
@@ -780,7 +787,7 @@ def resize_png_images(media: DataFrame, width: int, height: int) -> DataFrame:
                     for y in range(height)
                 ]
                 ids.append(asset_id)
-                contents.append(bytearray(encode_png(pixels, "rotate")))
+                contents.append(bytearray(encode(pixels, "rotate")))
                 m = dict(meta)
                 m["width"], m["height"] = width, height
                 metas.append(m)
@@ -816,27 +823,10 @@ def encode_pngv(frames: list[bytes], fps: int) -> bytes:
 
 
 def decode_pngv(content: bytes) -> tuple[int, list[bytes]]:
-    """Motion-PNG reader → (fps, frame payloads). Loud on bad magic,
-    truncated frames, or trailing garbage."""
-    import struct
-
-    if content[:4] != _PNGV_MAGIC:
-        raise ValueError("not a PNGV payload")
-    fps, n = struct.unpack_from("<HI", content, 4)
-    pos = 10
-    frames = []
-    for _ in range(n):
-        if pos + 4 > len(content):
-            raise ValueError("truncated frame table")
-        (ln,) = struct.unpack_from("<I", content, pos)
-        pos += 4
-        if pos + ln > len(content):
-            raise ValueError("truncated frame payload")
-        frames.append(content[pos : pos + ln])
-        pos += ln
-    if pos != len(content):
-        raise ValueError("trailing garbage after last frame")
-    return fps, frames
+    """Motion-PNG reader → (fps, frame payloads). Loud (ValueError) on
+    bad magic, truncated header/frames, or trailing garbage. Thin
+    wrapper over the by-value kernel codec (`_make_pngv_decoder`)."""
+    return _make_pngv_decoder()(content)
 
 
 def sample_frames_pngv(media: DataFrame, every_ms: int = 1000) -> DataFrame:
@@ -847,27 +837,9 @@ def sample_frames_pngv(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     Malformed containers quarantine."""
     import pandas as pd
 
-    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import struct
+    decode = _make_pngv_decoder()
 
-        def decode(content: bytes):
-            if content[:4] != b"PNGV":
-                raise ValueError("not PNGV")
-            fps, n = struct.unpack_from("<HI", content, 4)
-            pos = 10
-            frames = []
-            for _ in range(n):
-                if pos + 4 > len(content):
-                    raise ValueError("truncated")
-                (ln,) = struct.unpack_from("<I", content, pos)
-                pos += 4
-                if pos + ln > len(content):
-                    raise ValueError("truncated")
-                frames.append(content[pos : pos + ln])
-                pos += ln
-            if pos != len(content):
-                raise ValueError("trailing garbage")
-            return fps, frames
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
 
         for pdf in batches:
             ids, idxs, payloads = [], [], []
@@ -943,76 +915,9 @@ def frame_features(frames: DataFrame) -> DataFrame:
     curation). Malformed frames quarantine."""
     import pandas as pd
 
+    decode = _make_png_decoder()
+
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import struct
-        import zlib
-
-        SIG = b"\x89PNG\r\n\x1a\n"
-        CH = {0: 1, 2: 3, 6: 4}
-
-        def paeth(a, b, c):
-            p = a + b - c
-            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-            if pa <= pb and pa <= pc:
-                return a
-            if pb <= pc:
-                return b
-            return c
-
-        def decode(content: bytes):
-            if content[: len(SIG)] != SIG:
-                raise ValueError("not PNG")
-            pos, ihdr, idat = len(SIG), None, bytearray()
-            while pos + 8 <= len(content):
-                length, ctype = struct.unpack_from(">I4s", content, pos)
-                data = content[pos + 8 : pos + 8 + length]
-                (crc,) = struct.unpack_from(">I", content, pos + 8 + length)
-                if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
-                    raise ValueError("CRC mismatch")
-                if ctype == b"IHDR":
-                    ihdr = struct.unpack(">IIBBBBB", data)
-                elif ctype == b"IDAT":
-                    idat += data
-                elif ctype == b"IEND":
-                    break
-                pos += 12 + length
-            if ihdr is None or not idat:
-                raise ValueError("missing IHDR/IDAT")
-            w, h, depth, color_type, _, _, interlace = ihdr
-            if depth != 8 or interlace != 0 or color_type not in CH:
-                raise ValueError("unsupported PNG shape")
-            ch = CH[color_type]
-            raw = zlib.decompress(bytes(idat))
-            stride = w * ch
-            if len(raw) != h * (stride + 1):
-                raise ValueError("bad IDAT length")
-            out = bytearray()
-            prev = bytes(stride)
-            for y in range(h):
-                ft = raw[y * (stride + 1)]
-                line = bytearray(
-                    raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
-                )
-                if ft == 1:
-                    for i in range(ch, stride):
-                        line[i] = (line[i] + line[i - ch]) & 0xFF
-                elif ft == 2:
-                    for i in range(stride):
-                        line[i] = (line[i] + prev[i]) & 0xFF
-                elif ft == 3:
-                    for i in range(stride):
-                        a = line[i - ch] if i >= ch else 0
-                        line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-                elif ft == 4:
-                    for i in range(stride):
-                        a = line[i - ch] if i >= ch else 0
-                        c = prev[i - ch] if i >= ch else 0
-                        line[i] = (line[i] + paeth(a, prev[i], c)) & 0xFF
-                elif ft != 0:
-                    raise ValueError("unknown filter")
-                out += line
-                prev = bytes(line)
-            return w, h, ch, bytes(out)
 
         for pdf in batches:
             rows = {k: [] for k in (
@@ -1083,77 +988,11 @@ def image_pixel_dedup(media: DataFrame) -> DataFrame:
 
     from pyspark.sql import functions as SF
 
+    decode = _make_png_decoder()
+
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import hashlib as hl
         import struct
-        import zlib
-
-        SIG = b"\x89PNG\r\n\x1a\n"
-        CH = {0: 1, 2: 3, 6: 4}
-
-        def paeth(a, b, c):
-            p = a + b - c
-            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-            if pa <= pb and pa <= pc:
-                return a
-            if pb <= pc:
-                return b
-            return c
-
-        def decode(content: bytes):
-            if content[: len(SIG)] != SIG:
-                raise ValueError("not PNG")
-            pos, ihdr, idat = len(SIG), None, bytearray()
-            while pos + 8 <= len(content):
-                length, ctype = struct.unpack_from(">I4s", content, pos)
-                data = content[pos + 8 : pos + 8 + length]
-                (crc,) = struct.unpack_from(">I", content, pos + 8 + length)
-                if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
-                    raise ValueError("CRC mismatch")
-                if ctype == b"IHDR":
-                    ihdr = struct.unpack(">IIBBBBB", data)
-                elif ctype == b"IDAT":
-                    idat += data
-                elif ctype == b"IEND":
-                    break
-                pos += 12 + length
-            if ihdr is None or not idat:
-                raise ValueError("missing IHDR/IDAT")
-            w, h, depth, color_type, _, _, interlace = ihdr
-            if depth != 8 or interlace != 0 or color_type not in CH:
-                raise ValueError("unsupported PNG shape")
-            ch = CH[color_type]
-            raw = zlib.decompress(bytes(idat))
-            stride = w * ch
-            if len(raw) != h * (stride + 1):
-                raise ValueError("bad IDAT length")
-            out = bytearray()
-            prev = bytes(stride)
-            for y in range(h):
-                ft = raw[y * (stride + 1)]
-                line = bytearray(
-                    raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
-                )
-                if ft == 1:
-                    for i in range(ch, stride):
-                        line[i] = (line[i] + line[i - ch]) & 0xFF
-                elif ft == 2:
-                    for i in range(stride):
-                        line[i] = (line[i] + prev[i]) & 0xFF
-                elif ft == 3:
-                    for i in range(stride):
-                        a = line[i - ch] if i >= ch else 0
-                        line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-                elif ft == 4:
-                    for i in range(stride):
-                        a = line[i - ch] if i >= ch else 0
-                        c = prev[i - ch] if i >= ch else 0
-                        line[i] = (line[i] + paeth(a, prev[i], c)) & 0xFF
-                elif ft != 0:
-                    raise ValueError("unknown filter")
-                out += line
-                prev = bytes(line)
-            return w, h, ch, bytes(out)
 
         for pdf in batches:
             rows = {k: [] for k in ("asset_id", "pixel_key", "byte_key")}
@@ -1229,76 +1068,9 @@ def image_dhash_groups(media: DataFrame) -> DataFrame:
 
     from pyspark.sql import functions as SF
 
+    decode = _make_png_decoder()
+
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import struct
-        import zlib
-
-        SIG = b"\x89PNG\r\n\x1a\n"
-        CH = {0: 1, 2: 3, 6: 4}
-
-        def paeth(a, b, c):
-            p = a + b - c
-            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-            if pa <= pb and pa <= pc:
-                return a
-            if pb <= pc:
-                return b
-            return c
-
-        def decode(content: bytes):
-            if content[: len(SIG)] != SIG:
-                raise ValueError("not PNG")
-            pos, ihdr, idat = len(SIG), None, bytearray()
-            while pos + 8 <= len(content):
-                length, ctype = struct.unpack_from(">I4s", content, pos)
-                data = content[pos + 8 : pos + 8 + length]
-                (crc,) = struct.unpack_from(">I", content, pos + 8 + length)
-                if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
-                    raise ValueError("CRC mismatch")
-                if ctype == b"IHDR":
-                    ihdr = struct.unpack(">IIBBBBB", data)
-                elif ctype == b"IDAT":
-                    idat += data
-                elif ctype == b"IEND":
-                    break
-                pos += 12 + length
-            if ihdr is None or not idat:
-                raise ValueError("missing IHDR/IDAT")
-            w, h, depth, color_type, _, _, interlace = ihdr
-            if depth != 8 or interlace != 0 or color_type not in CH:
-                raise ValueError("unsupported PNG shape")
-            ch = CH[color_type]
-            raw = zlib.decompress(bytes(idat))
-            stride = w * ch
-            if len(raw) != h * (stride + 1):
-                raise ValueError("bad IDAT length")
-            out = bytearray()
-            prev = bytes(stride)
-            for y in range(h):
-                ft = raw[y * (stride + 1)]
-                line = bytearray(
-                    raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
-                )
-                if ft == 1:
-                    for i in range(ch, stride):
-                        line[i] = (line[i] + line[i - ch]) & 0xFF
-                elif ft == 2:
-                    for i in range(stride):
-                        line[i] = (line[i] + prev[i]) & 0xFF
-                elif ft == 3:
-                    for i in range(stride):
-                        a = line[i - ch] if i >= ch else 0
-                        line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-                elif ft == 4:
-                    for i in range(stride):
-                        a = line[i - ch] if i >= ch else 0
-                        c = prev[i - ch] if i >= ch else 0
-                        line[i] = (line[i] + paeth(a, prev[i], c)) & 0xFF
-                elif ft != 0:
-                    raise ValueError("unknown filter")
-                out += line
-                prev = bytes(line)
-            return w, h, ch, bytes(out)
 
         def gray_at(px, w, ch, x, y):
             o = (y * w + x) * ch

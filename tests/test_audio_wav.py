@@ -168,3 +168,45 @@ class TestStreamMediaDecode:
             for r in QUERIES["stream_media_decode"](spark, "unused").collect()
         )
         assert stream == batch
+
+
+class TestMalformedBeyondValueError:
+    """Regression: malformed payloads that raise struct.error/zlib.error
+    internally must surface as ValueError (the quarantine contract), and
+    multi-channel audio must be refused, not mis-featured."""
+
+    def test_truncated_fmt_chunk_is_valueerror(self):
+        # declares a 16-byte fmt chunk but truncates the body
+        bad = b"RIFF" + struct.pack("<I", 20) + b"WAVE" + b"fmt " + struct.pack("<I", 16) + b"\x01\x00"
+        with pytest.raises(ValueError):
+            decode_wav_pcm16(bad)
+
+    def test_stereo_is_refused(self):
+        buf = io.BytesIO()
+        w = wave.open(buf, "wb")
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00" * 200)
+        w.close()
+        with pytest.raises(ValueError, match="channels"):
+            decode_wav_pcm16(buf.getvalue())
+
+    def test_kernel_quarantines_truncated_payload(self, spark):
+        from pyspark.sql import functions as F
+
+        from delta_unity_duckdb_spark.operators.multimodal import (
+            audio_features,
+            make_wav_media,
+        )
+
+        media = make_wav_media(spark, 3)
+        bad = b"RIFF" + struct.pack("<I", 20) + b"WAVE" + b"fmt " + struct.pack("<I", 16) + b"\x01\x00"
+        corrupt = media.withColumn(
+            "content",
+            F.when(F.col("asset_id") == "w0001", F.lit(bytearray(bad))).otherwise(
+                F.col("content")
+            ),
+        )
+        ids = [r["asset_id"] for r in audio_features(corrupt).collect()]
+        assert sorted(ids) == ["w0000", "w0002"]

@@ -201,3 +201,50 @@ class TestPerceptualDhash:
             assert len(g["dhash"]) == 64
             assert set(g["dhash"]) <= {"0", "1"}
             assert int(g["survivor"][1:]) < 8  # lower variant survives
+
+
+class TestMalformedBeyondValueError:
+    def test_corrupt_deflate_is_valueerror(self):
+        """Valid CRCs, garbage zlib stream — zlib.error must surface as
+        ValueError so the kernels quarantine instead of aborting."""
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+        png = (
+            _SIG
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", b"this is not deflate")
+            + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError):
+            decode_png(png)
+
+    def test_truncated_chunk_header_is_valueerror(self):
+        good = encode_png([[[1, 2, 3]]], "none")
+        # keep the signature plus a dangling half chunk-header: the CRC
+        # read runs past the buffer (struct.error path)
+        bad = good[:14] + b"\x00"
+        with pytest.raises(ValueError):
+            decode_png(bad)
+
+    def test_kernel_quarantines_corrupt_deflate(self, spark):
+        from pyspark.sql import functions as F
+
+        from delta_unity_duckdb_spark.operators.multimodal import (
+            image_features,
+        )
+
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+        bad = (
+            _SIG
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", b"junk")
+            + _chunk(b"IEND", b"")
+        )
+        media = make_png_media(spark, 3)
+        corrupt = media.withColumn(
+            "content",
+            F.when(F.col("asset_id") == "p0001", F.lit(bytearray(bad))).otherwise(
+                F.col("content")
+            ),
+        )
+        ids = [r["asset_id"] for r in image_features(corrupt).collect()]
+        assert sorted(ids) == ["p0000", "p0002"]
