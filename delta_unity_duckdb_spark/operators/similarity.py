@@ -301,10 +301,22 @@ def block_cosine_pairs(
         for c in range(d):
             acc = acc + M[:, c] * M[:, c]
         nrm = np.sqrt(acc)
-        iu, ju = np.triu_indices(len(M), 1)  # ids sorted ⇒ id_a < id_b
+        B = len(M)
+        m = B * (B - 1) // 2
         outs = []
-        for lo in range(0, len(iu), 1 << 21):
-            iuc, juc = iu[lo : lo + (1 << 21)], ju[lo : lo + (1 << 21)]
+        for lo in range(0, m, 1 << 21):
+            # invert the row-major upper-triangle enumeration PER CHUNK
+            # (same (i,j) order as np.triu_indices; ids sorted ⇒
+            # id_a < id_b) — materializing all B²/2 index pairs up front
+            # costs ~0.5 GB at the 2x-slack block bound and would void
+            # the few-MB per-block memory claim below
+            ts = np.arange(lo, min(lo + (1 << 21), m), dtype=np.int64)
+            r = m - 1 - ts
+            kk = ((np.sqrt(8.0 * r + 1) - 1) // 2).astype(np.int64)
+            kk = np.where(kk * (kk + 1) // 2 > r, kk - 1, kk)
+            kk = np.where((kk + 1) * (kk + 2) // 2 <= r, kk + 1, kk)
+            iuc = B - 2 - kk
+            juc = ts - (iuc * (2 * B - iuc - 1) // 2) + iuc + 1
             dot = np.zeros(len(iuc))
             for c in range(d):
                 dot = dot + M[iuc, c] * M[juc, c]
@@ -614,7 +626,11 @@ def knn_join(
             .drop("__rn")
         )
 
-    qrows = queries.select(qid_col, qvec_col).collect()
+    # Probe ONE row past the driver-batch bound so deciding the path never
+    # materializes an over-sized query side on the driver (collecting the
+    # full frame just to measure it would OOM at exactly the scale the
+    # fallback exists for).
+    qrows = queries.select(qid_col, qvec_col).limit(4097).collect()
     if len(qrows) > 4096:  # not a driver-held batch — expression path
         sim = cosine_sim(F.col(vec_col), F.col(qvec_col))
         if round_digits is not None:
@@ -654,12 +670,20 @@ def knn_join(
             dot = np.zeros((len(M), len(Qm)))
             for c in range(dim):
                 dot = dot + M[:, c][:, None] * Qm[:, c][None, :]
-            sim = dot / (cn[:, None] * qn[None, :])
+            # zero-norm vectors: the expression path's Divide returns
+            # NULL (sorted last, never top-k); numpy would produce NaN,
+            # which Spark sorts FIRST under desc — emit true NULLs so
+            # both paths rank identically
+            denom = cn[:, None] * qn[None, :]
+            bad = denom == 0
+            sim = np.where(bad, 0.0, dot) / np.where(bad, 1.0, denom)
+            vals = sim.ravel().astype(object)
+            vals[bad.ravel()] = None
             yield pd.DataFrame(
                 {
                     qid_col: np.repeat(qid_arr[None, :], len(M), 0).ravel(),
                     id_col: np.repeat(ids, len(Qm)),
-                    "cosine_raw": sim.ravel(),
+                    "cosine_raw": vals,
                 }
             )
 

@@ -18,6 +18,18 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """Half the machine's physical RAM, clamped to [4g, 24g] — big enough
+    for iterative checkpoint storage at large SFs on big hosts, never a
+    swap hazard on small ones."""
+    try:
+        phys = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        gb = max(4, min(24, phys // (2 * 1024**3)))
+    except (ValueError, OSError, AttributeError):
+        gb = 8
+    return f"{int(gb)}g"
+
+
 def _delta_available() -> bool:
     try:
         import delta  # noqa: F401
@@ -76,9 +88,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # local-mode driver IS the executor: size the heap for iterative
         # graph/dedup checkpoints at the larger synthetic SFs (an 8g heap
-        # OOMed k-core's edge checkpoint at sf10); override per-run with
-        # SPARK_GRAFT_DRIVER_MEM.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # OOMed k-core's edge checkpoint at sf10), but never past half the
+        # machine (a fixed 24g default would swap a 16 GB host); override
+        # per-run with SPARK_GRAFT_DRIVER_MEM.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
+        )
         .config("spark.ui.enabled", "false")
     )
     if _delta_available():

@@ -321,7 +321,8 @@ _SHARDS = 16
     WITH keyed AS (
       SELECT e.epoch, d.doc_id,
              {hash60_sql("CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)")} AS k
-      FROM documents d CROSS JOIN (VALUES (0), (1)) AS e(epoch)),
+      FROM documents d
+      CROSS JOIN (VALUES {", ".join(f"({e})" for e in range(_EPOCHS))}) AS e(epoch)),
     placed AS (
       SELECT epoch, doc_id, k % {_SHARDS} AS shard_id,
              ROW_NUMBER() OVER (PARTITION BY epoch, k % {_SHARDS}

@@ -153,3 +153,24 @@ def test_block_cosine_pairs_block_cap_is_loud(spark):
     )
     with pytest.raises(Exception, match="block cap|max_block_rows"):
         block_cosine_pairs(df_bad, ["blk"], max_block_rows=8).collect()
+
+
+def test_knn_join_zero_norm_candidate_is_null_not_nan(spark):
+    """Regression: the Arrow scoring kernel must emit NULL (like the
+    expression path's Divide) for zero-norm vectors — numpy's NaN would
+    sort FIRST under desc and poison every top-k."""
+    from delta_unity_duckdb_spark.operators.similarity import knn_join
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.6, 0.8]), (3, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "qid long, qvec array<double>"
+    )
+    rows = knn_join(emb, q, k=3, qid_col="qid", qvec_col="qvec").collect()
+    ids = [r["vec_id"] for r in rows]
+    assert 0 not in ids, "zero-norm candidate must never outrank real ones"
+    assert len(ids) == 3
+    sims = {r["vec_id"]: r["cosine_sim"] for r in rows}
+    assert sims[1] == 1.0
