@@ -366,6 +366,12 @@ def _make_png_decoder():
                     f"unsupported PNG shape: depth={depth} "
                     f"color={color_type} interlace={interlace}"
                 )
+            if w == 0 or h == 0:
+                # Degenerate images would push empty pixel buffers into the
+                # feature kernels (min() on empty / div-by-zero outside the
+                # quarantine try) — reject here so they drop like any other
+                # malformed payload.
+                raise ValueError(f"unsupported PNG shape: {w}x{h}")
             ch = CH[color_type]
             raw = zlib.decompress(bytes(idat))
         except (struct.error, zlib.error) as exc:
@@ -1141,44 +1147,17 @@ def audio_window_energy(media: DataFrame, window: int = 250) -> DataFrame:
     quarantine."""
     import pandas as pd
 
+    # The shared by-value codec (mono-only check + struct.error wrapping);
+    # a stereo or truncated WAV quarantines here exactly like everywhere else.
+    decode = _make_wav_decoder()
+
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        import array
-        import struct
-        import sys
-
-        def decode(content: bytes):
-            if (
-                len(content) < 12
-                or content[:4] != b"RIFF"
-                or content[8:12] != b"WAVE"
-            ):
-                raise ValueError("not RIFF/WAVE")
-            pos, fmt, data = 12, None, None
-            while pos + 8 <= len(content):
-                cid, size = struct.unpack_from("<4sI", content, pos)
-                body = content[pos + 8 : pos + 8 + size]
-                if cid == b"fmt ":
-                    fmt = struct.unpack_from("<HHIIHH", body, 0)
-                elif cid == b"data":
-                    data = body
-                pos += 8 + size + (size & 1)
-            if fmt is None or data is None:
-                raise ValueError("missing fmt/data chunk")
-            audio_format, channels, sample_rate, _, _, bits = fmt
-            if audio_format != 1 or bits != 16:
-                raise ValueError("unsupported encoding")
-            pcm = array.array("h")
-            pcm.frombytes(data[: (len(data) // 2) * 2])
-            if sys.byteorder == "big":
-                pcm.byteswap()
-            return sample_rate, list(pcm)
-
         for pdf in batches:
             rows = {k: [] for k in ("asset_id", "sample_rate", "win_idx", "energy")}
             aud = pdf[pdf["modality"] == "audio"]
             for asset_id, content in zip(aud["asset_id"], aud["content"]):
                 try:
-                    sr, s = decode(bytes(content))
+                    sr, _channels, s = decode(bytes(content))
                 except ValueError:
                     continue
                 for w in range(len(s) // window):

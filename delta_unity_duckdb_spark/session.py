@@ -19,12 +19,15 @@ from pyspark.sql import SparkSession
 
 
 def _default_driver_mem() -> str:
-    """Half the machine's physical RAM, clamped to [4g, 24g] — big enough
-    for iterative checkpoint storage at large SFs on big hosts, never a
-    swap hazard on small ones."""
+    """Half the machine's physical RAM, capped at 24g — big enough for
+    iterative checkpoint storage at large SFs on big hosts, never a swap
+    hazard on small ones. No absolute floor: on a <8 GB host a forced 4g
+    heap would exceed half (or all) of physical memory, which is exactly
+    the swap hazard this guard exists to avoid — half-of-RAM (min 1g) is
+    the honest small-host default, and SPARK_GRAFT_DRIVER_MEM overrides."""
     try:
         phys = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
-        gb = max(4, min(24, phys // (2 * 1024**3)))
+        gb = max(1, min(24, phys // (2 * 1024**3)))
     except (ValueError, OSError, AttributeError):
         gb = 8
     return f"{int(gb)}g"

@@ -32,15 +32,57 @@ _BM25_TERMS = ("dup", "spark", "merge")
 # k1 = 1.2, b = 0.75 (the standard BM25 operating point) folded into an
 # exact integer fraction. With sdl = SUM(dl) over the corpus and n = doc
 # count, the per-term saturation tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
-# becomes, after clearing denominators (avgdl = sdl/n, k1 = 6/5, b = 3/4):
+# becomes, after clearing denominators (avgdl = sdl/n, k1 = 6/5, b = 3/4)
+# and dividing through by the common factor 2:
 #
-#     44*tf*sdl / (20*tf*sdl + 6*sdl + 18*dl*n)
+#     22*tf*sdl / (10*tf*sdl + 3*sdl + 9*dl*n)
 #
 # — a ratio of int64s, identical in both engines, no float in sight.
-_FRAC_NUM = 44
-_FRAC_D_TF = 20
-_FRAC_D_SDL = 6
-_FRAC_D_DLN = 18
+_FRAC_NUM = 22
+_FRAC_D_TF = 10
+_FRAC_D_SDL = 3
+_FRAC_D_DLN = 9
+
+
+def _score_sql(t: str, div: str) -> str:
+    """The per-term BM25 score contribution as SQL text, parameterized by
+    the integer-division token (Spark ``div``, DuckDB ``//``) so the two
+    engines replay the IDENTICAL arithmetic from one source of truth.
+
+    Overflow discipline — every int64 intermediate is kept under 2^63 at
+    corpus scale by staged exact division instead of naive widening:
+
+    - ``frac_micro = floor(a*1e6 / d)`` (a = 22*tf*sdl, d = the cleared
+      denominator) is computed as three staged *1000 long-division steps:
+      ``(a div d)*1e6 + ((a%d)*1000 div d)*1000 + (((a%d)*1000 % d)*1000)
+      div d`` — algebraically identical, but the largest intermediate is
+      ``d*1000`` instead of ``a*1e6``. The naive form overflows once
+      tf*sdl > ~2.1e11 (a few-GB corpus with common terms); the staged
+      form is exact to tf*sdl < ~9e14 and a itself to tf*sdl < 4.2e17.
+    - ``(idf * frac) div 1e6`` is split as ``(idf div 1e6)*frac +
+      ((idf % 1e6)*frac) div 1e6`` — exact, and safe for corpora to
+      n < ~2e12 docs where the naive product overflows near n > 2.1e6
+      with rare terms (idf ~ 2n*1e6).
+
+    Spark (non-ANSI) wraps int64 silently while DuckDB raises, so the
+    naive forms would break the engine-exactness contract silently on one
+    side and loudly on the other — the staged forms keep both exact.
+    """
+    idf = f"((2 * (n - df_{t}) + 1) * 1000000) {div} (2 * df_{t} + 1)"
+    a = f"({_FRAC_NUM} * tf_{t} * sdl)"
+    d = (
+        f"({_FRAC_D_TF} * tf_{t} * sdl + {_FRAC_D_SDL} * sdl + "
+        f"{_FRAC_D_DLN} * dl * n)"
+    )
+    r1 = f"(({a} % {d}) * 1000)"
+    frac = (
+        f"(({a} {div} {d}) * 1000000 + ({r1} {div} {d}) * 1000 + "
+        f"(({r1} % {d}) * 1000) {div} {d})"
+    )
+    return (
+        f"((({idf}) {div} 1000000) * {frac} + "
+        f"((({idf}) % 1000000) * {frac}) {div} 1000000)"
+    )
 
 
 def _eq_term(term: str):
@@ -65,21 +107,7 @@ def _bm25_scored_ctes(table: str = "documents") -> str:
         f"COUNT(CASE WHEN tf_{t} > 0 THEN 1 END) AS df_{t}"
         for t in _BM25_TERMS
     )
-    idf = {
-        t: f"((2 * (n - df_{t}) + 1) * 1000000) // (2 * df_{t} + 1)"
-        for t in _BM25_TERMS
-    }
-    frac = {
-        t: (
-            f"(({_FRAC_NUM} * tf_{t} * sdl * 1000000) // "
-            f"({_FRAC_D_TF} * tf_{t} * sdl + {_FRAC_D_SDL} * sdl + "
-            f"{_FRAC_D_DLN} * dl * n))"
-        )
-        for t in _BM25_TERMS
-    }
-    score = " + ".join(
-        f"(({idf[t]}) * {frac[t]}) // 1000000" for t in _BM25_TERMS
-    )
+    score = " + ".join(_score_sql(t, "//") for t in _BM25_TERMS)
     return f"""docs AS (
       SELECT doc_id,
              len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS dl,
@@ -183,13 +211,9 @@ def bm25_scores(d):
     scored = docs.crossJoin(F.broadcast(stats))
     score = None
     for t in _BM25_TERMS:
-        idf = f"((2 * (n - df_{t}) + 1) * 1000000) div (2 * df_{t} + 1)"
-        frac = (
-            f"(({_FRAC_NUM} * tf_{t} * sdl * 1000000) div "
-            f"({_FRAC_D_TF} * tf_{t} * sdl + {_FRAC_D_SDL} * sdl + "
-            f"{_FRAC_D_DLN} * dl * n))"
-        )
-        part = F.expr(f"(({idf}) * {frac}) div 1000000")
+        # Overflow-staged per-term score — same generated text as the
+        # oracle modulo the division token (see _score_sql).
+        part = F.expr(_score_sql(t, "div"))
         score = part if score is None else score + part
     hit = sum(F.col(f"tf_{t}") for t in _BM25_TERMS) > 0
     return scored.filter(hit).select(

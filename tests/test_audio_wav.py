@@ -210,3 +210,38 @@ class TestMalformedBeyondValueError:
         )
         ids = [r["asset_id"] for r in audio_features(corrupt).collect()]
         assert sorted(ids) == ["w0000", "w0002"]
+
+    def test_window_energy_quarantines_stereo_and_truncated(self, spark):
+        # audio_window_energy shares the central codec: a stereo WAV must
+        # QUARANTINE (not be silently treated as interleaved mono) and a
+        # truncated fmt chunk must drop, not abort, the pass.
+        from pyspark.sql import functions as F
+
+        from delta_unity_duckdb_spark.operators.multimodal import (
+            audio_window_energy,
+            make_wav_media,
+        )
+
+        buf = io.BytesIO()
+        w = wave.open(buf, "wb")
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x01\x00" * 2000)
+        w.close()
+        stereo = buf.getvalue()
+        truncated = (
+            b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + b"\x01\x00"
+        )
+        media = make_wav_media(spark, 3)
+        corrupt = media.withColumn(
+            "content",
+            F.when(F.col("asset_id") == "w0000", F.lit(bytearray(stereo)))
+            .when(F.col("asset_id") == "w0001", F.lit(bytearray(truncated)))
+            .otherwise(F.col("content")),
+        )
+        ids = {
+            r["asset_id"] for r in audio_window_energy(corrupt).collect()
+        }
+        assert ids == {"w0002"}

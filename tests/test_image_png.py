@@ -84,6 +84,41 @@ class TestDecoder:
         with pytest.raises(ValueError, match="unsupported"):
             decode_png(png)
 
+    def test_zero_dimension_refused(self):
+        # A 0x0 (or 0xN) PNG decodes to an empty pixel buffer, which the
+        # feature kernels can't quarantine (min() on empty / div-by-zero
+        # happen outside their try) — the decoder must drop it instead.
+        for w, h in ((0, 0), (0, 3), (3, 0)):
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+            png = (
+                _SIG
+                + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", zlib.compress(b"\x00" * h))
+                + _chunk(b"IEND", b"")
+            )
+            with pytest.raises(ValueError, match="unsupported"):
+                decode_png(png)
+
+    def test_kernel_quarantines_zero_dim_png(self, spark):
+        from pyspark.sql import functions as F
+
+        media = make_png_media(spark, 3)
+        ihdr = struct.pack(">IIBBBBB", 0, 0, 8, 0, 0, 0, 0)
+        bad = (
+            _SIG
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b""))
+            + _chunk(b"IEND", b"")
+        )
+        corrupt = media.withColumn(
+            "content",
+            F.when(
+                F.col("asset_id") == "p0001", F.lit(bytearray(bad))
+            ).otherwise(F.col("content")),
+        )
+        ids = [r["asset_id"] for r in image_features(corrupt).collect()]
+        assert sorted(ids) == ["p0000", "p0002"]
+
 
 class TestImageFeaturesPass:
     def test_features_match_python_referee(self, spark):

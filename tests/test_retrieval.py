@@ -45,6 +45,65 @@ class TestBm25:
         assert all(x > 0 for x in s)
         assert s == sorted(s, reverse=True)
 
+    def test_score_sql_exact_at_overflow_scale(self, spark):
+        """The staged-division score must match exact Python big-int
+        arithmetic (and DuckDB) at stats magnitudes where the old naive
+        ``44*tf*sdl*1e6`` / ``idf*frac`` products wrap int64 — the
+        100 TB-shape regression the round-4 advice flagged. Spark
+        (non-ANSI) wraps silently, so a wrong value here would be a
+        silent ranking corruption, not an error."""
+        import duckdb
+
+        from delta_unity_duckdb_spark.workload.retrieval import _score_sql
+
+        # (tf, dl, n, sdl, df): tf*sdl spans the old 2.1e11 naive ceiling
+        # up to ~9e14 (the staged form's documented exactness bound), and
+        # the rare-term case has idf ~ 2n*1e6 where n makes idf*frac wrap.
+        cases = [
+            (3, 400, 1_000, 300_000, 2),                     # small sanity
+            (50, 2_000, 1_000_000, 10_000_000_000, 3),        # old frac wrap
+            (900, 5_000, 2_000_000_000, 1_000_000_000_000, 1),  # idf wrap
+            (7, 120, 4_000_000_000_000, 800_000_000_000, 5),  # huge n
+        ]
+        rows = [
+            {"tf_dup": tf, "dl": dl, "n": n, "sdl": sdl, "df_dup": df}
+            for tf, dl, n, sdl, df in cases
+        ]
+
+        def exact(tf, dl, n, sdl, df):
+            idf = ((2 * (n - df) + 1) * 10**6) // (2 * df + 1)
+            frac = (22 * tf * sdl * 10**6) // (
+                10 * tf * sdl + 3 * sdl + 9 * dl * n
+            )
+            return (idf * frac) // 10**6
+
+        expr = _score_sql("dup", "div")
+        sdf = spark.createDataFrame(
+            rows,
+            schema="tf_dup long, dl long, n long, sdl long, df_dup long",
+        )
+        got_spark = [
+            r[0]
+            for r in sdf.selectExpr(f"{expr} AS s")
+            .toPandas()
+            .itertuples(index=False, name=None)
+        ]
+        con = duckdb.connect()
+        got_duck = [
+            con.execute(
+                f"SELECT {_score_sql('dup', '//')} FROM (SELECT "
+                f"CAST({tf} AS BIGINT) AS tf_dup, "
+                f"CAST({dl} AS BIGINT) AS dl, CAST({n} AS BIGINT) AS n, "
+                f"CAST({sdl} AS BIGINT) AS sdl, "
+                f"CAST({df} AS BIGINT) AS df_dup)"
+            ).fetchone()[0]
+            for tf, dl, n, sdl, df in cases
+        ]
+        want = [exact(*c) for c in cases]
+        assert got_spark == want
+        assert got_duck == want
+        assert all(0 < v < 2**63 for v in want)
+
     def test_rare_term_outweighs_common_equal_tf(self, spark, sf_dir):
         """idf monotonicity: among docs with tf=1 for exactly one query
         term and comparable length, the rare term ('dup', df~5%) must

@@ -98,6 +98,11 @@ def main() -> None:
                 out[n]["duck_err"] = f"{type(exc).__name__}: {exc}"[:120]
                 timer.cancel()
                 con = fresh()  # interrupt poisons the connection
+                # Partial timings from before the failure would feed a
+                # bogus "warm" number (and a ratio counted in the matched
+                # totals) for a query DuckDB didn't actually finish — an
+                # errored/interrupted query contributes no duck numbers.
+                times = []
                 break
             finally:
                 timer.cancel()
