@@ -758,31 +758,129 @@ def sample_mod(spark, sf_dir):
     """,
 )
 def pricing_summary(spark, sf_dir):
-    """TPC-H Q1 shape — the classic wide-aggregate scan; one partial+final
-    hash aggregate, fully codegen'd, 8 measures in one pass. Products are
-    computed IN decimal from decimal-cast raw columns: the fixture data is
-    ≤4-decimal so input casts are exact, and decimal arithmetic is
-    associative — bit-identical at any partition count or engine."""
+    """TPC-H Q1 shape — the classic wide-aggregate scan, 8 measures in one
+    pass, computed in SCALE-4 FIXED-POINT INT64 instead of per-row decimal.
+
+    Why not decimal all the way down (the pre-round-5 form): Spark
+    aggregates DECIMAL via per-row BigDecimal allocation + unscaled-value
+    rescaling, which measured ~30× DuckDB's int128 accumulator at sf10
+    (27.6 s vs 0.92 s warm) on a plan that was already minimal. The money
+    columns are exact at 4 decimals (asserted by the oracle match: the
+    DECIMAL(14,4)/(6,4) casts both engines agree on ARE the 4-decimal
+    values), so every product is an exact integer at a known scale:
+
+        q4  = quantity·10⁴                 ≤ 5·10⁵        (scale 4)
+        p4  = extendedprice·10⁴            ≤ ~1.1·10⁹     (scale 4)
+        a8  = p4·(10⁴ − d4)                ≤ ~1.1·10¹³    (scale 8)
+        c12 = a8·(10⁴ + t4)                ≤ ~1.2·10¹⁷    (scale 12)
+
+    All per-row arithmetic is long multiply/divide inside whole-stage
+    codegen. Wide values are split at 10⁹ (hi = x div 10⁹, lo = x mod 10⁹)
+    and summed per SCAN PARTITION (spark_partition_id in the grouping key),
+    so an int64 partial never covers more than one partition's rows: worst
+    addend is 10⁹, so any partition under ~9·10⁹ rows (vs ~10⁶ rows per
+    128 MB split) is overflow-safe. The partial agg emits ≤|groups|·|parts|
+    tiny rows; the final merge widens to DECIMAL and reassembles each exact
+    value at its true scale with precision-tracked multiplies (every
+    intermediate ≤ 38 digits — no precision-loss rounding), then applies
+    the same DECIMAL(38,6) cast the oracle does, so results stay
+    bit-identical to the decimal formulation at any partition count.
+    Final-merge decimal casts bound the aggregate at ~10²² scale-4 units —
+    ≈6·10²⁰ at 100 TB (6·10¹¹ rows) with 16× headroom; beyond that the
+    non-ANSI cast nulls out and the oracle hash fails loudly."""
     from delta_unity_duckdb_spark.sources.tables import load_table_cpu_bound
 
-    # Wide DECIMAL accumulation is CPU-bound: guard against degenerate
-    # single-row-group layouts that would run it on one core.
+    # Fixed-point extraction is CPU-light but the scan is still wide:
+    # guard against degenerate single-row-group layouts.
     li = load_table_cpu_bound(spark, sf_dir, "lineitem")
-    disc_price = dmoney("l_extendedprice") * (1 - drate("l_discount"))
-    charge = disc_price * (1 + drate("l_tax"))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("2024-09-01 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            dsum("l_quantity", "sum_qty"),
-            dsum("l_extendedprice", "sum_base_price"),
-            F.sum(disc_price).cast("decimal(38,6)").alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(38,6)").alias("sum_charge"),
-            davg("l_quantity", "avg_qty"),
-            davg("l_extendedprice", "avg_price"),
-            davg("l_discount", "avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+    fx = li.filter(
+        F.col("l_shipdate") <= F.lit("2024-09-01 00:00:00").cast("timestamp")
+    ).selectExpr(
+        "l_returnflag",
+        "l_linestatus",
+        # value·10⁴ + 0.5 then truncate ≡ round-to-nearest for these
+        # NONNEGATIVE inputs (the double error of value·10⁴ is ≤ ~1e-7 ≪
+        # 0.5), recovering the exact 4-decimal integer. Deliberately not
+        # ROUND(): Spark's double ROUND allocates a BigDecimal per row —
+        # measured 4× the whole scan+agg wall at sf10 — while this form
+        # stays a primitive double fma + cast in codegen.
+        "CAST(l_quantity * 10000 + 0.5d AS BIGINT) AS q4",
+        "CAST(l_extendedprice * 10000 + 0.5d AS BIGINT) AS p4",
+        "CAST(l_discount * 10000 + 0.5d AS BIGINT) AS d4",
+        "CAST(l_tax * 10000 + 0.5d AS BIGINT) AS t4",
+    )
+    part = (
+        fx.selectExpr(
+            "*",
+            "p4 * (10000 - d4) AS a8",
+            "p4 * (10000 - d4) * (10000 + t4) AS c12",
         )
+        .groupBy(
+            "l_returnflag", "l_linestatus", F.spark_partition_id().alias("_pid")
+        )
+        .agg(
+            F.sum("q4").alias("s_q4"),
+            F.sum("p4").alias("s_p4"),
+            F.sum(F.expr("a8 div 1000000000")).alias("s_a_hi"),
+            F.sum(F.expr("a8 % 1000000000")).alias("s_a_lo"),
+            F.sum(F.expr("c12 div 1000000000")).alias("s_c_hi"),
+            F.sum(F.expr("c12 % 1000000000")).alias("s_c_lo"),
+            F.sum("d4").alias("s_d4"),
+            F.count("q4").alias("n_q"),
+            F.count("p4").alias("n_p"),
+            F.count("d4").alias("n_d"),
+            F.count(F.lit(1)).alias("n_all"),
+        )
+    )
+    # Final merge: handfuls of rows. Widen the per-partition longs to
+    # DECIMAL(19,0) — which holds ANY int64, so this cast can never
+    # overflow — and sum exactly (result (29,0)); then narrow each global
+    # sum to its documented 100 TB bound before the scale assembly so
+    # every multiply and add stays ≤ 38 digits (Spark mul: p1+p2+1 /
+    # s1+s2; add: max(p1−s1,p2−s2)+max(s1,s2)+1) — no precision-loss
+    # rescale anywhere, hence exact.
+    d = lambda c: F.sum(F.col(c).cast("decimal(19,0)"))  # noqa: E731
+    merged = part.groupBy("l_returnflag", "l_linestatus").agg(
+        d("s_q4").alias("Sq"),  # global ≤ 3·10¹⁷ at 100 TB
+        d("s_p4").alias("Sp"),  # ≤ 6·10²⁰
+        d("s_a_hi").alias("Sah"),  # ≤ 6·10¹⁵
+        d("s_a_lo").alias("Sal"),  # ≤ 6·10²⁰
+        d("s_c_hi").alias("Sch"),  # ≤ 1.2·10²⁰
+        d("s_c_lo").alias("Scl"),  # ≤ 6·10²⁰
+        d("s_d4").alias("Sd"),  # ≤ 6·10¹⁵
+        F.sum("n_q").alias("Nq"),
+        F.sum("n_p").alias("Np"),
+        F.sum("n_d").alias("Nd"),
+        F.sum("n_all").alias("count_order"),
+    )
+    E4 = "CAST(0.0001 AS DECIMAL(5,4))"  # 10⁻⁴, exact scale shift
+    E8 = "CAST(0.00000001 AS DECIMAL(9,8))"
+    E12 = "CAST(0.000000000001 AS DECIMAL(13,12))"
+    return merged.selectExpr(
+        "l_returnflag",
+        "l_linestatus",
+        f"CAST(CAST(Sq AS DECIMAL(22,0)) * {E4} AS DECIMAL(38,6)) AS sum_qty",
+        f"CAST(CAST(Sp AS DECIMAL(24,0)) * {E4} AS DECIMAL(38,6))"
+        "  AS sum_base_price",
+        # a = ah·10⁹ + al at scale 8 → value = ah·10 + al·10⁻⁸;
+        # (21,0) + (34,8) → (35,8), exact, then the oracle's (38,6) cast.
+        f"CAST(CAST(Sah AS DECIMAL(18,0)) * CAST(10 AS DECIMAL(2,0))"
+        f"     + CAST(Sal AS DECIMAL(24,0)) * {E8} AS DECIMAL(38,6))"
+        "  AS sum_disc_price",
+        # c = ch·10⁹ + cl at scale 12 → value = ch·10⁻³ + cl·10⁻¹²;
+        # (27,3) + (36,12) → (37,12), exact.
+        f"CAST(CAST(Sch AS DECIMAL(22,0)) * CAST(0.001 AS DECIMAL(4,3))"
+        f"     + CAST(Scl AS DECIMAL(22,0)) * {E12} AS DECIMAL(38,6))"
+        "  AS sum_charge",
+        # avgs replay the oracle exactly: exact decimal sum → double →
+        # divide by the per-column non-null count → ROUND(…, 6).
+        f"ROUND(CAST(CAST(Sq AS DECIMAL(22,0)) * {E4} AS DOUBLE) / Nq, 6)"
+        "  AS avg_qty",
+        f"ROUND(CAST(CAST(Sp AS DECIMAL(24,0)) * {E4} AS DOUBLE) / Np, 6)"
+        "  AS avg_price",
+        f"ROUND(CAST(CAST(Sd AS DECIMAL(22,0)) * {E4} AS DOUBLE) / Nd, 6)"
+        "  AS avg_disc",
+        "count_order",
     )
 
 
