@@ -321,6 +321,10 @@ def graph_kcore(spark, sf_dir):
     from delta_unity_duckdb_spark.operators.graph import kcore
     from delta_unity_duckdb_spark.sources.tables import load_table
 
+    # The pre-join DISTINCT is load-bearing for speed, not just parity
+    # with the oracle's DISTINCT subquery: it gives the self-join one
+    # aggregated, reusable exchange. (Measured: dropping it and letting
+    # the post-sample DISTINCT dedupe doubles the edge-build wall.)
     op = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
@@ -355,15 +359,17 @@ def graph_kcore(spark, sf_dir):
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     core = kcore(edges, k=6, rounds=12)
+    # All four outputs derive from the degree frame alone: over symmetric
+    # edges Σd = 2|E|, so n_core_edges = Σd div 2 — one aggregation
+    # branch, no second pass over core, no cross join (the old two-branch
+    # assembly re-ran the core subtree and cost ~0.8 s of job floor on a
+    # toy graph for zero information).
     deg = core.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    stats = deg.agg(
+    return deg.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_core_vertices"),
+        F.expr("CAST(COALESCE(SUM(d), 0) DIV 2 AS BIGINT)").alias(
+            "n_core_edges"
+        ),
         F.coalesce(F.min("d"), F.lit(0)).cast("bigint").alias("min_degree"),
         F.coalesce(F.max("d"), F.lit(0)).cast("bigint").alias("max_degree"),
-    )
-    n_edges = core.agg(
-        F.expr("CAST(count(1) DIV 2 AS BIGINT)").alias("n_core_edges")
-    )
-    return stats.crossJoin(n_edges).select(
-        "n_core_vertices", "n_core_edges", "min_degree", "max_degree"
-    )
+    ).select("n_core_vertices", "n_core_edges", "min_degree", "max_degree")
