@@ -80,6 +80,15 @@ HEADLINE = [
     "hybrid_rrf_fusion",
     "leakage_safe_split",
     "token_budget_mixture",
+    # round-5 addition: on-disk binaryFile ingest -> real WAV/PNG decode.
+    # NOTE for matched (Spark-vs-DuckDB) comparisons: this query's oracle
+    # REGENERATES the closed-form waveforms/pixels in SQL because DuckDB
+    # has no WAV/PNG codecs — the oracle arm does no decode work, so its
+    # per-query "ratio" is a correctness pairing, not an engine
+    # comparison. The honest decode-throughput number is this entry's
+    # absolute wall (240 assets) and tools/bench_media_scale.py's
+    # assets/sec at scaled counts.
+    "media_ingest_decode",
 ]
 
 

@@ -219,6 +219,55 @@ def make_fake_media(spark, n: int = 24) -> DataFrame:
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
+def write_media_fixture_dir(path: str, n_wav: int = 120, n_png: int = 120) -> int:
+    """Materialize the deterministic WAV/PNG fixtures as REAL FILES so the
+    ``binaryFile`` → ``ingest_binary_dir`` path is exercised end-to-end
+    (listing, per-file rows, payload bytes through disk + Arrow), not just
+    the in-memory ``make_*_media`` twins. Asset ``i`` carries the SAME
+    closed forms those twins use — sawtooth ``((t·(13+i%7)) mod 2048) −
+    1024`` over ``4000 + 250·(i%8)`` samples / pixel ``(7x+13y+29c+31i)
+    mod 256`` at ``(32+8·(i%5)) × (24+8·(i%3))`` — so a SQL oracle or a
+    Python referee can regenerate every byte-derived aggregate without
+    touching the files.
+
+    Idempotent and concurrency-safe: a file whose expected name exists
+    with nonzero size is skipped; fresh content lands via write-to-temp +
+    atomic rename, so parallel callers (driver correctness workers) never
+    observe a torn payload. Returns the asset count.
+    """
+    import os
+    import tempfile
+
+    os.makedirs(path, exist_ok=True)
+
+    def put(name: str, payload: bytes) -> None:
+        dst = os.path.join(path, name)
+        if os.path.exists(dst) and os.path.getsize(dst) == len(payload):
+            return
+        fd, tmp = tempfile.mkstemp(dir=path, suffix=".tmp")
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, dst)
+
+    for i in range(n_wav):
+        n_samples = 4000 + 250 * (i % 8)
+        step = 13 + (i % 7)
+        samples = [((t * step) % 2048) - 1024 for t in range(n_samples)]
+        put(f"w{i:04d}.wav", encode_wav_pcm16(samples, 8000))
+    for i in range(n_png):
+        w = 32 + 8 * (i % 5)
+        h = 24 + 8 * (i % 3)
+        pixels = [
+            [
+                [(7 * x + 13 * y + 29 * c + 31 * i) % 256 for c in range(3)]
+                for x in range(w)
+            ]
+            for y in range(h)
+        ]
+        put(f"p{i:04d}.png", encode_png(pixels, filter_mode="rotate"))
+    return n_wav + n_png
+
+
 _EXT_MODALITY = {
     ".png": ("image", "image/png"),
     ".jpg": ("image", "image/jpeg"),

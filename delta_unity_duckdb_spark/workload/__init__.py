@@ -27,9 +27,10 @@ from delta_unity_duckdb_spark.workload.registry import ORACLE, QUERIES
 # Round-5 driver window (50 slots): the FINAL 27 never-driver-green queries
 # (the 11 relational stragglers queued since round 2/3 plus the 16 round-4
 # retrieval / mixture / multimodal additions — all strict-green at sf0.001
-# AND sf0.01 under tools/strict_check.py), then 23 re-confirmation slots for
-# the oldest (round-1) greens so no green row is more than a few rounds
-# stale. A green window here closes ever-driver-green to 207/207.
+# AND sf0.01 under tools/strict_check.py), the new round-5
+# media_ingest_decode, then 22 re-confirmation slots for the oldest
+# (round-1) greens so no green row is more than a few rounds stale. A green
+# window here closes ever-driver-green to 208/208.
 _PRIORITY = [
     # --- the 27 never-driver-green queries ---
     # relational stragglers (§2-C shapes, strict-green since r02/r03)
@@ -62,7 +63,9 @@ _PRIORITY = [
     "image_dhash_near_dup",
     "audio_energy_segments",
     "stream_media_decode",
-    # --- 23 re-confirmation slots: round-1 greens, now 4 windows old ---
+    # round-5 addition: on-disk binaryFile ingest → decode, never checked
+    "media_ingest_decode",
+    # --- 22 re-confirmation slots: round-1 greens, now 4 windows old ---
     "scan_limit",
     "graph_counts",
     "dedup_exact",
@@ -85,7 +88,6 @@ _PRIORITY = [
     "graph_components",
     "graph_triangles",
     "contamination_check",
-    "dataset_split_assign",
 ]
 
 

@@ -500,3 +500,123 @@ def audio_energy_segments(spark, sf_dir):
         )
         .orderBy("asset_id")
     )
+
+
+# -------------------------------------------------------------- on-disk ingest → decode (both arms)
+_INGEST_N = 120  # per modality; 240 assets total — the >100-asset contract
+
+
+def _media_fixture_path() -> str:
+    """Cached on-disk fixture home: .scale_data/ is repo-local and
+    gitignored; the writer is idempotent so every caller (tests, bench,
+    driver correctness workers) converges on identical bytes."""
+    import os
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    return os.path.join(repo, ".scale_data", f"media_fixture_{_INGEST_N}")
+
+
+@query(
+    "media_ingest_decode",
+    oracle=f"""
+    WITH wav_params AS (
+      SELECT i, 4000 + 250 * (i % 8) AS ns, 13 + (i % 7) AS st
+      FROM (SELECT UNNEST(RANGE(0, {_INGEST_N})) AS i)),
+    wav_s AS (
+      SELECT p.i, ((t.t * p.st) % 2048) - 1024 AS s
+      FROM wav_params p, LATERAL (SELECT UNNEST(RANGE(0, p.ns)) AS t) t),
+    wav_asset AS (
+      SELECT i, COUNT(*) AS units, SUM(CAST(s AS BIGINT) * s) AS v
+      FROM wav_s GROUP BY i),
+    img_params AS (
+      SELECT i, 32 + 8 * (i % 5) AS w, 24 + 8 * (i % 3) AS h
+      FROM (SELECT UNNEST(RANGE(0, {_INGEST_N})) AS i)),
+    img_px AS (
+      SELECT p.i, (7 * x.x + 13 * y.y + 29 * c.c + 31 * p.i) % 256 AS v
+      FROM img_params p,
+           LATERAL (SELECT UNNEST(RANGE(0, p.w)) AS x) x,
+           LATERAL (SELECT UNNEST(RANGE(0, p.h)) AS y) y,
+           LATERAL (SELECT UNNEST(RANGE(0, 3)) AS c) c),
+    img_asset AS (
+      SELECT i, COUNT(*) AS units, SUM(CAST(v AS BIGINT)) AS v
+      FROM img_px GROUP BY i)
+    SELECT 'audio' AS modality, CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(units) AS BIGINT) AS units_total,
+           CAST(SUM(v) AS BIGINT) AS value_sum,
+           CAST(MIN(v) AS BIGINT) AS value_lo,
+           CAST(MAX(v) AS BIGINT) AS value_hi
+    FROM wav_asset
+    UNION ALL
+    SELECT 'image', CAST(COUNT(*) AS BIGINT), CAST(SUM(units) AS BIGINT),
+           CAST(SUM(v) AS BIGINT), CAST(MIN(v) AS BIGINT),
+           CAST(MAX(v) AS BIGINT)
+    FROM img_asset
+    ORDER BY modality
+    """,
+)
+def media_ingest_decode(spark, sf_dir):
+    """THE on-disk multimodal path, end-to-end: 240 real WAV/PNG files on
+    disk → Spark ``binaryFile`` source (distributed listing, one row per
+    file) → ``ingest_binary_dir``'s typed MEDIA_SCHEMA mapping (modality
+    from extension) → hash-repartition by asset → BOTH real decode arms
+    (RIFF/PCM16 chunk walk, PNG inflate+unfilter+CRC) → per-modality
+    roll-up of per-asset exact aggregates (samples + energy for audio,
+    pixel count + pixel sum for image). The oracle regenerates the
+    closed-form waveforms/pixels in SQL, so a bug ANYWHERE in the chain —
+    file listing, byte transport, extension routing, codec, Arrow batch
+    alignment — value-mismatches; it cannot hide in the plumbing.
+
+    Scale: this is the 100 TB ingest shape — listing and payloads stay
+    distributed (no driver collect), decode is Arrow-batched mapInPandas,
+    per-asset rows are a keyed narrow aggregate; the roll-up output is 2
+    rows. Fixture writing is driver-side but idempotent + cached across
+    calls (and ~5 MB); real deployments substitute their object store
+    at the `ingest_binary_dir` seam.
+    """
+    from delta_unity_duckdb_spark.operators.multimodal import (
+        write_media_fixture_dir,
+    )
+
+    path = _media_fixture_path()
+    write_media_fixture_dir(path, n_wav=_INGEST_N, n_png=_INGEST_N)
+    return ingest_decode_rollup(spark, path)
+
+
+def ingest_decode_rollup(spark, path: str):
+    """Reusable ingest→decode→per-modality-rollup frame over any on-disk
+    media directory — shared by the registered 240-asset oracle query and
+    tools/bench_media_scale.py's scaled throughput arm."""
+    from delta_unity_duckdb_spark.operators.multimodal import (
+        audio_features,
+        image_features,
+        ingest_binary_dir,
+        repartition_by_asset,
+    )
+
+    media = ingest_binary_dir(spark, path)
+    # binaryFile packs tiny files into few read tasks; spread the decode.
+    media = repartition_by_asset(
+        media, spark.sparkContext.defaultParallelism
+    )
+    af = audio_features(media.filter(F.col("modality") == "audio"))
+    imf = image_features(media.filter(F.col("modality") == "image"))
+    a = af.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assets"),
+        F.sum("n_samples").cast("bigint").alias("units_total"),
+        F.sum("sum_sq").cast("bigint").alias("value_sum"),
+        F.min("sum_sq").cast("bigint").alias("value_lo"),
+        F.max("sum_sq").cast("bigint").alias("value_hi"),
+    ).select(F.lit("audio").alias("modality"), "*")
+    b = imf.select(
+        (F.col("width") * F.col("height") * F.col("channels")).alias("units"),
+        "pix_sum",
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assets"),
+        F.sum("units").cast("bigint").alias("units_total"),
+        F.sum("pix_sum").cast("bigint").alias("value_sum"),
+        F.min("pix_sum").cast("bigint").alias("value_lo"),
+        F.max("pix_sum").cast("bigint").alias("value_hi"),
+    ).select(F.lit("image").alias("modality"), "*")
+    return a.unionByName(b).orderBy("modality")

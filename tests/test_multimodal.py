@@ -121,3 +121,65 @@ def test_media_similarity_end_to_end(spark):
     assert len(per_q) == 2
     for r in rows:
         assert -1.0001 <= r.cosine_sim <= 1.0001
+
+
+def test_write_media_fixture_dir_roundtrip(spark, tmp_path):
+    """On-disk fixture → binaryFile ingest → BOTH real decode arms: the
+    decoded per-asset features must equal the in-memory make_*_media
+    twins' (same closed forms, bytes routed through disk + listing), and
+    a second write call must be an idempotent no-op."""
+    import os
+
+    from delta_unity_duckdb_spark.operators.multimodal import (
+        audio_features,
+        image_features,
+        ingest_binary_dir,
+        make_png_media,
+        make_wav_media,
+        write_media_fixture_dir,
+    )
+
+    d = str(tmp_path / "assets")
+    assert write_media_fixture_dir(d, n_wav=6, n_png=5) == 11
+    mtimes = {f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)}
+    assert write_media_fixture_dir(d, n_wav=6, n_png=5) == 11  # idempotent
+    assert mtimes == {
+        f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)
+    }
+    assert len(mtimes) == 11 and not any(f.endswith(".tmp") for f in mtimes)
+
+    media = ingest_binary_dir(spark, d)
+    got_a = {
+        r["asset_id"].removesuffix(".wav"): (r["n_samples"], r["sum_sq"])
+        for r in audio_features(media).collect()
+    }
+    want_a = {
+        r["asset_id"]: (r["n_samples"], r["sum_sq"])
+        for r in audio_features(make_wav_media(spark, 6)).collect()
+    }
+    assert got_a == want_a and len(got_a) == 6
+    got_i = {
+        r["asset_id"].removesuffix(".png"): (r["width"], r["pix_sum"])
+        for r in image_features(media).collect()
+    }
+    want_i = {
+        r["asset_id"]: (r["width"], r["pix_sum"])
+        for r in image_features(make_png_media(spark, 5)).collect()
+    }
+    assert got_i == want_i and len(got_i) == 5
+
+
+def test_media_scale_referee_matches_oracle_constants(spark):
+    """The numpy referee in tools/bench_media_scale.py and the
+    media_ingest_decode SQL oracle must agree at the registered fixture
+    size — pins the two independent closed-form replays together."""
+    import duckdb
+
+    from delta_unity_duckdb_spark.workload.media import _INGEST_N
+    from delta_unity_duckdb_spark.workload.registry import ORACLE
+    from tools.bench_media_scale import referee
+
+    exp = referee(_INGEST_N)
+    rows = duckdb.connect().execute(ORACLE["media_ingest_decode"]).fetchall()
+    got = {r[0]: tuple(int(x) for x in r[1:]) for r in rows}
+    assert got == exp

@@ -103,6 +103,23 @@ def main() -> None:
             f"SELECT COUNT(*) FROM read_parquet('{dst}/{tbl}.parquet')"
         ).fetchone()[0]
         print(f"{tbl}: {n} rows", file=sys.stderr)
+
+    # Scaled on-disk media fixture (real WAV/PNG files for the binaryFile
+    # ingest→decode path): asset count scales with copies, capped so the
+    # driver-side one-time generation stays minutes-bounded — decode
+    # throughput at the cap is already thousands of assets, and
+    # tools/bench_media_scale.py regenerates/validates any count on
+    # demand via its closed-form referee.
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from delta_unity_duckdb_spark.operators.multimodal import (
+        write_media_fixture_dir,
+    )
+
+    n_media = min(120 * copies, 2400)
+    write_media_fixture_dir(
+        os.path.join(dst, "media"), n_wav=n_media, n_png=n_media
+    )
+    print(f"media: {2 * n_media} assets", file=sys.stderr)
     print(f"wrote {dst} ({copies}x {src})", file=sys.stderr)
 
 
