@@ -53,7 +53,11 @@ def get_spark(
     master/instances come from spark-submit and these settings are inert.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    master = master or f"local[{cpus}]"
+    # SPARK_GRAFT_MASTER lets any entry point (strict_check, bench, tests)
+    # run unchanged against a real multi-process cluster — e.g. the
+    # standalone master/workers tools/cluster_sim.py launches to surface
+    # serialization and locality effects local[N] hides.
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 

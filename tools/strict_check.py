@@ -15,6 +15,7 @@ Writes one JSON line per query; summary line at the end.
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 
@@ -27,8 +28,14 @@ def main():
     from delta_unity_duckdb_spark.workload import ORACLE, QUERIES
     from tests.oracle_harness import duck_connection, strict_compare
 
+    # Deliberately a BARE session (mirroring the external driver), not
+    # get_spark(); SPARK_GRAFT_MASTER still applies so the identical
+    # sweep can run against tools/cluster_sim.py's multi-process
+    # standalone cluster.
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(
+            os.environ.get("SPARK_GRAFT_MASTER", "local[8]")
+        )
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.driver.memory", "8g")
         .config("spark.ui.enabled", "false")
