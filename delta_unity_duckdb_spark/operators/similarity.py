@@ -339,8 +339,9 @@ def dense_jaccard_pairs(
     uk: DataFrame,
     user_col: str = "user_id",
     k_col: str = "k",
-    block_rows: int = 1024,
+    block_rows: int = 2048,
     max_universe: int = 4096,
+    top_k: int | None = None,
 ) -> DataFrame | None:
     """Exact pairwise set-intersection counts + Jaccard (integer ppm) for
     a (user, element) incidence table whose element UNIVERSE is small —
@@ -368,13 +369,25 @@ def dense_jaccard_pairs(
     ~density·K join+aggregate rows — strictly less whenever the sparse
     intermediate exceeds the pair count.
 
-    Scale: both regimes are inherently Ω(pairs-with-overlap); dense
+    Scale: computing ALL pairs is inherently Ω(pairs-with-overlap); dense
     tiles distribute as B(B+1)/2 independent tasks of bounded
     (≤ 2·block_rows·K) memory. The rank window is a one-pass O(U log U)
     sort — negligible against the quadratic output it organizes. Returns
     None when the probed universe exceeds ``max_universe`` — the caller
     falls back to the sparse co-occurrence join, which is the right
     plan when elements are many and sets are sparse.
+
+    ``top_k``: when the consumer only wants the global top-k pairs under
+    the canonical order (jaccard_ppm DESC, u1, u2) — the set-similarity
+    query's actual shape — each tile emits only its LOCAL top-k under
+    that same TOTAL order. This is exact, not approximate: a pair in the
+    global top-k is preceded by < k pairs globally, hence by < k pairs
+    within its own tile, so it survives the tile cut; the union of tile
+    top-ks is a superset of the global top-k and the caller's final
+    TakeOrdered(k) finishes the job. It converts the operator's OUTPUT
+    from Ω(overlapping pairs) — 10¹⁰ rows at 100× fixture scale, the
+    round-5 sf10 hang — to ≤ k·B(B+1)/2 rows while the GEMM flops stay
+    identical. Leave None to materialize every overlapping pair.
 
     Null contract: a NULL element joins nothing in the sparse path, so
     here it is excluded from the set bits but still counted in the set
@@ -402,9 +415,18 @@ def dense_jaccard_pairs(
         F.collect_set(k_col).alias("ks"),
         F.count(F.lit(1)).alias("n"),
     )
-    w = Window.orderBy("u")
+    # Block assignment by HASH, not by global rank: the old
+    # row_number() over Window.orderBy(u) funneled every user through ONE
+    # window partition, and the B-way replication explode then ran (and
+    # shuffle-wrote B·U rows) inside that single task — the serial stage
+    # that dominated the 100×-scale wall. A deterministic hash spreads
+    # both the assignment and the explode across the cluster; blocks are
+    # Poisson-balanced (±few % at 2048 rows/block), and each unordered
+    # pair still lands in exactly ONE tile — (least, greatest) of the two
+    # block ids — with canonical u1 < u2 enforced elementwise in the
+    # kernel instead of by block order.
     compact = compact.withColumn(
-        "ub", ((F.row_number().over(w) - F.lit(1)) / block_rows).cast("int")
+        "ub", F.pmod(F.xxhash64("u"), F.lit(n_blocks)).cast("int")
     )
     parts = compact.select(
         "u",
@@ -444,26 +466,47 @@ def dense_jaccard_pairs(
             ua, na, Ma = mat(a)
             C = Ma @ Ma.T
             iu, ju = np.triu_indices(len(ua), 1)
-            ub_, nb, = ua, na
+            both = C[iu, ju].astype(np.int64)
+            u1, u2 = ua[iu], ua[ju]
+            n1, n2 = na[iu], na[ju]
         else:
+            b = pdf[pdf["ub"] == bb]
+            if not len(a) or not len(b):  # hash blocks may be empty
+                return pd.DataFrame(
+                    {c: [] for c in ("u1", "u2", "both_n", "jaccard_ppm")}
+                )
             ua, na, Ma = mat(a)
-            ub_, nb, Mb = mat(pdf[pdf["ub"] == bb])
+            ub_, nb, Mb = mat(b)
             C = Ma @ Mb.T
-            iu, ju = np.meshgrid(
-                np.arange(len(ua)), np.arange(len(ub_)), indexing="ij"
-            )
-            iu, ju = iu.ravel(), ju.ravel()
-        both = C[iu, ju].astype(np.int64)
+            # The full grid IS the pair set here: ravel + repeat/tile
+            # instead of a meshgrid fancy-gather (measured ~5× cheaper
+            # on a 1M-pair tile — this kernel runs B(B+1)/2 times).
+            both = C.ravel().astype(np.int64)
+            u1 = np.repeat(ua, len(ub_))
+            u2 = np.tile(ub_, len(ua))
+            n1 = np.repeat(na, len(ub_))
+            n2 = np.tile(nb, len(ua))
+            # Hash blocks carry no order: canonicalize u1 < u2 per pair
+            # (jaccard is symmetric in n1/n2, so only ids swap).
+            sw = u1 > u2
+            u1, u2 = np.where(sw, u2, u1), np.where(sw, u1, u2)
         keep = both > 0
-        iu, ju, both = iu[keep], ju[keep], both[keep]
-        n1, n2 = na[iu], nb[ju]
+        u1, u2, both = u1[keep], u2[keep], both[keep]
+        n1, n2 = n1[keep], n2[keep]
+        jac = both * 1_000_000 // (n1 + n2 - both)
+        if top_k is not None and len(jac) > top_k:
+            # Local cut under the EXACT global total order — jaccard
+            # desc, then (u1, u2) asc. Select-by-value first (O(n)
+            # partition), then lexsort only the ≥-kth candidates: a full
+            # 1M-pair lexsort was the tile's single largest cost.
+            kth = np.partition(jac, len(jac) - top_k)[len(jac) - top_k]
+            cand = np.flatnonzero(jac >= kth)
+            if len(cand) > top_k:
+                order = np.lexsort((u2[cand], u1[cand], -jac[cand]))
+                cand = cand[order[:top_k]]
+            u1, u2, both, jac = u1[cand], u2[cand], both[cand], jac[cand]
         return pd.DataFrame(
-            {
-                "u1": ua[iu],
-                "u2": ub_[ju],
-                "both_n": both,
-                "jaccard_ppm": both * 1_000_000 // (n1 + n2 - both),
-            }
+            {"u1": u1, "u2": u2, "both_n": both, "jaccard_ppm": jac}
         )
 
     return parts.groupBy("ba", "bb").applyInPandas(

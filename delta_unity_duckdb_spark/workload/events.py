@@ -400,7 +400,13 @@ def user_jaccard_pairs(spark, sf_dir):
         )
         .distinct()
     )
-    pairs = dense_jaccard_pairs(uk)
+    # top_k=50 pushes the query's final cut into the tile kernels: each
+    # tile emits its local top-50 under the identical total order, an
+    # exact superset of the global top-50 (see dense_jaccard_pairs) —
+    # without it the operator's OUTPUT is every overlapping pair, which
+    # at 100× fixture scale (150k users, all-overlapping) is ~10¹⁰ rows
+    # and hung the sf10 sweep.
+    pairs = dense_jaccard_pairs(uk, top_k=50)
     if pairs is None:  # sparse regime: co-occurrence join
         sizes = uk.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
         a, b = uk.alias("a"), uk.alias("b")

@@ -36,6 +36,12 @@ def main() -> None:
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--timeout", type=float, default=300.0,
                     help="DuckDB per-query interrupt watchdog (seconds)")
+    ap.add_argument("--spark-timeout", type=float, default=0.0,
+                    help="Spark per-query (cold+warm combined) watchdog; "
+                         "0 = off. A fired watchdog records spark_err="
+                         "SPARK_TIMEOUT and the sweep continues — without "
+                         "it one quadratic-at-scale query can hang a "
+                         "multi-hour sweep invisibly (learned at sf10).")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -55,6 +61,19 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     QUERIES["count_star"](spark, args.sf_dir).collect()
     for n in names:
+        fired = {"t": False}
+
+        def _cancel():
+            fired["t"] = True
+            spark.sparkContext.cancelAllJobs()
+
+        timer = (
+            threading.Timer(args.spark_timeout, _cancel)
+            if args.spark_timeout
+            else None
+        )
+        if timer:
+            timer.start()
         try:
             t0 = time.perf_counter()
             QUERIES[n](spark, args.sf_dir).toPandas()
@@ -66,7 +85,14 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             out[n]["spark_warm"] = round(best, 3)
         except Exception as exc:
-            out[n]["spark_err"] = f"{type(exc).__name__}: {exc}"[:200]
+            tag = "SPARK_TIMEOUT: " if fired["t"] else ""
+            out[n]["spark_err"] = f"{tag}{type(exc).__name__}: {exc}"[:200]
+            # A timed-out cold number is not a measurement.
+            out[n].pop("spark_cold", None)
+        finally:
+            if timer:
+                timer.cancel()
+        print(f"[pair] {n}: {out[n]}", file=sys.stderr, flush=True)
     spark.stop()
 
     import duckdb
@@ -113,6 +139,7 @@ def main() -> None:
                 out[n]["ratio"] = round(
                     out[n]["spark_warm"] / max(out[n]["duck_warm"], 1e-9), 2
                 )
+        print(f"[pair:duck] {n}: {out[n]}", file=sys.stderr, flush=True)
 
     ok = [n for n in names if "ratio" in out[n]]
     payload = {
