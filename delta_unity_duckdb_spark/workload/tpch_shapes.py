@@ -460,19 +460,38 @@ def stats_moments(spark, sf_dir):
     exact sums make the same formula text produce bit-identical doubles
     in both. One shuffle of 8 decimal accumulators per group.
     """
+    from delta_unity_duckdb_spark.functions.numeric import fx_sums
     from delta_unity_duckdb_spark.sources.tables import load_table_cpu_bound
 
     li = load_table_cpu_bound(spark, sf_dir, "lineitem")
-    x = F.col("l_quantity").cast("decimal(9,4)")
-    y = F.col("l_extendedprice").cast("decimal(12,4)")
-    sums = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(x).cast("double").alias("sx"),
-        F.sum(x * x).cast("double").alias("sx2"),
-        F.sum(x * x * x).cast("double").alias("sx3"),
-        F.sum(y).cast("double").alias("sy"),
-        F.sum(y * y).cast("double").alias("sy2"),
-        F.sum(x * y).cast("double").alias("sxy"),
+    # Scale-4 fixed point instead of per-row DECIMAL powers (x³ in
+    # BigDecimal measured ~10× the oracle at sf10): the inputs are exact
+    # at 4 decimals and nonnegative, so every power sum is an exact
+    # int64-term sum at a known scale — fx_sums reassembles the exact
+    # decimal values, and the final double casts match the oracle's
+    # CAST(SUM(DECIMAL…) AS DOUBLE) bit-for-bit. Per-row bounds: q4³ ≤
+    # 1.25e17, p4² ≤ 1.2e18 — inside int64 with ≥7× headroom.
+    q4 = F.expr("CAST(l_quantity * 10000 + 0.5d AS BIGINT)")
+    p4 = F.expr("CAST(l_extendedprice * 10000 + 0.5d AS BIGINT)")
+    sums = fx_sums(
+        li,
+        ["l_returnflag"],
+        {
+            "fsx": (q4, 4),
+            "fsx2": (q4 * q4, 8),
+            "fsx3": (q4 * q4 * q4, 12),
+            "fsy": (p4, 4),
+            "fsy2": (p4 * p4, 8),
+            "fsxy": (q4 * p4, 8),
+        },
+        extras={"n": F.count(F.lit(1))},
+    ).select(
+        "l_returnflag",
+        "n",
+        *[
+            F.col(f"f{c}").cast("double").alias(c)
+            for c in ("sx", "sx2", "sx3", "sy", "sy2", "sxy")
+        ],
     )
     n, sx, sx2, sx3 = F.col("n"), F.col("sx"), F.col("sx2"), F.col("sx3")
     sy, sy2, sxy = F.col("sy"), F.col("sy2"), F.col("sxy")
