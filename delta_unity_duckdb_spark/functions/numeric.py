@@ -97,6 +97,7 @@ def fx_sums(
     group_cols: list[str],
     specs: dict[str, tuple[Column, int]],
     extras: dict[str, Column] | None = None,
+    bounds: dict[str, tuple[int, int]] | None = None,
 ):
     """Exact decimal-valued sums at BigDecimal-free cost: the two-phase
     scale-S fixed-point pattern proven on pricing_summary, packaged.
@@ -133,13 +134,42 @@ def fx_sums(
     guarantees the exact sums. Note spark_partition_id() in a grouping
     key disables whole-stage codegen for the aggregate; measured at sf10
     the interpreted agg is noise against the saved per-row BigDecimal
-    work (pricing_summary: 27.6 s → 1.9 s)."""
+    work (pricing_summary: 27.6 s → 1.9 s).
+
+    ``bounds`` (optional) maps ``alias -> (lo, hi)``: the admissible
+    per-row range of the int64 long expression. The preconditions above
+    (nonnegative inputs for the ``+0.5d`` rounding recipe, per-row int64
+    headroom for products like ``q4*q4*q4``) are otherwise UNENFORCED — a
+    violating input silently wraps in non-ANSI long multiply and corrupts
+    the sums without the loud NULL the decimal narrowing gives. With a
+    bound declared, any out-of-range row raises at execution time
+    (``raise_error``, fails the job loudly). Note a bound can't catch a
+    wrap that lands back inside the range, so pick ``hi`` tight (e.g. the
+    max data value, not INT64_MAX); it reliably catches the common
+    failure — a negative long from an even number of wraps or a negative
+    input hitting the truncate-toward-zero rounding recipe.
+    """
     from pyspark.sql import functions as F
 
     extras = extras or {}
+
+    def _checked(a: str, expr: Column) -> Column:
+        if not bounds or a not in bounds:
+            return expr
+        lo, hi = bounds[a]
+        ok = expr.isNull() | ((expr >= F.lit(lo)) & (expr <= F.lit(hi)))
+        return F.when(ok, expr).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"fx_sums[{a}]: per-row value outside [{lo}, {hi}]: "),
+                    expr.cast("string"),
+                )
+            )
+        )
+
     proj = df.select(
         *group_cols,
-        *[expr.alias(f"_fx_{a}") for a, (expr, _s) in specs.items()],
+        *[_checked(a, expr).alias(f"_fx_{a}") for a, (expr, _s) in specs.items()],
     )
     partial = proj.groupBy(
         *group_cols, F.spark_partition_id().alias("_pid")

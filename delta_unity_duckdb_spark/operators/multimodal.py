@@ -233,18 +233,38 @@ def write_media_fixture_dir(path: str, n_wav: int = 120, n_png: int = 120) -> in
     Idempotent and concurrency-safe: a file whose expected name exists
     with nonzero size is skipped; fresh content lands via write-to-temp +
     atomic rename, so parallel callers (driver correctness workers) never
-    observe a torn payload. Returns the asset count.
+    observe a torn payload. A ``MANIFEST.txt`` records the fixture formula
+    version — if the closed forms above ever change without changing
+    payload LENGTH, the size-only skip would silently keep stale files and
+    the resulting oracle mismatch would point at the decode path instead
+    of the fixture; a manifest mismatch forces full regeneration instead.
+    Returns the asset count.
     """
     import os
     import tempfile
 
     os.makedirs(path, exist_ok=True)
+    # "_"-prefixed so Spark's file listing (binaryFile ingest) skips it.
+    manifest = os.path.join(path, "_MANIFEST.txt")
+    formula = (
+        "v1 wav=sawtooth((t*(13+i%7))%2048-1024,n=4000+250*(i%8),sr=8000) "
+        "png=pixel((7x+13y+29c+31i)%256,w=32+8*(i%5),h=24+8*(i%3),rotate) "
+        f"n_wav={n_wav} n_png={n_png}\n"
+    )
+    try:
+        stale = open(manifest).read() != formula
+    except OSError:
+        stale = True
 
     def put(name: str, payload: bytes) -> None:
         dst = os.path.join(path, name)
-        if os.path.exists(dst) and os.path.getsize(dst) == len(payload):
+        if (
+            not stale
+            and os.path.exists(dst)
+            and os.path.getsize(dst) == len(payload)
+        ):
             return
-        fd, tmp = tempfile.mkstemp(dir=path, suffix=".tmp")
+        fd, tmp = tempfile.mkstemp(dir=path, prefix="_tmp", suffix=".tmp")
         with os.fdopen(fd, "wb") as f:
             f.write(payload)
         os.replace(tmp, dst)
@@ -265,6 +285,13 @@ def write_media_fixture_dir(path: str, n_wav: int = 120, n_png: int = 120) -> in
             for y in range(h)
         ]
         put(f"p{i:04d}.png", encode_png(pixels, filter_mode="rotate"))
+    # Manifest last: a crash mid-write leaves no/stale manifest, which
+    # forces regeneration on the next call — never a torn fixture.
+    if stale:
+        fd, tmp = tempfile.mkstemp(dir=path, prefix="_tmp", suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            f.write(formula)
+        os.replace(tmp, manifest)
     return n_wav + n_png
 
 

@@ -42,6 +42,22 @@ def _delta_available() -> bool:
         return False
 
 
+def resolve_master(master: str | None = None) -> str:
+    """The session's master resolution, extracted so tests can assert on
+    it directly (a source-grep test would survive a regression here).
+
+    Precedence: explicit argument > ``SPARK_GRAFT_MASTER`` (lets any entry
+    point — strict_check, bench, tests — run unchanged against a real
+    multi-process cluster, e.g. the standalone master/workers
+    tools/cluster_sim.py launches to surface serialization and locality
+    effects ``local[N]`` hides) > ``local[$SPARK_GRAFT_CPUS]``.
+    """
+    if master:
+        return master
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    return os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+
+
 def get_spark(
     app_name: str = "delta-unity-duckdb-spark",
     master: str | None = None,
@@ -52,12 +68,7 @@ def get_spark(
     Local defaults come from ``SPARK_GRAFT_CPUS``; on a real cluster the
     master/instances come from spark-submit and these settings are inert.
     """
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    # SPARK_GRAFT_MASTER lets any entry point (strict_check, bench, tests)
-    # run unchanged against a real multi-process cluster — e.g. the
-    # standalone master/workers tools/cluster_sim.py launches to surface
-    # serialization and locality effects local[N] hides.
-    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    master = resolve_master(master)
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
 

@@ -232,6 +232,8 @@ def group_aggs(spark, sf_dir):
         li,
         ["l_returnflag"],
         {"fq": (q4, 4), "fp": (p4, 4)},
+        # Enforce the +0.5d recipe's nonnegativity precondition per-row.
+        bounds={"fq": (0, 10**7), "fp": (0, 4 * 10**10)},
     ).select(
         "l_returnflag",
         F.col("fq").cast(DEC38).alias("sum_qty"),
@@ -245,7 +247,13 @@ def group_aggs(spark, sf_dir):
         F.max("l_extendedprice").alias("max_price"),
         F.countDistinct("l_partkey").alias("distinct_parts"),
     )
-    return rest.join(sums, "l_returnflag").select(
+    # Null-safe join: both arms emit a NULL group if the key has NULLs;
+    # a plain equi-join would drop it while the oracle's GROUP BY keeps
+    # it. eqNullSafe (<=>)  is still a hash-joinable equi-condition.
+    sums = sums.withColumnRenamed("l_returnflag", "_rf")
+    return rest.join(
+        sums, rest["l_returnflag"].eqNullSafe(sums["_rf"])
+    ).select(
         "l_returnflag",
         "n",
         "sum_qty",

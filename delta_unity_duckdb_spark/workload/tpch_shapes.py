@@ -485,6 +485,18 @@ def stats_moments(spark, sf_dir):
             "fsxy": (q4 * p4, 8),
         },
         extras={"n": F.count(F.lit(1))},
+        # Enforce the documented preconditions per-row (cheap codegen'd
+        # comparisons): nonnegativity (the +0.5d recipe truncates toward
+        # zero on negatives) and tight int64 headroom for the cubes —
+        # data 20× beyond TPC-H domain raises loudly instead of wrapping.
+        bounds={
+            "fsx": (0, 10**7),
+            "fsx2": (0, 10**14),
+            "fsx3": (0, 2 * 10**18),
+            "fsy": (0, 4 * 10**10),
+            "fsy2": (0, 4 * 10**18),
+            "fsxy": (0, 4 * 10**17),
+        },
     ).select(
         "l_returnflag",
         "n",

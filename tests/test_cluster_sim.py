@@ -4,8 +4,6 @@ the scale benches — these pin its wiring so drift fails fast in CI)."""
 
 from __future__ import annotations
 
-import os
-
 
 def test_default_subset_registered_and_oracled():
     from delta_unity_duckdb_spark.workload import ORACLE, QUERIES
@@ -20,12 +18,14 @@ def test_default_subset_registered_and_oracled():
 
 def test_master_env_reaches_session(monkeypatch):
     """SPARK_GRAFT_MASTER must be the session's master resolver default —
-    asserted on the builder config, no cluster needed."""
-    from delta_unity_duckdb_spark import session as S
+    asserted by calling get_spark's actual resolver, no cluster needed."""
+    from delta_unity_duckdb_spark.session import resolve_master
 
     monkeypatch.setenv("SPARK_GRAFT_MASTER", "spark://127.0.0.1:1")
-    # Re-derive the same expression get_spark uses.
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    resolved = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
-    assert resolved == "spark://127.0.0.1:1"
-    assert "SPARK_GRAFT_MASTER" in open(S.__file__).read()
+    assert resolve_master() == "spark://127.0.0.1:1"
+    # Explicit argument beats the env override.
+    assert resolve_master("local[2]") == "local[2]"
+    # Without the env var, falls back to local[$SPARK_GRAFT_CPUS].
+    monkeypatch.delenv("SPARK_GRAFT_MASTER")
+    monkeypatch.setenv("SPARK_GRAFT_CPUS", "7")
+    assert resolve_master() == "local[7]"

@@ -146,7 +146,19 @@ def test_write_media_fixture_dir_roundtrip(spark, tmp_path):
     assert mtimes == {
         f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)
     }
-    assert len(mtimes) == 11 and not any(f.endswith(".tmp") for f in mtimes)
+    # 11 assets + the formula-version manifest ("_"-prefixed so Spark's
+    # file listing skips it); no torn temp files.
+    assert len(mtimes) == 12 and not any(f.endswith(".tmp") for f in mtimes)
+    assert "_MANIFEST.txt" in mtimes
+    # A manifest mismatch (formula change without a payload-length change)
+    # must force regeneration — the size-only skip alone would keep stale
+    # bytes silently.
+    with open(os.path.join(d, "_MANIFEST.txt"), "w") as f:
+        f.write("v0 some-older-formula\n")
+    assert write_media_fixture_dir(d, n_wav=6, n_png=5) == 11
+    regen = {f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)}
+    assert all(regen[f] >= mtimes[f] for f in mtimes)
+    assert regen["w0000.wav"] > mtimes["w0000.wav"]
 
     media = ingest_binary_dir(spark, d)
     got_a = {

@@ -1,0 +1,81 @@
+"""fx_sums (functions/numeric.py) — exactness and the strict bounds path.
+
+The two-phase scale-S fixed-point sum must be bit-identical to
+SUM(CAST(... AS DECIMAL)) at any partition count, and the optional
+per-row ``bounds`` must turn a precondition violation (negative input
+into the +0.5d recipe, int64 overflow headroom breach) into a loud
+runtime error instead of a silently-wrapped sum.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _fixture(spark, vals, parts):
+    return spark.createDataFrame(
+        [("g", float(v)) for v in vals], "k string, x double"
+    ).repartition(parts)
+
+
+def test_fx_sums_matches_decimal_sum(spark):
+    from delta_unity_duckdb_spark.functions.numeric import fx_sums
+
+    vals = [1.23, 4.56, 0.01, 999999.99, 12.34, 0.0]
+    for parts in (1, 3, 8):
+        df = _fixture(spark, vals, parts)
+        ex = F.expr("CAST(x * 10000 + 0.5d AS BIGINT)")
+        out = fx_sums(df, ["k"], {"fx": (ex, 4)}).collect()[0]
+        want = sum(Decimal(str(v)) for v in vals)
+        assert Decimal(out["fx"]) == want
+        assert out["n_fx"] == len(vals)
+
+
+def test_fx_sums_bounds_raise_on_violation(spark):
+    from delta_unity_duckdb_spark.functions.numeric import fx_sums
+
+    df = _fixture(spark, [1.0, -5.0, 2.0], 2)
+    ex = F.expr("CAST(x * 10000 + 0.5d AS BIGINT)")
+    # Unbounded: the negative slips through (documented hazard).
+    fx_sums(df, ["k"], {"fx": (ex, 4)}).collect()
+    # Bounded: the violating row fails the job loudly.
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as ei:
+        fx_sums(
+            df, ["k"], {"fx": (ex, 4)}, bounds={"fx": (0, 10**7)}
+        ).collect()
+    assert "fx_sums[fx]" in str(ei.value) or isinstance(
+        ei.value, Py4JJavaError
+    )
+
+
+def test_fx_sums_bounds_pass_through_on_valid_input(spark):
+    from delta_unity_duckdb_spark.functions.numeric import fx_sums
+
+    vals = [1.5, 2.25, 3.75]
+    df = _fixture(spark, vals, 3)
+    ex = F.expr("CAST(x * 10000 + 0.5d AS BIGINT)")
+    out = fx_sums(
+        df, ["k"], {"fx": (ex, 4)}, bounds={"fx": (0, 10**7)}
+    ).collect()[0]
+    assert Decimal(out["fx"]) == Decimal("7.5")
+
+
+def test_fx_sums_null_semantics(spark):
+    """NULL inputs skip both the sum and n_<alias> — and must not trip
+    the bounds check."""
+    from delta_unity_duckdb_spark.functions.numeric import fx_sums
+
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", None), ("g", 2.0)], "k string, x double"
+    ).repartition(2)
+    ex = F.expr("CAST(x * 10000 + 0.5d AS BIGINT)")
+    out = fx_sums(
+        df, ["k"], {"fx": (ex, 4)}, bounds={"fx": (0, 10**7)}
+    ).collect()[0]
+    assert Decimal(out["fx"]) == Decimal("3.0")
+    assert out["n_fx"] == 2

@@ -101,12 +101,16 @@ def launch_cluster(workers: int, cores: int, mem_gb: int, workdir: str):
     procs = []
 
     def jvm(cls: str, *args: str, log: str):
-        return subprocess.Popen(
-            ["java", "-cp", jars, "-Xmx1g", cls, *args],
-            env=env,
-            stdout=open(os.path.join(workdir, log), "w"),
-            stderr=subprocess.STDOUT,
-        )
+        # The child dups the fd at spawn, so the parent's handle can (and
+        # must) close immediately — leaving it open leaks one descriptor
+        # per process for the life of the run.
+        with open(os.path.join(workdir, log), "w") as fh:
+            return subprocess.Popen(
+                ["java", "-cp", jars, "-Xmx1g", cls, *args],
+                env=env,
+                stdout=fh,
+                stderr=subprocess.STDOUT,
+            )
 
     procs.append(
         jvm(
