@@ -24,70 +24,66 @@ from delta_unity_duckdb_spark.workload import (  # noqa: F401
 )
 from delta_unity_duckdb_spark.workload.registry import ORACLE, QUERIES
 
-# Round-5 driver window (50 slots): the FINAL 27 never-driver-green queries
-# (the 11 relational stragglers queued since round 2/3 plus the 16 round-4
-# retrieval / mixture / multimodal additions — all strict-green at sf0.001
-# AND sf0.01 under tools/strict_check.py), the new round-5
-# media_ingest_decode, then 22 re-confirmation slots for the oldest
-# (round-1) greens so no green row is more than a few rounds stale. A green
-# window here closes ever-driver-green to 208/208.
+# Round-6 driver window (50 slots): with ever-driver-green at 208/208 after
+# round 5, the window becomes a pure staleness rotation — the 13 queries
+# whose only green row is round 1 (5 windows old), then 37 of the 45 whose
+# last green is round 2. The remaining 8 round-2 re-confirms (projection,
+# count_star, conditional_agg, filter_eq, sort_limit, nullsafe_change,
+# case_expr, describe_schema — all trivial single-operator shapes) rotate in
+# round 7 together with the round-3 cohort.
 _PRIORITY = [
-    # --- the 27 never-driver-green queries ---
-    # relational stragglers (§2-C shapes, strict-green since r02/r03)
-    "stats_moments",
-    "bitwise_aggs",
-    "series_generate",
-    "topn_per_group",
-    "mode_agg",
-    "string_distance",
-    "calendar_breakdown",
-    "window_range_frame",
-    "histogram_bins",
-    "window_distinct_count",
-    "regr_aggs",
-    # round-4 retrieval / fusion / mixture / text family
-    "bm25_topk",
-    "hybrid_rrf_fusion",
-    "training_order_shuffle",
-    "dup_ngram_char_share",
-    "leakage_safe_split",
-    "token_budget_mixture",
-    "markup_text_extract",
-    "context_length_sweep",
-    # round-4 real-codec multimodal arms + streaming twin
-    "audio_wav_features",
-    "image_png_features",
-    "image_resize_stats",
-    "video_frame_features",
-    "image_pixel_dedup",
-    "image_dhash_near_dup",
-    "audio_energy_segments",
-    "stream_media_decode",
-    # round-5 addition: on-disk binaryFile ingest → decode, never checked
-    "media_ingest_decode",
-    # --- 22 re-confirmation slots: round-1 greens, now 4 windows old ---
-    "scan_limit",
-    "graph_counts",
-    "dedup_exact",
-    "user_jaccard_pairs",
-    "similarity_topk",
-    "ngram_jaccard",
-    "embedding_dedup_cosine",
-    "knn_join",
-    "corpus_curation",
-    "tfidf_top_terms",
-    "lang_id",
-    "quality_scores",
-    "token_counts_bpe",
-    "asof_join_events",
-    "tumbling_window",
-    "session_window",
-    "event_funnel",
-    "hypertable_rollup",
-    "timeseries_gapfill",
-    "graph_components",
-    "graph_triangles",
-    "contamination_check",
+    # --- last green: round 1 (stalest) ---
+    "ewma_trailing",
+    "equi_depth_histogram",
+    "graph_one_hop",
+    "graph_descendants",
+    "graph_degree_distribution",
+    "wordcount",
+    "token_counts",
+    "udf_pandas_scalar",
+    "udf_pandas_grouped_agg",
+    "bigram_freq",
+    "doc_repetition",
+    "doc_chunks",
+    "dataset_split_assign",
+    # --- last green: round 2 ---
+    "sliding_window",
+    "distribution_drift",
+    "graph_cypher_load",
+    "graph_pagerank",
+    "lang_profile",
+    "text_profile",
+    "minhash_near_dups",
+    "simhash_near_dups",
+    "embedding_pairs_lsh",
+    "similarity_topk_ivf",
+    "near_dup_clusters",
+    "inverted_index",
+    "source_mixture_weights",
+    "multimodal_frame_stats",
+    "scd2_sync",
+    "snapshot_diff_orders",
+    "stream_tumbling_window",
+    "stream_session_window",
+    "stream_stateful_totals",
+    "stream_sliding_window",
+    "stream_stream_join",
+    "stream_dedup",
+    "stream_scd2_sync",
+    "stream_static_join",
+    "topk_group_count",
+    "filter_range_in_like_null",
+    "group_aggs",
+    "rollup_agg",
+    "cube_agg",
+    "join_inner",
+    "join_left",
+    "join_semi",
+    "join_anti",
+    "self_join",
+    "window_rank",
+    "window_frame_sum",
+    "window_lag_lead",
 ]
 
 
