@@ -15,6 +15,7 @@ and merge across days/partitions without rescanning history.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from delta_unity_duckdb_spark.operators import sketches as SK
@@ -71,19 +72,30 @@ def hll_distinct_groups(spark, sf_dir):
 )
 def kmv_distinct_merge(spark, sf_dir):
     """Distinct customers per order priority via KMV (k minimum hash
-    values; theta-sketch family), plus a merged 'ALL' row: union the
-    per-group hash sets and re-take the k smallest — exactly the sketch
-    of the union. WindowGroupLimit pushes the rn<=k bound below the
-    per-group sort, so the kept state is k rows per group."""
+    values; theta-sketch family), plus a merged 'ALL' row DERIVED from
+    the per-group sketches: every one of the k smallest hashes of the
+    union is, within its own group, among that group's k smallest — so
+    deduping the ≤ groups×k kept hashes and re-taking the k smallest IS
+    the sketch of the union. The base table is scanned and hashed ONCE;
+    the merge runs on sketch-sized data (≤ 5×64 rows here, and at 100 TB
+    still ≤ groups×k rows — the roll-up never rescans history).
+    WindowGroupLimit pushes the rn<=k bound below the per-group sort, so
+    the kept state is k rows per group."""
     o = load_table(spark, sf_dir, "orders")
     per_sk = SK.kmv_sketch(o, ["o_orderpriority"], "o_custkey", k=_KMV_K)
+    # Checkpoint the ≤ groups×k sketch so the per-group and ALL arms share
+    # one scan+hash pass instead of recomputing the lineage twice.
+    per_sk = per_sk.localCheckpoint(eager=False)
     per = SK.kmv_estimate(per_sk, ["o_orderpriority"], k=_KMV_K)
-    all_sk = SK.kmv_sketch(
-        o.withColumn("o_orderpriority", F.lit("ALL")),
-        ["o_orderpriority"],
-        "o_custkey",
-        k=_KMV_K,
+    merged = (
+        per_sk.withColumn("o_orderpriority", F.lit("ALL"))
+        .select("o_orderpriority", "h")
+        .distinct()
     )
+    w_all = Window.partitionBy("o_orderpriority").orderBy("h")
+    all_sk = merged.select(
+        "o_orderpriority", "h", F.row_number().over(w_all).alias("rn")
+    ).filter(F.col("rn") <= _KMV_K)
     allg = SK.kmv_estimate(all_sk, ["o_orderpriority"], k=_KMV_K)
     return (
         per.unionByName(allg)
