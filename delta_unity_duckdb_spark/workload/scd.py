@@ -63,9 +63,41 @@ def scd2_sync(spark, sf_dir):
     )
     state2 = scd2_apply(state1, batch2, keys, tracked, F.lit(T2).cast("timestamp"))
 
-    w = Window.orderBy("c_custkey", "effective_date")
-    return state2.select(
-        F.row_number().over(w).cast("long").alias("scd_id"),
+    # Sharded surrogate-key assignment: a plain Window.orderBy row_number
+    # funnels the ENTIRE final state through one task (the sort-to-a-
+    # single-partition shape that dies first at 100 TB). Instead shard by
+    # a monotone bucket of the leading sort key (cheap MAX over the raw
+    # dimension bounds it), rank within each shard, and add the exact
+    # count of rows in all lower shards — associativity of the prefix sum
+    # makes the result bit-identical to the global row_number while no
+    # task ever holds more than ~1/64 of the table.
+    n_shards = 64
+    maxk = cust.agg(F.max("c_custkey")).collect()[0][0]
+    sharded = state2.withColumn(
+        "_shard",
+        F.least(
+            F.lit(n_shards - 1),
+            (F.col("c_custkey") * n_shards / F.lit(int(maxk) + 1)).cast("int"),
+        ),
+    ).localCheckpoint(eager=False)  # both consumers share one materialization
+    cum_before = (
+        sharded.groupBy("_shard")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "_shard",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_shard").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("_cum"),
+        )
+    )
+    w = Window.partitionBy("_shard").orderBy("c_custkey", "effective_date")
+    return sharded.join(F.broadcast(cum_before), "_shard").select(
+        (F.col("_cum") + F.row_number().over(w)).cast("long").alias("scd_id"),
         "c_custkey",
         "c_name",
         "c_mktsegment",
