@@ -62,6 +62,47 @@ def build_graph(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     return vertices, edges
 
 
+def build_graph_keyed(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """``build_graph`` plus a numeric ``part_key`` column on both frames
+    (the order key both endpoint ids embed). The string ids are the graph
+    contract; the key column is the SCALE contract — point lookups prune
+    on an integer the scan can evaluate in codegen (and, on a table
+    partitioned/z-ordered by it, skip files entirely) instead of
+    generating every vertex's id string just to probe a broadcast set.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    parent_v = orders.select(
+        F.concat(F.lit("O"), F.col("o_orderkey").cast("string")).alias("id"),
+        F.col("o_orderpriority").alias("title"),
+        F.col("o_orderkey").alias("part_key"),
+    )
+    child_id = F.concat(
+        F.lit("L"),
+        F.col("l_orderkey").cast("string"),
+        F.lit("-"),
+        F.col("l_linenumber").cast("string"),
+        F.lit("-"),
+        F.col("l_partkey").cast("string"),
+        F.lit("-"),
+        F.col("l_suppkey").cast("string"),
+    )
+    child_v = lineitem.select(
+        child_id.alias("id"),
+        F.col("l_returnflag").alias("title"),
+        F.col("l_orderkey").alias("part_key"),
+    )
+    vertices = parent_v.unionByName(child_v)
+    edges = lineitem.select(
+        F.concat(F.lit("O"), F.col("l_orderkey").cast("string")).alias("src"),
+        child_id.alias("dst"),
+        F.col("l_orderkey").alias("part_key"),
+    )
+    return vertices, edges
+
+
 def graph_counts(vertices: DataFrame, edges: DataFrame) -> DataFrame:
     """Node + edge counts in one row (load_memgraph.py:82-89)."""
     v = vertices.agg(F.count(F.lit(1)).alias("n_vertices"))
@@ -79,6 +120,7 @@ def one_hop(
     two vertex lookups. Safe because the graph maintains referential
     integrity (build_graph derives both sides from the same rows), so the
     joins never drop an edge — the planner can't know that, we do."""
+    keyed = "part_key" in edges.columns and "part_key" in vertices.columns
     if limit is not None:
         # Materialize the k edges (tiny), resolve BOTH endpoints with ONE
         # pass over the vertex table, then join the (≤2k)-row vertex
@@ -92,9 +134,24 @@ def one_hop(
             .union(e.select(F.col("dst").alias("id")))
             .distinct()
         )
-        v = vertices.join(F.broadcast(needed), "id").localCheckpoint(eager=True)
+        lookup = vertices
+        if keyed:
+            # Keyed fast path: prune the vertex scan on the k integer keys
+            # BEFORE the id probe, so the scan never generates the id
+            # string for a row it will drop — the difference between
+            # "concat 2 passes over every vertex" and "integer-compare one
+            # pass, concat k rows". On a key-partitioned table this also
+            # becomes partition pruning.
+            keys = [r[0] for r in e.select("part_key").distinct().collect()]
+            lookup = vertices.filter(F.col("part_key").isin(keys))
+        v = (
+            lookup.join(F.broadcast(needed), "id")
+            .select("id", "title")
+            .localCheckpoint(eager=True)
+        )
+        e = e.select("src", "dst")
     else:
-        e, v = edges, vertices
+        e, v = edges.select("src", "dst"), vertices.select("id", "title")
     p = v.alias("p")
     c = v.alias("c")
     joined = (

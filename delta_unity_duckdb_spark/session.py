@@ -82,6 +82,18 @@ def get_spark(
         )
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE swap SortMergeJoin for ShuffledHashJoin when the build
+        # side's per-partition shuffle blocks are small (<= this many
+        # bytes per partition): hash-probing skips BOTH sides' O(n log n)
+        # sorts — the dominant cost of fact-fact joins whose build side is
+        # a filtered few-million-row frame. Per-partition bound, so it
+        # scales with shuffle.partitions rather than data size: at 100 TB
+        # with thousands of partitions the build side must still fit a
+        # task's memory or AQE keeps the SMJ.
+        .config(
+            "spark.sql.adaptive.shuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", "67108864"),
+        )
         # Scan split sizing. Spark's default open-cost floor (4 MiB) caps a
         # 10 MiB fixture file at ~3 splits — 3-way parallelism on a 32-core
         # box. A small open cost lets tiny local files split out to all

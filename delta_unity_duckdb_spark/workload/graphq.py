@@ -38,8 +38,12 @@ def graph_counts_q(spark, sf_dir):
     """,
 )
 def graph_one_hop_q(spark, sf_dir):
-    """1-hop parent→child traversal (load_memgraph.py:92-95) as two hash joins."""
-    v, e = build_graph(spark, sf_dir)
+    """1-hop parent→child traversal (load_memgraph.py:92-95) as two hash
+    joins, over the keyed graph so the point lookup prunes on the integer
+    order key instead of string-probing every generated vertex id."""
+    from delta_unity_duckdb_spark.operators.graph import build_graph_keyed
+
+    v, e = build_graph_keyed(spark, sf_dir)
     return one_hop(v, e, limit=10)
 
 

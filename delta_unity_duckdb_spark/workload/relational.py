@@ -939,13 +939,18 @@ def pricing_summary(spark, sf_dir):
     """,
 )
 def multiway_join_topk(spark, sf_dir):
-    """TPC-H Q3 shape: 3-way join, filtered dim broadcast, top-k by revenue."""
+    """TPC-H Q3 shape: 3-way join, filtered dim broadcast, top-k by revenue.
+
+    Join order matters at scale: the broadcast customer filter applies to
+    ORDERS first (segment selectivity ~1/5), so the fact-fact shuffle join
+    sees a 5× smaller build side and the post-join aggregate 5× fewer
+    rows, instead of joining all of lineitem⋈orders and filtering after."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    o_seg = o.join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
+        li.join(o_seg, li.l_orderkey == o_seg.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.sum(dmoney("l_extendedprice") * (1 - drate("l_discount")))
@@ -1461,12 +1466,18 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Why not one pass with multi-``countDistinct``: Catalyst rewrites N
     distinct aggregates in one Aggregate into an EXPAND that replicates
     every input row N+1 times before the shuffle — measured 8× slower
-    than this two-scan plan at sf0.1, and at 100 TB the expand multiplies
-    the shuffle the same way. The unpivoted single-distinct form never
-    replicates: the map-side partial aggregation collapses to the
-    distinct pairs per partition first. Values are compared as strings
-    only for the distinct COUNT (injective cast, count unchanged);
-    min/max stay in the native type exactly as the oracle computes them.
+    than the split plan at sf0.1, and at 100 TB the expand multiplies
+    the shuffle the same way. And why not one unpivoted (column, value)
+    explode for all the distincts together: the explode materializes
+    rows × columns structs (240 M at sf10) before the partial dedup can
+    collapse anything — measured ~4 s at sf10 vs ~1 s for this form. The
+    distinct counts instead run as one single-distinct aggregate PER
+    column over a column-PRUNED scan: total bytes read across the N
+    narrow scans equal one N-column scan, each partial aggregate
+    collapses to the per-partition distinct values of its own column
+    before its shuffle, and no row is ever replicated. Values stay in
+    their native types end-to-end; min/max are cast to string only in the
+    final 4-row projection, exactly as the oracle casts them.
     """
     cols = ["l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber"]
     li = load_table(spark, sf_dir, "lineitem").select(*cols)
@@ -1485,22 +1496,17 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(cols)}, {stack_args}) AS "
         "(column_name, n_rows, n_nulls, min_value, max_value)"
     )
-    pairs = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(c).alias("column_name"),
-                    F.col(c).cast("string").alias("v"),
-                )
-                for c in cols
-            ]
-        )
-    )
-    nd = (
-        li.select(pairs.alias("p"))
-        .select("p.column_name", "p.v")
-        .groupBy("column_name")
-        .agg(F.count_distinct("v").alias("n_distinct"))
+    from functools import reduce
+
+    nd = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            li.select(c).agg(
+                F.lit(c).alias("column_name"),
+                F.count_distinct(c).alias("n_distinct"),
+            )
+            for c in cols
+        ],
     )
     # LEFT join + COALESCE 0: on an EMPTY table the base aggregate still
     # yields one row per column (stack of zero counts) while the distinct
