@@ -1377,13 +1377,30 @@ def price_outliers(spark, sf_dir):
     expression tree in both engines — IEEE arithmetic is deterministic,
     so the boundary cannot flip cross-engine.
     """
+    from delta_unity_duckdb_spark.functions.numeric import fx_sums
+
     o = _t(spark, sf_dir, "orders").withColumn(
-        "c", F.floor(F.col("o_totalprice") * 100).cast("decimal(19,0)")
+        "c", F.floor(F.col("o_totalprice") * 100).cast("long")
     )
-    stats = o.groupBy(F.col("o_orderpriority").alias("sp")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("c").cast("decimal(38,0)").alias("s1"),
-        F.sum(F.col("c") * F.col("c")).cast("decimal(38,0)").alias("s2"),
+    # Exact power sums via fx_sums int64 partials: a DECIMAL(19,0) per-row
+    # column leaves Spark's compact-long decimal fast path (precision >18
+    # = one JVM BigDecimal per row per multiply); the long c and c·c are
+    # exact (cents ≤ ~6·10⁷, square ≤ 3.6·10¹⁵) and the two-phase merge
+    # widens to decimal only on the few-row boundary.
+    stats = fx_sums(
+        o.select(F.col("o_orderpriority").alias("sp"), "c"),
+        ["sp"],
+        {
+            "s1": (F.col("c"), 0),
+            "s2": ((F.col("c") * F.col("c")).cast("long"), 0),
+        },
+        extras={"n": F.count(F.lit(1))},
+        bounds={"s1": (0, 10**9), "s2": (0, 4 * 10**15)},
+    ).select(
+        "sp",
+        "n",
+        F.col("s1").cast("decimal(38,0)").alias("s1"),
+        F.col("s2").cast("decimal(38,0)").alias("s2"),
     )
     mean = F.col("s1").cast("double") / F.col("n")
     ex2 = F.col("s2").cast("double") / F.col("n")
