@@ -214,53 +214,104 @@ def nullsafe_change(spark, sf_dir):
 )
 def group_aggs(spark, sf_dir):
     """Multi-aggregate (sum/min/max/count-distinct/avg), exact at any
-    partition count. Two arms joined on the 3-row group key: the exact
-    sums run as fixed-point int64 partials (fx_sums — the BigDecimal
-    accumulation measured ~2.5 s of a 4.6 s sf10 wall), while
-    min/max/count/COUNT DISTINCT keep their one-pass plan (count
-    distinct can't ride the per-partition-partial trick — distincts
-    don't sum across partitions). Two column-pruned scans of a cached
-    file beat one scan dragging per-row BigDecimal math at local scale;
-    at IO-bound cluster scale the fused single pass can win back — the
-    arms are trivially re-fusable by reverting to dsum/davg here."""
-    from delta_unity_duckdb_spark.functions.numeric import fx_sums
+    partition count, in ONE scan and ONE data-sized exchange (the fused
+    form the round-5 two-arm join deferred to "IO-bound cluster scale";
+    measured better even locally once the EXPAND is gone).
 
+    Level 1 groups by (l_returnflag, l_partkey): the partial aggregate
+    collapses the fact rows to distinct (flag, part) pairs map-side, so
+    the only full exchange carries ~|parts|·|flags| rows — and because
+    the distinct key is now the GROUP key, COUNT DISTINCT becomes a
+    plain COUNT at level 2 with no EXPAND replication (a mixed
+    distinct/non-distinct aggregate would 2× the scan before anything
+    collapses). The exact decimal sums ride the same pass as fixed-point
+    int64 partials: within a (flag, part) pair a raw long sum is safe to
+    ~2·10⁸ rows/pair (p4 ≤ 4·10¹⁰ per row), far past any real key's
+    multiplicity; level 2 then applies the fx hi/lo split at 10⁹ per
+    (group, partition) before the few-row decimal merge — the same
+    overflow algebra as fx_sums (numeric.py), restated here because the
+    input is pre-aggregated pairs rather than raw rows.
+
+    min/max/count are associative, so re-aggregating the pair-level
+    partials is exact; n counts all rows (NULL-part pairs included via
+    SUM(c)) while distinct_parts counts only non-NULL parts
+    (COUNT(l_partkey)) — matching COUNT(*) / COUNT(DISTINCT col)
+    semantics, NULL group keys preserved end-to-end."""
     li = _t(spark, sf_dir, "lineitem")
-    q4 = F.expr("CAST(l_quantity * 10000 + 0.5d AS BIGINT)")
-    p4 = F.expr("CAST(l_extendedprice * 10000 + 0.5d AS BIGINT)")
-    sums = fx_sums(
-        li,
-        ["l_returnflag"],
-        {"fq": (q4, 4), "fp": (p4, 4)},
-        # Enforce the +0.5d recipe's nonnegativity precondition per-row.
-        bounds={"fq": (0, 10**7), "fp": (0, 4 * 10**10)},
-    ).select(
-        "l_returnflag",
-        F.col("fq").cast(DEC38).alias("sum_qty"),
-        F.round(F.col("fp").cast("double") / F.col("n_fp"), 6).alias(
-            "avg_price"
-        ),
+
+    def _chk(expr, lo, hi, tag):
+        ok = expr.isNull() | ((expr >= F.lit(lo)) & (expr <= F.lit(hi)))
+        return F.when(ok, expr).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"group_aggs[{tag}]: per-row value outside "
+                          f"[{lo}, {hi}]: "),
+                    expr.cast("string"),
+                )
+            )
+        )
+
+    q4 = _chk(
+        F.expr("CAST(l_quantity * 10000 + 0.5d AS BIGINT)"), 0, 10**7, "q4"
     )
-    rest = li.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("l_extendedprice").alias("min_price"),
-        F.max("l_extendedprice").alias("max_price"),
-        F.countDistinct("l_partkey").alias("distinct_parts"),
+    p4 = _chk(
+        F.expr("CAST(l_extendedprice * 10000 + 0.5d AS BIGINT)"),
+        0, 4 * 10**10, "p4",
     )
-    # Null-safe join: both arms emit a NULL group if the key has NULLs;
-    # a plain equi-join would drop it while the oracle's GROUP BY keeps
-    # it. eqNullSafe (<=>)  is still a hash-joinable equi-condition.
-    sums = sums.withColumnRenamed("l_returnflag", "_rf")
-    return rest.join(
-        sums, rest["l_returnflag"].eqNullSafe(sums["_rf"])
-    ).select(
+    lvl1 = (
+        li.select(
+            "l_returnflag", "l_partkey", "l_extendedprice",
+            q4.alias("_q4"), p4.alias("_p4"),
+        )
+        .groupBy("l_returnflag", "l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min("l_extendedprice").alias("mn"),
+            F.max("l_extendedprice").alias("mx"),
+            F.sum("_q4").alias("sq4"),
+            F.sum("_p4").alias("sp4"),
+            F.count("_p4").alias("cp4"),
+        )
+    )
+    part2 = lvl1.groupBy(
+        "l_returnflag", F.spark_partition_id().alias("_pid")
+    ).agg(
+        F.sum(F.expr("sq4 div 1000000000")).alias("_hi_q"),
+        F.sum(F.expr("sq4 % 1000000000")).alias("_lo_q"),
+        F.sum(F.expr("sp4 div 1000000000")).alias("_hi_p"),
+        F.sum(F.expr("sp4 % 1000000000")).alias("_lo_p"),
+        F.sum("c").alias("n"),
+        F.count("l_partkey").alias("dp"),
+        F.min("mn").alias("mn"),
+        F.max("mx").alias("mx"),
+        F.sum("cp4").alias("np"),
+    )
+    d19 = lambda c: F.sum(F.col(c).cast("decimal(19,0)"))  # noqa: E731
+    merged = part2.groupBy("l_returnflag").agg(
+        d19("_hi_q").alias("_HI_q"), d19("_lo_q").alias("_LO_q"),
+        d19("_hi_p").alias("_HI_p"), d19("_lo_p").alias("_LO_p"),
+        F.sum("n").alias("n"), F.sum("dp").alias("distinct_parts"),
+        F.min("mn").alias("min_price"), F.max("mx").alias("max_price"),
+        F.sum("np").alias("np"),
+    )
+    # Reassemble value = HI·10^(9-4) + LO·10^-4, precision-tracked as in
+    # fx_sums (every intermediate ≤ 38 digits, no rescale loss).
+    fq = F.expr(
+        "CAST(_HI_q AS DECIMAL(22,0)) * CAST(100000 AS DECIMAL(6,0))"
+        " + CAST(_LO_q AS DECIMAL(22,0)) * CAST(0.0001 AS DECIMAL(5,4))"
+    )
+    fp = F.expr(
+        "CAST(_HI_p AS DECIMAL(22,0)) * CAST(100000 AS DECIMAL(6,0))"
+        " + CAST(_LO_p AS DECIMAL(22,0)) * CAST(0.0001 AS DECIMAL(5,4))"
+    )
+    return merged.select(
         "l_returnflag",
         "n",
-        "sum_qty",
+        fq.cast(DEC38).alias("sum_qty"),
         "min_price",
         "max_price",
         "distinct_parts",
-        "avg_price",
+        F.round(fp.cast("double") / F.col("np"), 6).alias("avg_price"),
     )
 
 
