@@ -24,10 +24,18 @@ kernel that secretly depends on a module-level import fails loudly here.
 That is the point of the exercise.
 
 Usage:
-  python tools/cluster_sim.py [sf_dir] [workers] [cores_per_worker]
-                              [name ...]
+  python tools/cluster_sim.py [--out FILE] [sf_dir] [workers]
+                              [cores_per_worker] [name ...]
 Defaults: /root/testdata/sf0.01, 3 workers, 4 cores each; a built-in
-representative subset when no names are given.
+representative subset when no names are given. Pass the single name
+``all`` to sweep EVERY oracle-paired query in the registry — including
+the streaming twins: their micro-batch feeds are driver-written temp
+dirs and their sinks are memory sinks, both of which are valid on a
+standalone cluster whose driver and executors share one host
+filesystem (the contract this harness documents and verifies — a
+multi-HOST deployment would need the feed dirs on shared storage,
+which is exactly how a real crawl feed would arrive). ``--out FILE``
+additionally writes the summary JSON to FILE for per-round artifacts.
 
 Prints one JSON line:
   {"metric": "cluster_sim", "workers": W, "ok": [...], "bad": [...],
@@ -94,6 +102,15 @@ def launch_cluster(workers: int, cores: int, mem_gb: int, workdir: str):
     url = f"spark://127.0.0.1:{port}"
     env = dict(os.environ)
     env["SPARK_LOCAL_IP"] = "127.0.0.1"
+    # The worker JVM re-builds each executor's java command through
+    # spark-launcher's AbstractCommandBuilder, which (a) resolves jars
+    # relative to SPARK_HOME and (b) requires SPARK_SCALA_VERSION when
+    # launched outside bin/spark-class (load-spark-env.sh normally sets
+    # it; without it getScalaVersion() dies with "Cannot find any build
+    # directories"). Point both at the wheel so the whole cluster runs
+    # one artifact set.
+    env["SPARK_HOME"] = os.path.dirname(pyspark.__file__)
+    env.setdefault("SPARK_SCALA_VERSION", "2.13")
     # Executors' python workers: same interpreter, NO repo on the path —
     # by-value closure shipping is part of what this harness verifies.
     env["PYSPARK_PYTHON"] = sys.executable
@@ -137,10 +154,15 @@ def launch_cluster(workers: int, cores: int, mem_gb: int, workdir: str):
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    workers = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    cores = int(sys.argv[3]) if len(sys.argv) > 3 else 4
-    names = sys.argv[4:] or list(DEFAULT_SUBSET)
+    argv = list(sys.argv[1:])
+    out_path = None
+    if argv and argv[0] == "--out":
+        out_path = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
+    workers = int(argv[1]) if len(argv) > 1 else 3
+    cores = int(argv[2]) if len(argv) > 2 else 4
+    names = argv[3:] or list(DEFAULT_SUBSET)
 
     workdir = tempfile.mkdtemp(prefix="cluster_sim_")
     url, procs = launch_cluster(workers, cores, mem_gb=4, workdir=workdir)
@@ -153,9 +175,15 @@ def main() -> None:
         from delta_unity_duckdb_spark.workload import ORACLE, QUERIES
         from tests.oracle_harness import duck_connection, strict_compare
 
+        if names == ["all"]:
+            # Full-registry sweep, streaming twins included (single-host
+            # shared filesystem — see module docstring for the contract).
+            names = [n for n in QUERIES if n in ORACLE]
+
         spark = (
             SparkSession.builder.master(url)
             .appName("cluster-sim")
+            .config("spark.driver.memory", "8g")
             .config("spark.sql.shuffle.partitions", str(workers * cores))
             .config(
                 "spark.executor.memory",
@@ -190,27 +218,31 @@ def main() -> None:
                 flush=True,
             )
         spark.stop()
-        print(
-            json.dumps(
-                {
-                    "metric": "cluster_sim",
-                    "sf_dir": sf_dir,
-                    "master": url,
-                    "workers": workers,
-                    "cores_per_worker": cores,
-                    "n_executor_pids": len(set(pids)),
-                    "n_ok": len(ok),
-                    "bad": bad,
-                    "wall_sec": walls,
-                    "note": (
-                        "strict driver-mirror compare vs DuckDB oracles on a "
-                        "real multi-process standalone cluster; executors have "
-                        "NO repo PYTHONPATH (by-value closures verified). "
-                        "Streaming twins excluded: process-local temp sinks."
-                    ),
-                }
-            )
-        )
+        summary = {
+            "metric": "cluster_sim",
+            "sf_dir": sf_dir,
+            "master": url,
+            "workers": workers,
+            "cores_per_worker": cores,
+            "n_executor_pids": len(set(pids)),
+            "n_run": len(names),
+            "n_ok": len(ok),
+            "bad": bad,
+            "wall_sec": walls,
+            "note": (
+                "strict driver-mirror compare vs DuckDB oracles on a "
+                "real multi-process standalone cluster; executors have "
+                "NO repo PYTHONPATH (by-value closures verified). "
+                "Streaming twins run under the single-host shared-"
+                "filesystem sink contract (driver-written temp-dir "
+                "feeds + memory sinks; multi-host would need the feeds "
+                "on shared storage)."
+            ),
+        }
+        print(json.dumps(summary))
+        if out_path:
+            with open(out_path, "w") as fh:
+                json.dump(summary, fh, indent=1)
     finally:
         os.environ.pop("SPARK_GRAFT_MASTER", None)
         for p in procs[::-1]:
