@@ -15,16 +15,21 @@ Image/video codecs (PIL/ffmpeg) are NOT in this container, so those
 decode kernels are deterministic fakes behind ``_decode_bytes`` — clearly
 marked; the Spark-side plumbing (schemas, batch iteration, UDF signatures,
 partitioning) is real and tested. Swap ``_decode_bytes`` for a real codec
-and nothing else changes. TWO arms are no longer stubs: a pure-stdlib
+and nothing else changes. THREE arms are no longer stubs: a pure-stdlib
 RIFF/PCM16 WAV codec (``encode_wav_pcm16``/``decode_wav_pcm16``,
 cross-validated against stdlib ``wave`` both directions) feeds a real
 decoded-sample feature pass (``audio_features``, oracle
-``audio_wav_features``), and a pure-stdlib PNG codec (zlib inflate, all
+``audio_wav_features``); a pure-stdlib PNG codec (zlib inflate, all
 five scanline filters, per-chunk CRC) feeds ``image_features`` (oracle
-``image_png_features``). The frame-extraction arm is real over
-motion-PNG containers (``sample_frames_pngv``/``frame_features``,
-oracle ``video_frame_features``); only standard-container video (mp4)
-and JPEG remain gated on absent ffmpeg/libjpeg.
+``image_png_features``); and a pure-stdlib+numpy baseline JPEG codec
+(T.81 sequential DCT: marker walk, canonical huffman from DHT, 0xFF00
+unstuffing, DC prediction, dequant → dezigzag → IDCT — grayscale
+subset) feeds ``jpeg_features`` (oracle ``image_jpeg_features``, exact
+despite lossy JPEG via DCT-basis-exact fixtures — see
+``make_jpeg_media``). The frame-extraction arm is real over motion-PNG
+containers (``sample_frames_pngv``/``frame_features``, oracle
+``video_frame_features``); only standard-container video (mp4) and
+chroma-subsampled color JPEG remain gated on absent ffmpeg/libjpeg.
 """
 
 from __future__ import annotations
@@ -1248,3 +1253,490 @@ def audio_window_energy(media: DataFrame, window: int = 250) -> DataFrame:
         run,
         schema="asset_id string, sample_rate long, win_idx long, energy long",
     )
+
+
+# --------------------------------------------------------------------------
+# REAL JPEG arm: baseline sequential DCT JPEG (ITU T.81) in pure
+# stdlib + numpy — marker walk (SOI/DQT/SOF0/DHT/SOS/EOI), canonical
+# huffman table construction from DHT, MSB-first entropy decoding with
+# 0xFF00 byte unstuffing, DC prediction, dequantize → dezigzag → IDCT.
+# Grayscale (1 component, no subsampling) only: the normalized subset a
+# training pipeline transcodes into; progressive/chroma/restart markers
+# raise loudly. The ENCODER exists so fixtures carry real JPEG bytes:
+# level shift → FDCT → quantize → zigzag → run-length → huffman.
+#
+# Exactness contract (what makes a LOSSY codec oracle-checkable): the
+# fixture pixels are built from DCT coefficients only at (0,0), (0,4),
+# (4,0), (4,4). For those four, every IDCT basis value is ±F/8 exactly
+# (cos((2t+1)·4π/16) = ±1/√2, and the two 1/√2 factors cancel into
+# rational values), so with coefficients that are multiples of the quant
+# step the decoded block is INTEGER-EXACT: encode→decode is lossless for
+# this family, and a plain SQL oracle can regenerate the pixels in
+# closed form. Any huffman/zigzag/dequant/IDCT/stuffing bug breaks the
+# round trip and value-mismatches.
+# --------------------------------------------------------------------------
+
+# Annex K (T.81) luminance huffman specs: (bits[1..16], values).
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = (
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+     0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+     0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+     0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+     0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+     0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+     0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+     0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA]
+)
+_JPEG_QSTEP = 16  # uniform quant table: multiples-of-16 coefficients survive
+
+
+def _jpeg_common():
+    """Shared pure helpers (zigzag order, DCT basis, canonical huffman
+    code assignment) — called INSIDE the by-value kernels so cloudpickle
+    ships everything with the closure."""
+
+    def zigzag_order():
+        # Diagonal walk: odd diagonals run row 0→s, even run s→0.
+        order = []
+        for s in range(15):
+            rng = range(max(0, s - 7), min(s, 7) + 1)
+            rows = rng if s % 2 == 1 else reversed(rng)
+            for r in rows:
+                order.append(r * 8 + (s - r))
+        return order
+
+    def dct_matrix():
+        import math
+
+        m = [[0.0] * 8 for _ in range(8)]
+        for u in range(8):
+            cu = (0.5 / math.sqrt(2.0)) if u == 0 else 0.5
+            for x in range(8):
+                m[u][x] = cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
+        return m
+
+    def huff_codes(bits, vals):
+        # T.81 C.2: canonical code assignment in (length, spec-order).
+        codes, code, k = {}, 0, 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                codes[vals[k]] = (code, ln)
+                code += 1
+                k += 1
+            code <<= 1
+        return codes
+
+    return zigzag_order, dct_matrix, huff_codes
+
+
+def _make_jpeg_encoder():
+    """-> encode(pixels) -> baseline grayscale JPEG bytes; ``pixels`` is
+    a row-major list of rows of 0..255 ints, dims multiples of 8."""
+
+    dc_spec = (list(_JPEG_DC_BITS), list(_JPEG_DC_VALS))
+    ac_spec = (list(_JPEG_AC_BITS), list(_JPEG_AC_VALS))
+    qstep = _JPEG_QSTEP
+    common = _jpeg_common
+
+    def encode(pixels):
+        import struct
+
+        import numpy as np
+
+        zigzag_order, dct_matrix, huff_codes = common()
+        h, w = len(pixels), len(pixels[0])
+        if h % 8 or w % 8:
+            raise ValueError("encoder supports multiple-of-8 dims only")
+        zz = zigzag_order()
+        M = np.array(dct_matrix())
+        dc_codes = huff_codes(*dc_spec)
+        ac_codes = huff_codes(*ac_spec)
+        q = np.full((8, 8), qstep, dtype=np.int32)
+
+        out = bytearray()
+        bitbuf, nbits = 0, 0
+
+        def put_bits(code, ln):
+            nonlocal bitbuf, nbits
+            bitbuf = (bitbuf << ln) | (code & ((1 << ln) - 1))
+            nbits += ln
+            while nbits >= 8:
+                byte = (bitbuf >> (nbits - 8)) & 0xFF
+                entropy.append(byte)
+                if byte == 0xFF:
+                    entropy.append(0x00)  # byte stuffing
+                nbits -= 8
+            bitbuf &= (1 << nbits) - 1
+
+        def category(v):
+            return v.bit_length() if v > 0 else (-v).bit_length()
+
+        def put_value(v, size):
+            if size == 0:
+                return
+            put_bits(v if v >= 0 else v + (1 << size) - 1, size)
+
+        def seg(marker, payload):
+            return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+        px = np.array(pixels, dtype=np.float64) - 128.0
+        entropy = bytearray()
+        pred = 0
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                blk = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coeff = M @ blk @ M.T
+                # round half away from zero (libjpeg-style descale bias)
+                quant = np.sign(coeff) * np.floor(
+                    np.abs(coeff) / q + 0.5
+                )
+                flat = [int(quant.flat[i]) for i in zz]
+                diff = flat[0] - pred
+                pred = flat[0]
+                s = category(diff)
+                put_bits(*dc_codes[s])
+                put_value(diff, s)
+                run = 0
+                last_nz = max(
+                    (i for i in range(1, 64) if flat[i]), default=0
+                )
+                for i in range(1, last_nz + 1):
+                    if flat[i] == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        put_bits(*ac_codes[0xF0])  # ZRL
+                        run -= 16
+                    s = category(flat[i])
+                    put_bits(*ac_codes[(run << 4) | s])
+                    put_value(flat[i], s)
+                    run = 0
+                if last_nz < 63:
+                    put_bits(*ac_codes[0x00])  # EOB
+        if nbits:
+            put_bits((1 << (8 - nbits)) - 1, 8 - nbits)  # pad with 1s
+
+        qz = bytes(int(q.flat[i]) for i in zz)
+        out += b"\xff\xd8"  # SOI
+        out += seg(0xFFDB, bytes([0x00]) + qz)  # DQT, table 0, 8-bit
+        out += seg(  # SOF0: 8-bit, 1 component, no subsampling
+            0xFFC0,
+            struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]),
+        )
+        out += seg(0xFFC4, bytes([0x00]) + bytes(dc_spec[0]) + bytes(dc_spec[1]))
+        out += seg(0xFFC4, bytes([0x10]) + bytes(ac_spec[0]) + bytes(ac_spec[1]))
+        out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
+        out += entropy
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    return encode
+
+
+def _make_jpeg_decoder():
+    """-> decode(content) -> (width, height, pixel bytes row-major);
+    baseline grayscale JPEG. Raises ValueError loudly on anything that
+    is not a well-formed baseline 1-component scan."""
+
+    common = _jpeg_common
+
+    def decode(content: bytes):
+        import struct
+
+        import numpy as np
+
+        zigzag_order, dct_matrix, huff_codes = common()
+        if content[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG payload (missing SOI)")
+        pos = 2
+        qtables: dict[int, list[int]] = {}
+        hspecs: dict[tuple[int, int], dict] = {}
+        sof = None
+        scan_off = None
+        try:
+            while pos + 4 <= len(content):
+                if content[pos] != 0xFF:
+                    raise ValueError(f"marker sync lost at {pos}")
+                marker = content[pos + 1]
+                if marker == 0xD9:  # EOI before scan
+                    break
+                (ln,) = struct.unpack_from(">H", content, pos + 2)
+                data = content[pos + 4 : pos + 2 + ln]
+                if marker == 0xDB:  # DQT (possibly several tables)
+                    d = 0
+                    while d < len(data):
+                        pq, tq = data[d] >> 4, data[d] & 0x0F
+                        if pq != 0:
+                            raise ValueError("16-bit quant tables unsupported")
+                        qtables[tq] = list(data[d + 1 : d + 65])
+                        d += 65
+                elif marker == 0xC0:  # SOF0 baseline
+                    prec, hh, ww, nc = struct.unpack_from(">BHHB", data, 0)
+                    if prec != 8 or nc != 1:
+                        raise ValueError(
+                            f"unsupported SOF0 shape: prec={prec} ncomp={nc} "
+                            "(grayscale baseline only)"
+                        )
+                    samp, tq = data[7], data[8]
+                    if samp != 0x11:
+                        raise ValueError("subsampling unsupported")
+                    sof = (ww, hh, tq)
+                elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                                0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                    raise ValueError(
+                        f"non-baseline SOF marker 0xFF{marker:02X} unsupported"
+                    )
+                elif marker == 0xC4:  # DHT (possibly several tables)
+                    d = 0
+                    while d < len(data):
+                        tc, th = data[d] >> 4, data[d] & 0x0F
+                        bits = list(data[d + 1 : d + 17])
+                        nv = sum(bits)
+                        vals = list(data[d + 17 : d + 17 + nv])
+                        if len(vals) != nv:
+                            raise ValueError("truncated DHT")
+                        hspecs[(tc, th)] = huff_codes(bits, vals)
+                        d += 17 + nv
+                elif marker == 0xDD:
+                    raise ValueError("restart intervals unsupported")
+                elif marker == 0xDA:  # SOS
+                    ns = data[0]
+                    if ns != 1:
+                        raise ValueError("multi-component scan unsupported")
+                    td, ta = data[2] >> 4, data[2] & 0x0F
+                    scan_off = pos + 2 + ln
+                    scan_tabs = (td, ta)
+                    break
+                pos += 2 + ln
+        except (struct.error, IndexError) as exc:
+            raise ValueError(f"malformed JPEG: {exc}") from exc
+        if sof is None or scan_off is None:
+            raise ValueError("missing SOF0/SOS")
+        w, h, tq = sof
+        if w == 0 or h == 0 or w % 8 or h % 8:
+            raise ValueError(f"unsupported JPEG dims {w}x{h}")
+        if tq not in qtables:
+            raise ValueError("SOF references missing quant table")
+        dc_map = hspecs.get((0, scan_tabs[0]))
+        ac_map = hspecs.get((1, scan_tabs[1]))
+        if dc_map is None or ac_map is None:
+            raise ValueError("SOS references missing huffman table")
+        # Invert (symbol -> (code, len)) into (len, code) -> symbol.
+        dc_lut = {(ln, c): s for s, (c, ln) in dc_map.items()}
+        ac_lut = {(ln, c): s for s, (c, ln) in ac_map.items()}
+
+        zz = zigzag_order()
+        M = np.array(dct_matrix())
+        qmat = np.zeros(64)
+        for i, qi in enumerate(qtables[tq]):
+            qmat[zz[i]] = qi
+        qmat = qmat.reshape(8, 8)
+
+        # Unstuff the entropy stream in one pass (0xFF00 -> 0xFF); any
+        # other marker inside the scan (RSTn, a stray SOF) is a loud error.
+        data = content[scan_off:]
+        unstuffed = bytearray()
+        i = 0
+        while i < len(data):
+            b = data[i]
+            if b == 0xFF:
+                nxt = data[i + 1] if i + 1 < len(data) else None
+                if nxt == 0x00:
+                    unstuffed.append(0xFF)
+                    i += 2
+                    continue
+                if nxt == 0xD9:  # EOI terminates the scan
+                    break
+                raise ValueError(
+                    f"unexpected marker inside scan: 0xFF{nxt:02X}"
+                    if nxt is not None
+                    else "truncated entropy stream"
+                )
+            unstuffed.append(b)
+            i += 1
+        nbits_total = len(unstuffed) * 8
+        bitpos = 0
+
+        def get_bits(n):
+            nonlocal bitpos
+            if bitpos + n > nbits_total:
+                raise ValueError("truncated entropy stream")
+            v = 0
+            for _ in range(n):
+                byte_i, bit_i = divmod(bitpos, 8)
+                v = (v << 1) | ((unstuffed[byte_i] >> (7 - bit_i)) & 1)
+                bitpos += 1
+            return v
+
+        def read_symbol(lut):
+            code, ln = 0, 0
+            while ln < 17:
+                code = (code << 1) | get_bits(1)
+                ln += 1
+                if (ln, code) in lut:
+                    return lut[(ln, code)]
+            raise ValueError("invalid huffman code in scan")
+
+        def extend(v, size):
+            if size == 0:
+                return 0
+            return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+        bw, bh = w // 8, h // 8
+        out = np.zeros((h, w), dtype=np.uint8)
+        pred = 0
+        for by in range(bh):
+            for bx in range(bw):
+                flat = [0] * 64
+                s = read_symbol(dc_lut)
+                diff = extend(get_bits(s), s)
+                pred += diff
+                flat[0] = pred
+                k = 1
+                while k < 64:
+                    sym = read_symbol(ac_lut)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0x0F
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run past end of block")
+                    flat[k] = extend(get_bits(size), size)
+                    k += 1
+                coeff = np.zeros(64)
+                for i, v in enumerate(flat):
+                    coeff[zz[i]] = v
+                coeff = coeff.reshape(8, 8) * qmat
+                blk = M.T @ coeff @ M + 128.0
+                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                    np.round(blk), 0, 255
+                ).astype(np.uint8)
+        return w, h, bytes(out.tobytes())
+
+    return decode
+
+
+def encode_jpeg_gray(pixels: list[list[int]]) -> bytes:
+    """Baseline grayscale JPEG writer (``pixels[y][x]`` 0..255, dims
+    multiples of 8). Thin wrapper over the by-value kernel codec."""
+    return _make_jpeg_encoder()(pixels)
+
+
+def decode_jpeg_gray(content: bytes) -> tuple[int, int, bytes]:
+    """Baseline grayscale JPEG decoder → (width, height, row-major pixel
+    bytes). Thin wrapper over the by-value kernel codec."""
+    return _make_jpeg_decoder()(content)
+
+
+def jpeg_features(media: DataFrame) -> DataFrame:
+    """Decoded-pixel features over baseline-JPEG image assets via
+    Arrow-batched mapInPandas — dimensions, exact pixel sum / min / max,
+    floor-quantized mean (channels fixed at 1: grayscale subset).
+    Malformed payloads quarantine (drop), like every media kernel."""
+    import pandas as pd
+
+    decode = _make_jpeg_decoder()
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "asset_id", "width", "height", "channels",
+                "pix_sum", "pix_min", "pix_max", "mean_milli",
+            )}
+            img = pdf[pdf["modality"] == "image"]
+            for asset_id, content in zip(img["asset_id"], img["content"]):
+                try:
+                    w, h, px = decode(bytes(content))
+                except ValueError:
+                    continue
+                total = sum(px)
+                rows["asset_id"].append(asset_id)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(1)
+                rows["pix_sum"].append(total)
+                rows["pix_min"].append(min(px))
+                rows["pix_max"].append(max(px))
+                rows["mean_milli"].append(total * 1000 // (w * h))
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def make_jpeg_media(spark, n: int = 16) -> DataFrame:
+    """Deterministic REAL-JPEG fixture whose lossy round trip is
+    provably exact: asset i is ``8*(2+(i%3)) x 8*(1+(i%2))`` grayscale,
+    each 8x8 block built from DCT coefficients at (0,0), (0,4), (4,0),
+    (4,4) only — the basis cells whose IDCT contribution is the rational
+    ±F/8. With quantized levels
+
+        k_dc = ((bx + 2*by + 3*i) % 7) - 3
+        k_a  = ((bx + i) % 5) - 2        (horizontal, s4(x) sign)
+        k_b  = ((by + 2*i) % 5) - 2      (vertical,   s4(y) sign)
+        k_c  = ((bx + by + i) % 3) - 1   (product sign)
+
+    and the uniform quant step 16, the pixel value is the closed form
+
+        p(x,y) = 128 + 2*(k_dc + k_a*s4(x%8) + k_b*s4(y%8)
+                          + k_c*s4(x%8)*s4(y%8))
+
+    where s4(t) = +1 for t in {0,3,4,7} else -1 (sign of
+    cos((2t+1)π/4)). FDCT of that pattern returns exactly 16*k at the
+    four cells (orthogonal transform of its own IDCT) and 0 elsewhere,
+    so quantization recovers k losslessly and the decode reproduces
+    p(x,y) bit-exactly — which a SQL oracle regenerates with integer
+    arithmetic. DC varies per block (exercises DC prediction); the AC
+    cells sit at zigzag 10/14/24 (exercises run-length coding)."""
+    encode = _make_jpeg_encoder()
+
+    def s4(t: int) -> int:
+        return 1 if t % 8 in (0, 3, 4, 7) else -1
+
+    rows: list[tuple[Any, ...]] = []
+    for i in range(n):
+        w = 8 * (2 + (i % 3))
+        h = 8 * (1 + (i % 2))
+        pixels = []
+        for y in range(h):
+            row = []
+            for x in range(w):
+                bx, by = x // 8, y // 8
+                k_dc = ((bx + 2 * by + 3 * i) % 7) - 3
+                k_a = ((bx + i) % 5) - 2
+                k_b = ((by + 2 * i) % 5) - 2
+                k_c = ((bx + by + i) % 3) - 1
+                row.append(
+                    128
+                    + 2 * (k_dc + k_a * s4(x) + k_b * s4(y)
+                           + k_c * s4(x) * s4(y))
+                )
+            pixels.append(row)
+        content = encode(pixels)
+        meta = {
+            "mime": "image/jpeg",
+            "width": w,
+            "height": h,
+            "duration_ms": None,
+            "sample_rate": None,
+        }
+        rows.append((f"j{i:04d}", "image", bytearray(content), meta))
+    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)

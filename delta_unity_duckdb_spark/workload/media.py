@@ -1,9 +1,10 @@
 """Multimodal workload entries. Media fixtures are generated in-memory;
-the video/JPEG decode kernels are deterministic stubs, while the AUDIO
-(RIFF/PCM16 WAV) and IMAGE (PNG) arms are real pure-stdlib decoders
-(see operators/multimodal.py) — their `audio_wav_features` /
-`image_png_features` oracles regenerate the closed-form waveform/pixel
-functions in SQL and value-check the decoded features."""
+the mp4-video decode kernel is a deterministic stub, while the AUDIO
+(RIFF/PCM16 WAV) and IMAGE (PNG and baseline grayscale JPEG) arms are
+real pure-stdlib decoders (see operators/multimodal.py) — their
+`audio_wav_features` / `image_png_features` / `image_jpeg_features`
+oracles regenerate the closed-form waveform/pixel functions in SQL and
+value-check the decoded features."""
 
 from __future__ import annotations
 
@@ -205,6 +206,68 @@ def image_png_features(spark, sf_dir):
     )
 
     return image_features(make_png_media(spark, 16)).orderBy("asset_id")
+
+
+@query(
+    "image_jpeg_features",
+    oracle="""
+    WITH params AS (
+      SELECT i, 8 * (2 + (i % 3)) AS w, 8 * (1 + (i % 2)) AS h
+      FROM (SELECT UNNEST(RANGE(0, 16)) AS i)),
+    px AS (
+      SELECT p.i, p.w, p.h,
+             128 + 2 * (
+               ((((x.x // 8) + 2 * (y.y // 8) + 3 * p.i) % 7) - 3)
+               + ((((x.x // 8) + p.i) % 5) - 2)
+                 * (CASE WHEN (x.x % 8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+               + ((((y.y // 8) + 2 * p.i) % 5) - 2)
+                 * (CASE WHEN (y.y % 8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+               + ((((x.x // 8) + (y.y // 8) + p.i) % 3) - 1)
+                 * (CASE WHEN (x.x % 8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+                 * (CASE WHEN (y.y % 8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+             ) AS v
+      FROM params p,
+           LATERAL (SELECT UNNEST(RANGE(0, p.w)) AS x) x,
+           LATERAL (SELECT UNNEST(RANGE(0, p.h)) AS y) y),
+    feat AS (
+      SELECT i, w, h,
+             CAST(SUM(v) AS BIGINT) AS pix_sum,
+             MIN(v) AS pix_min, MAX(v) AS pix_max
+      FROM px GROUP BY i, w, h)
+    SELECT 'j' || lpad(CAST(i AS VARCHAR), 4, '0') AS asset_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(1 AS BIGINT) AS channels,
+           pix_sum,
+           CAST(pix_min AS BIGINT) AS pix_min,
+           CAST(pix_max AS BIGINT) AS pix_max,
+           CAST((pix_sum * 1000) // (w * h) AS BIGINT) AS mean_milli
+    FROM feat ORDER BY asset_id
+    """,
+)
+def image_jpeg_features(spark, sf_dir):
+    """REAL JPEG decode — baseline sequential DCT (T.81), pure
+    stdlib + numpy: marker walk, canonical huffman tables built from the
+    file's own DHT segments, 0xFF00 byte unstuffing, DC prediction,
+    dequantize → dezigzag → IDCT. The fixture makes a LOSSY codec
+    oracle-checkable: pixels are synthesized from DCT coefficients at
+    (0,0)/(0,4)/(4,0)/(4,4) only, whose IDCT contribution is the exact
+    rational ±F/8 — so encode→decode is bit-lossless for this family and
+    the oracle regenerates the closed-form pixel function with integer
+    SQL. Any huffman, zigzag, dequant, stuffing, or IDCT bug
+    value-mismatches. The 16-asset corpus exercises DC prediction
+    (per-block DC), AC run-length incl. ZRL (coefficient at zigzag 24
+    behind a 23-zero run), and byte stuffing (0xFF bytes arise in 11 of
+    16 entropy streams).
+
+    Scale: same Arrow-batched one-pass mapInPandas shape as the other
+    media arms; malformed payloads quarantine rather than abort."""
+    from delta_unity_duckdb_spark.operators.multimodal import (
+        jpeg_features,
+        make_jpeg_media,
+    )
+
+    return jpeg_features(make_jpeg_media(spark, 16)).orderBy("asset_id")
 
 
 @query(
