@@ -24,14 +24,18 @@ from delta_unity_duckdb_spark.workload import (  # noqa: F401
 )
 from delta_unity_duckdb_spark.workload.registry import ORACLE, QUERIES
 
-# Round-6 driver window (50 slots): with ever-driver-green at 208/208 after
-# round 5, the window becomes a pure staleness rotation — the 13 queries
-# whose only green row is round 1 (5 windows old), then 37 of the 45 whose
-# last green is round 2. The remaining 8 round-2 re-confirms (projection,
-# count_star, conditional_agg, filter_eq, sort_limit, nullsafe_change,
-# case_expr, describe_schema — all trivial single-operator shapes) rotate in
+# Round-6 driver window (50 slots): slot 1 goes to the round-6 addition
+# `image_jpeg_features` (never driver-checked); the rest is a pure
+# staleness rotation — the 13 queries whose only green row is round 1
+# (5 windows old), then 36 of the 45 whose last green is round 2 (the
+# final listed entry now sits at position 51 and rolls to round 7).
+# The remaining round-2 re-confirms (projection, count_star,
+# conditional_agg, filter_eq, sort_limit, nullsafe_change, case_expr,
+# describe_schema — all trivial single-operator shapes) rotate in
 # round 7 together with the round-3 cohort.
 _PRIORITY = [
+    # --- new in round 6, never driver-checked: the real-JPEG arm ---
+    "image_jpeg_features",
     # --- last green: round 1 (stalest) ---
     "ewma_trailing",
     "equi_depth_histogram",
