@@ -224,8 +224,10 @@ def make_fake_media(spark, n: int = 24) -> DataFrame:
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
-def write_media_fixture_dir(path: str, n_wav: int = 120, n_png: int = 120) -> int:
-    """Materialize the deterministic WAV/PNG fixtures as REAL FILES so the
+def write_media_fixture_dir(
+    path: str, n_wav: int = 120, n_png: int = 120, n_jpeg: int = 0
+) -> int:
+    """Materialize the deterministic WAV/PNG/JPEG fixtures as REAL FILES so the
     ``binaryFile`` → ``ingest_binary_dir`` path is exercised end-to-end
     (listing, per-file rows, payload bytes through disk + Arrow), not just
     the in-memory ``make_*_media`` twins. Asset ``i`` carries the SAME
@@ -252,9 +254,11 @@ def write_media_fixture_dir(path: str, n_wav: int = 120, n_png: int = 120) -> in
     # "_"-prefixed so Spark's file listing (binaryFile ingest) skips it.
     manifest = os.path.join(path, "_MANIFEST.txt")
     formula = (
-        "v1 wav=sawtooth((t*(13+i%7))%2048-1024,n=4000+250*(i%8),sr=8000) "
+        "v2 wav=sawtooth((t*(13+i%7))%2048-1024,n=4000+250*(i%8),sr=8000) "
         "png=pixel((7x+13y+29c+31i)%256,w=32+8*(i%5),h=24+8*(i%3),rotate) "
-        f"n_wav={n_wav} n_png={n_png}\n"
+        "jpeg=dctbasis(kdc=(bx+2by+3i)%7-3,ka=(bx+i)%5-2,kb=(by+2i)%5-2,"
+        "kc=(bx+by+i)%3-1,w=8*(2+i%3),h=8*(1+i%2)) "
+        f"n_wav={n_wav} n_png={n_png} n_jpeg={n_jpeg}\n"
     )
     try:
         stale = open(manifest).read() != formula
@@ -290,6 +294,29 @@ def write_media_fixture_dir(path: str, n_wav: int = 120, n_png: int = 120) -> in
             for y in range(h)
         ]
         put(f"p{i:04d}.png", encode_png(pixels, filter_mode="rotate"))
+    if n_jpeg:
+        encode_jpeg = _make_jpeg_encoder()
+
+        def s4(t: int) -> int:
+            return 1 if t % 8 in (0, 3, 4, 7) else -1
+
+        for i in range(n_jpeg):
+            w = 8 * (2 + (i % 3))
+            h = 8 * (1 + (i % 2))
+            pixels = [
+                [
+                    128
+                    + 2 * (
+                        (((x // 8) + 2 * (y // 8) + 3 * i) % 7 - 3)
+                        + (((x // 8) + i) % 5 - 2) * s4(x)
+                        + (((y // 8) + 2 * i) % 5 - 2) * s4(y)
+                        + (((x // 8) + (y // 8) + i) % 3 - 1) * s4(x) * s4(y)
+                    )
+                    for x in range(w)
+                ]
+                for y in range(h)
+            ]
+            put(f"j{i:04d}.jpg", encode_jpeg(pixels))
     # Manifest last: a crash mid-write leaves no/stale manifest, which
     # forces regeneration on the next call — never a torn fixture.
     if stale:
@@ -297,7 +324,7 @@ def write_media_fixture_dir(path: str, n_wav: int = 120, n_png: int = 120) -> in
         with os.fdopen(fd, "w") as f:
             f.write(formula)
         os.replace(tmp, manifest)
-    return n_wav + n_png
+    return n_wav + n_png + n_jpeg
 
 
 _EXT_MODALITY = {

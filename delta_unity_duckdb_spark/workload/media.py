@@ -565,7 +565,7 @@ def audio_energy_segments(spark, sf_dir):
     )
 
 
-# -------------------------------------------------------------- on-disk ingest → decode (both arms)
+# -------------------------------------------------------------- on-disk ingest → decode (all three arms)
 _INGEST_N = 120  # per modality; 240 assets total — the >100-asset contract
 
 
@@ -604,7 +604,28 @@ def _media_fixture_path() -> str:
            LATERAL (SELECT UNNEST(RANGE(0, 3)) AS c) c),
     img_asset AS (
       SELECT i, COUNT(*) AS units, SUM(CAST(v AS BIGINT)) AS v
-      FROM img_px GROUP BY i)
+      FROM img_px GROUP BY i),
+    jpg_params AS (
+      SELECT i, 8 * (2 + (i % 3)) AS w, 8 * (1 + (i % 2)) AS h
+      FROM (SELECT UNNEST(RANGE(0, {_INGEST_N})) AS i)),
+    jpg_px AS (
+      SELECT p.i,
+             128 + 2 * (
+               ((((x.x // 8) + 2 * (y.y // 8) + 3 * p.i) % 7) - 3)
+               + ((((x.x // 8) + p.i) % 5) - 2)
+                 * (CASE WHEN (x.x % 8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+               + ((((y.y // 8) + 2 * p.i) % 5) - 2)
+                 * (CASE WHEN (y.y % 8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+               + ((((x.x // 8) + (y.y // 8) + p.i) % 3) - 1)
+                 * (CASE WHEN (x.x % 8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+                 * (CASE WHEN (y.y % 8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+             ) AS v
+      FROM jpg_params p,
+           LATERAL (SELECT UNNEST(RANGE(0, p.w)) AS x) x,
+           LATERAL (SELECT UNNEST(RANGE(0, p.h)) AS y) y),
+    jpg_asset AS (
+      SELECT i, COUNT(*) AS units, SUM(CAST(v AS BIGINT)) AS v
+      FROM jpg_px GROUP BY i)
     SELECT 'audio' AS modality, CAST(COUNT(*) AS BIGINT) AS n_assets,
            CAST(SUM(units) AS BIGINT) AS units_total,
            CAST(SUM(v) AS BIGINT) AS value_sum,
@@ -612,7 +633,12 @@ def _media_fixture_path() -> str:
            CAST(MAX(v) AS BIGINT) AS value_hi
     FROM wav_asset
     UNION ALL
-    SELECT 'image', CAST(COUNT(*) AS BIGINT), CAST(SUM(units) AS BIGINT),
+    SELECT 'image_jpeg', CAST(COUNT(*) AS BIGINT), CAST(SUM(units) AS BIGINT),
+           CAST(SUM(v) AS BIGINT), CAST(MIN(v) AS BIGINT),
+           CAST(MAX(v) AS BIGINT)
+    FROM jpg_asset
+    UNION ALL
+    SELECT 'image_png', CAST(COUNT(*) AS BIGINT), CAST(SUM(units) AS BIGINT),
            CAST(SUM(v) AS BIGINT), CAST(MIN(v) AS BIGINT),
            CAST(MAX(v) AS BIGINT)
     FROM img_asset
@@ -620,20 +646,22 @@ def _media_fixture_path() -> str:
     """,
 )
 def media_ingest_decode(spark, sf_dir):
-    """THE on-disk multimodal path, end-to-end: 240 real WAV/PNG files on
-    disk → Spark ``binaryFile`` source (distributed listing, one row per
-    file) → ``ingest_binary_dir``'s typed MEDIA_SCHEMA mapping (modality
-    from extension) → hash-repartition by asset → BOTH real decode arms
-    (RIFF/PCM16 chunk walk, PNG inflate+unfilter+CRC) → per-modality
-    roll-up of per-asset exact aggregates (samples + energy for audio,
-    pixel count + pixel sum for image). The oracle regenerates the
-    closed-form waveforms/pixels in SQL, so a bug ANYWHERE in the chain —
-    file listing, byte transport, extension routing, codec, Arrow batch
-    alignment — value-mismatches; it cannot hide in the plumbing.
+    """THE on-disk multimodal path, end-to-end: 360 real WAV/PNG/JPEG
+    files on disk → Spark ``binaryFile`` source (distributed listing, one
+    row per file) → ``ingest_binary_dir``'s typed MEDIA_SCHEMA mapping
+    (modality + mime from extension) → hash-repartition by asset → ALL
+    THREE real decode arms (RIFF/PCM16 chunk walk, PNG
+    inflate+unfilter+CRC, baseline-JPEG huffman+IDCT) routed by the typed
+    mime column → per-codec roll-up of per-asset exact aggregates
+    (samples + energy for audio, pixel count + pixel sum for images). The
+    oracle regenerates the closed-form waveforms/pixels in SQL, so a bug
+    ANYWHERE in the chain — file listing, byte transport, extension
+    routing, codec, Arrow batch alignment — value-mismatches; it cannot
+    hide in the plumbing.
 
     Scale: this is the 100 TB ingest shape — listing and payloads stay
     distributed (no driver collect), decode is Arrow-batched mapInPandas,
-    per-asset rows are a keyed narrow aggregate; the roll-up output is 2
+    per-asset rows are a keyed narrow aggregate; the roll-up output is 3
     rows. Fixture writing is driver-side but idempotent + cached across
     calls (and ~5 MB); real deployments substitute their object store
     at the `ingest_binary_dir` seam.
@@ -643,7 +671,9 @@ def media_ingest_decode(spark, sf_dir):
     )
 
     path = _media_fixture_path()
-    write_media_fixture_dir(path, n_wav=_INGEST_N, n_png=_INGEST_N)
+    write_media_fixture_dir(
+        path, n_wav=_INGEST_N, n_png=_INGEST_N, n_jpeg=_INGEST_N
+    )
     return ingest_decode_rollup(spark, path)
 
 
@@ -655,6 +685,7 @@ def ingest_decode_rollup(spark, path: str):
         audio_features,
         image_features,
         ingest_binary_dir,
+        jpeg_features,
         repartition_by_asset,
     )
 
@@ -664,7 +695,14 @@ def ingest_decode_rollup(spark, path: str):
         media, spark.sparkContext.defaultParallelism
     )
     af = audio_features(media.filter(F.col("modality") == "audio"))
-    imf = image_features(media.filter(F.col("modality") == "image"))
+    # Codec routing happens on the typed mime column the ingest assigned —
+    # the PNG and JPEG kernels each see only payloads they can decode.
+    imf = image_features(
+        media.filter(F.col("meta.mime") == "image/png")
+    )
+    jpf = jpeg_features(
+        media.filter(F.col("meta.mime") == "image/jpeg")
+    )
     a = af.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_assets"),
         F.sum("n_samples").cast("bigint").alias("units_total"),
@@ -672,14 +710,21 @@ def ingest_decode_rollup(spark, path: str):
         F.min("sum_sq").cast("bigint").alias("value_lo"),
         F.max("sum_sq").cast("bigint").alias("value_hi"),
     ).select(F.lit("audio").alias("modality"), "*")
-    b = imf.select(
-        (F.col("width") * F.col("height") * F.col("channels")).alias("units"),
-        "pix_sum",
-    ).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_assets"),
-        F.sum("units").cast("bigint").alias("units_total"),
-        F.sum("pix_sum").cast("bigint").alias("value_sum"),
-        F.min("pix_sum").cast("bigint").alias("value_lo"),
-        F.max("pix_sum").cast("bigint").alias("value_hi"),
-    ).select(F.lit("image").alias("modality"), "*")
-    return a.unionByName(b).orderBy("modality")
+
+    def img_rollup(feats, label):
+        return feats.select(
+            (F.col("width") * F.col("height") * F.col("channels")).alias(
+                "units"
+            ),
+            "pix_sum",
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_assets"),
+            F.sum("units").cast("bigint").alias("units_total"),
+            F.sum("pix_sum").cast("bigint").alias("value_sum"),
+            F.min("pix_sum").cast("bigint").alias("value_lo"),
+            F.max("pix_sum").cast("bigint").alias("value_hi"),
+        ).select(F.lit(label).alias("modality"), "*")
+
+    b = img_rollup(imf, "image_png")
+    c = img_rollup(jpf, "image_jpeg")
+    return a.unionByName(b).unionByName(c).orderBy("modality")

@@ -134,28 +134,30 @@ def test_write_media_fixture_dir_roundtrip(spark, tmp_path):
         audio_features,
         image_features,
         ingest_binary_dir,
+        jpeg_features,
+        make_jpeg_media,
         make_png_media,
         make_wav_media,
         write_media_fixture_dir,
     )
 
     d = str(tmp_path / "assets")
-    assert write_media_fixture_dir(d, n_wav=6, n_png=5) == 11
+    assert write_media_fixture_dir(d, n_wav=6, n_png=5, n_jpeg=4) == 15
     mtimes = {f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)}
-    assert write_media_fixture_dir(d, n_wav=6, n_png=5) == 11  # idempotent
-    assert mtimes == {
+    assert write_media_fixture_dir(d, n_wav=6, n_png=5, n_jpeg=4) == 15
+    assert mtimes == {  # idempotent
         f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)
     }
-    # 11 assets + the formula-version manifest ("_"-prefixed so Spark's
+    # 15 assets + the formula-version manifest ("_"-prefixed so Spark's
     # file listing skips it); no torn temp files.
-    assert len(mtimes) == 12 and not any(f.endswith(".tmp") for f in mtimes)
+    assert len(mtimes) == 16 and not any(f.endswith(".tmp") for f in mtimes)
     assert "_MANIFEST.txt" in mtimes
     # A manifest mismatch (formula change without a payload-length change)
     # must force regeneration — the size-only skip alone would keep stale
     # bytes silently.
     with open(os.path.join(d, "_MANIFEST.txt"), "w") as f:
         f.write("v0 some-older-formula\n")
-    assert write_media_fixture_dir(d, n_wav=6, n_png=5) == 11
+    assert write_media_fixture_dir(d, n_wav=6, n_png=5, n_jpeg=4) == 15
     regen = {f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)}
     assert all(regen[f] >= mtimes[f] for f in mtimes)
     assert regen["w0000.wav"] > mtimes["w0000.wav"]
@@ -179,6 +181,21 @@ def test_write_media_fixture_dir_roundtrip(spark, tmp_path):
         for r in image_features(make_png_media(spark, 5)).collect()
     }
     assert got_i == want_i and len(got_i) == 5
+    # JPEG arm: route on the typed mime (the PNG kernel would quarantine
+    # the .jpg payloads, hiding a routing bug as a silent drop).
+    from pyspark.sql import functions as F
+
+    got_j = {
+        r["asset_id"].removesuffix(".jpg"): (r["width"], r["pix_sum"])
+        for r in jpeg_features(
+            media.filter(F.col("meta.mime") == "image/jpeg")
+        ).collect()
+    }
+    want_j = {
+        r["asset_id"]: (r["width"], r["pix_sum"])
+        for r in jpeg_features(make_jpeg_media(spark, 4)).collect()
+    }
+    assert got_j == want_j and len(got_j) == 4
 
 
 def test_media_scale_referee_matches_oracle_constants(spark):

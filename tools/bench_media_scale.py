@@ -4,12 +4,12 @@ count, with a closed-form referee so the measurement is also a
 correctness check (a codec or plumbing bug at scale value-mismatches
 instead of silently "benchmarking" garbage).
 
-Generates (idempotently) a deterministic WAV/PNG directory of
+Generates (idempotently) a deterministic WAV/PNG/JPEG directory of
 ``n_per_modality`` assets per modality via
 ``operators.multimodal.write_media_fixture_dir`` — the same closed-form
-payloads the 240-asset oracle query uses, just more of them — then times
+payloads the 360-asset oracle query uses, just more of them — then times
 ``workload.media.ingest_decode_rollup`` (binaryFile listing → typed
-ingest → hash-respread → both real decode arms → 2-row rollup) and
+ingest → hash-respread → all three real decode arms → 3-row rollup) and
 verifies every output cell against a numpy regeneration of the closed
 forms.
 
@@ -53,9 +53,27 @@ def referee(n: int) -> dict[str, tuple[int, int, int, int, int]]:
         ) % 256
         img_v.append(int(px.sum()))
         img_units += w * h * 3
+    jpg_v, jpg_units = [], 0
+    for i in range(n):
+        w = 8 * (2 + (i % 3))
+        h = 8 * (1 + (i % 2))
+        x = np.arange(w, dtype=np.int64)[None, :]
+        y = np.arange(h, dtype=np.int64)[:, None]
+        s4x = np.where(np.isin(x % 8, (0, 3, 4, 7)), 1, -1)
+        s4y = np.where(np.isin(y % 8, (0, 3, 4, 7)), 1, -1)
+        bx, by = x // 8, y // 8
+        px = 128 + 2 * (
+            ((bx + 2 * by + 3 * i) % 7 - 3)
+            + ((bx + i) % 5 - 2) * s4x
+            + ((by + 2 * i) % 5 - 2) * s4y
+            + ((bx + by + i) % 3 - 1) * s4x * s4y
+        )
+        jpg_v.append(int(px.sum()))
+        jpg_units += w * h
     return {
         "audio": (n, wav_units, sum(wav_v), min(wav_v), max(wav_v)),
-        "image": (n, img_units, sum(img_v), min(img_v), max(img_v)),
+        "image_jpeg": (n, jpg_units, sum(jpg_v), min(jpg_v), max(jpg_v)),
+        "image_png": (n, img_units, sum(img_v), min(img_v), max(img_v)),
     }
 
 
@@ -71,7 +89,7 @@ def main() -> None:
     from delta_unity_duckdb_spark.workload.media import ingest_decode_rollup
 
     t0 = time.time()
-    write_media_fixture_dir(path, n_wav=n, n_png=n)
+    write_media_fixture_dir(path, n_wav=n, n_png=n, n_jpeg=n)
     gen_sec = round(time.time() - t0, 2)
     total_bytes = sum(
         os.path.getsize(os.path.join(path, f)) for f in os.listdir(path)
@@ -107,13 +125,13 @@ def main() -> None:
                 "metric": "media_decode_scale",
                 "unit": "sec",
                 "dir": path,
-                "n_assets": 2 * n,
+                "n_assets": 3 * n,
                 "total_mb": round(total_bytes / 1e6, 1),
                 "fixture_gen_sec": gen_sec,
                 "spark_cold": cold,
                 "spark_warm_runs": times,
                 "spark_warm": warm,
-                "assets_per_sec": round(2 * n / warm, 1),
+                "assets_per_sec": round(3 * n / warm, 1),
                 "decoded_mb_per_sec": round(total_bytes / 1e6 / warm, 1),
                 "match": match,
                 **(

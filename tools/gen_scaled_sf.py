@@ -117,9 +117,10 @@ def main() -> None:
 
     n_media = min(120 * copies, 2400)
     write_media_fixture_dir(
-        os.path.join(dst, "media"), n_wav=n_media, n_png=n_media
+        os.path.join(dst, "media"), n_wav=n_media, n_png=n_media,
+        n_jpeg=n_media,
     )
-    print(f"media: {2 * n_media} assets", file=sys.stderr)
+    print(f"media: {3 * n_media} assets", file=sys.stderr)
     print(f"wrote {dst} ({copies}x {src})", file=sys.stderr)
 
 
