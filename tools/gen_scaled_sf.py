@@ -65,6 +65,14 @@ def main() -> None:
     copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
+    # COPY materializes the ENTIRE result before writing when insertion
+    # order must be preserved (78 GB RSS observed on the 600M-row sf100
+    # lineitem before this); fixture row order is irrelevant — every
+    # query is order-insensitive and both engines read the same files —
+    # so stream instead, with a hard memory ceiling + disk spill.
+    con.execute("SET preserve_insertion_order = false")
+    con.execute("SET memory_limit = '32GB'")
+    con.execute(f"SET temp_directory = '{dst}/.duckdb_tmp'")
 
     offsets = {}
     for dom, (tbl, col) in DOMAIN_SOURCE.items():
