@@ -1506,13 +1506,12 @@ def delta_merge_upsert(spark, sf_dir):
 def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality profiling: per-column row/null/distinct counts and
     min/max, the summary a pipeline computes before trusting a new drop of
-    data. The oracle spells it as 4 UNION ALL scans; the Spark plan reads
-    the table TWICE regardless of column count — once for the cheap
-    streaming aggregates (count/min/max of every column in a single
-    aggregate, then a zero-shuffle ``stack`` unpivot), once for ALL the
-    distinct counts together: unpivot to (column, value) pairs and run a
-    plain two-phase groupBy — partial (column, value) dedup map-side,
-    count per column after one shuffle of the surviving pairs.
+    data. The oracle spells it as 4 UNION ALL full scans; the Spark plan
+    reads each BYTE once — one scan for the cheap streaming aggregates
+    (count/min/max of every column in a single aggregate, then a
+    zero-shuffle ``stack`` unpivot), plus one column-PRUNED scan per
+    distinct count (N narrow scans whose bytes sum to one N-column
+    scan).
 
     Why not one pass with multi-``countDistinct``: Catalyst rewrites N
     distinct aggregates in one Aggregate into an EXPAND that replicates

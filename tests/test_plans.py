@@ -258,16 +258,23 @@ def test_triangles_wedge_joins_keyed(plans):
     assert keyed, "wedge join is not a keyed join"
 
 
-def test_table_profile_single_scan(plans):
-    """Profiling four columns must read the table a CONSTANT number of
-    times — one scan for the streaming aggregates (count/min/max of all
-    columns + stack unpivot) and one for ALL distinct counts together
-    (unpivoted two-phase groupBy) — never once per column like the UNION
-    ALL oracle, and never through the EXPAND a multi-countDistinct
-    aggregate would plan (row replication × N+1 before the shuffle)."""
+def test_table_profile_pruned_scans(plans):
+    """Profiling four columns must read each BYTE once: one scan for the
+    streaming aggregates (count/min/max of all columns + stack unpivot)
+    plus one column-PRUNED scan per distinct count — each of those must
+    read exactly its own column (the bytes sum to one 4-column scan) —
+    and never the EXPAND a multi-countDistinct aggregate would plan
+    (row replication × N+1 before the shuffle)."""
     p = plans["table_profile"]
-    assert p.count("FileScan parquet") == 2
+    assert p.count("FileScan parquet") == 5
     assert "Expand" not in p
+    # every distinct-count scan is pruned to a single column
+    one_col_scans = [
+        ln for ln in p.splitlines()
+        if "ReadSchema: struct<" in ln
+        and ln.split("ReadSchema: struct<", 1)[1].count(",") == 0
+    ]
+    assert len(one_col_scans) >= 4, p
 
 
 def test_ewma_single_window_shuffle(plans):

@@ -226,18 +226,19 @@ class TestPlans:
         assert "hashpartitioning(epoch" in p
         assert "CartesianProduct" not in p
 
-    def test_dup_ngram_single_corpus_partitioning(self, spark, sf_dir):
-        """counts, max, and join-back all key on doc_id: ONE explicit
-        doc_id exchange of the exploded gram stream in the static plan,
-        and at runtime AQE must reuse it (ReusedExchange) so the
-        tokenizer+explode runs once, not once per consumer."""
+    def test_dup_ngram_zero_shuffle(self, spark, sf_dir):
+        """The round-6 rework made the per-doc bigram argmax a
+        zero-shuffle Arrow kernel (each doc's top bigram is local to its
+        row — no exchange was ever needed): the plan must contain NO
+        hashpartitioning exchange at all — the only data movement is the
+        final TakeOrdered — and obviously no CartesianProduct. This
+        supersedes the old pin (one doc_id exchange + AQE
+        ReusedExchange), which described the pre-rework exploded-gram
+        dataflow."""
         from tests.test_plans import plan_of
 
         df = QUERIES["dup_ngram_char_share"](spark, sf_dir)
         p = plan_of(df)
         assert "CartesianProduct" not in p
-        assert p.count("Exchange hashpartitioning") <= 2
-        df.collect()
-        final = plan_of(df)
-        assert "isFinalPlan=false" not in final
-        assert "ReusedExchange" in final
+        assert p.count("Exchange hashpartitioning") == 0
+        assert "TakeOrderedAndProject" in p
