@@ -24,11 +24,13 @@ from delta_unity_duckdb_spark.workload import (  # noqa: F401
 )
 from delta_unity_duckdb_spark.workload.registry import ORACLE, QUERIES
 
-# Round-6 driver window (50 slots): slot 1 goes to the round-6 addition
-# `image_jpeg_features` (never driver-checked); the rest is a pure
-# staleness rotation — the 13 queries whose only green row is round 1
-# (5 windows old), then 36 of the 45 whose last green is round 2 (the
-# final listed entry now sits at position 51 and rolls to round 7).
+# Round-6 driver window (50 slots): slots 1-2 go to the round-6 work —
+# `image_jpeg_features` (new, never driver-checked) and
+# `media_ingest_decode` (oracle shape changed this round); the rest is a
+# pure staleness rotation — the 13 queries whose only green row is
+# round 1 (5 windows old), then 35 of the 45 whose last green is round 2
+# (the final two listed entries now sit past position 50 and roll to
+# round 7).
 # The remaining round-2 re-confirms (projection, count_star,
 # conditional_agg, filter_eq, sort_limit, nullsafe_change, case_expr,
 # describe_schema — all trivial single-operator shapes) rotate in
@@ -36,6 +38,9 @@ from delta_unity_duckdb_spark.workload.registry import ORACLE, QUERIES
 _PRIORITY = [
     # --- new in round 6, never driver-checked: the real-JPEG arm ---
     "image_jpeg_features",
+    # --- oracle shape changed in round 6 (2-row -> 3-codec rollup):
+    # its r05 green row describes the old contract, so re-earn one ---
+    "media_ingest_decode",
     # --- last green: round 1 (stalest) ---
     "ewma_trailing",
     "equi_depth_histogram",
