@@ -1335,8 +1335,16 @@ _JPEG_QSTEP = 16  # uniform quant table: multiples-of-16 coefficients survive
 
 def _jpeg_common():
     """Shared pure helpers (zigzag order, DCT basis, canonical huffman
-    code assignment) — called INSIDE the by-value kernels so cloudpickle
-    ships everything with the closure."""
+    code assignment). Called at FACTORY time (driver-side, where this
+    module is importable); the kernels close over the returned plain
+    data — lists/dicts pickle by value, so executors of a bare session
+    never need this package. (The round-6 cluster sim caught the
+    original form, which called this module function from inside the
+    shipped closures: cloudpickle pickles importable module functions by
+    REFERENCE, and both JPEG queries died with ModuleNotFoundError on
+    the PYTHONPATH-less workers.) The decoder additionally nests its own
+    copy of the canonical-code builder, because it must construct tables
+    from the FILE's DHT segments at decode time."""
 
     def zigzag_order():
         # Diagonal walk: odd diagonals run row 0→s, even run s→0.
@@ -1379,21 +1387,23 @@ def _make_jpeg_encoder():
     dc_spec = (list(_JPEG_DC_BITS), list(_JPEG_DC_VALS))
     ac_spec = (list(_JPEG_AC_BITS), list(_JPEG_AC_VALS))
     qstep = _JPEG_QSTEP
-    common = _jpeg_common
+    # Factory-time (driver-side) evaluation: the closure captures only
+    # plain lists/dicts, never a module reference (see _jpeg_common).
+    zigzag_order, dct_matrix, huff_codes = _jpeg_common()
+    zz = zigzag_order()
+    basis = dct_matrix()
+    dc_codes = huff_codes(*dc_spec)
+    ac_codes = huff_codes(*ac_spec)
 
     def encode(pixels):
         import struct
 
         import numpy as np
 
-        zigzag_order, dct_matrix, huff_codes = common()
         h, w = len(pixels), len(pixels[0])
         if h % 8 or w % 8:
             raise ValueError("encoder supports multiple-of-8 dims only")
-        zz = zigzag_order()
-        M = np.array(dct_matrix())
-        dc_codes = huff_codes(*dc_spec)
-        ac_codes = huff_codes(*ac_spec)
+        M = np.array(basis)
         q = np.full((8, 8), qstep, dtype=np.int32)
 
         out = bytearray()
@@ -1481,14 +1491,29 @@ def _make_jpeg_decoder():
     baseline grayscale JPEG. Raises ValueError loudly on anything that
     is not a well-formed baseline 1-component scan."""
 
-    common = _jpeg_common
+    # Factory-time evaluation — closure captures plain data only.
+    zigzag_order, dct_matrix, _ = _jpeg_common()
+    zz = zigzag_order()
+    basis = dct_matrix()
 
     def decode(content: bytes):
         import struct
 
         import numpy as np
 
-        zigzag_order, dct_matrix, huff_codes = common()
+        def huff_codes(bits, vals):
+            # T.81 C.2 canonical assignment — nested (not the factory
+            # copy) because the decoder builds tables from the FILE's
+            # DHT segments at decode time, on the executor.
+            codes, code, k = {}, 0, 0
+            for ln in range(1, 17):
+                for _ in range(bits[ln - 1]):
+                    codes[vals[k]] = (code, ln)
+                    code += 1
+                    k += 1
+                code <<= 1
+            return codes
+
         if content[:2] != b"\xff\xd8":
             raise ValueError("not a JPEG payload (missing SOI)")
         pos = 2
@@ -1568,8 +1593,7 @@ def _make_jpeg_decoder():
         dc_lut = {(ln, c): s for s, (c, ln) in dc_map.items()}
         ac_lut = {(ln, c): s for s, (c, ln) in ac_map.items()}
 
-        zz = zigzag_order()
-        M = np.array(dct_matrix())
+        M = np.array(basis)
         qmat = np.zeros(64)
         for i, qi in enumerate(qtables[tq]):
             qmat[zz[i]] = qi
