@@ -264,6 +264,25 @@ def write_media_fixture_dir(
         stale = open(manifest).read() != formula
     except OSError:
         stale = True
+    if stale:
+        # The manifest changed (formula edit or a COUNT change, e.g.
+        # n_jpeg shrinking back to 0). Regeneration alone only rewrites
+        # the files we are ABOUT to write — now-excess assets from the
+        # old manifest (stale j*.jpg) would survive on disk, be listed by
+        # binaryFile ingest, and surface as an asset-count/value mismatch
+        # that points at the decode path instead of the fixture. Remove
+        # every non-"_" file that is not in the new expected set first.
+        expected = (
+            {f"w{i:04d}.wav" for i in range(n_wav)}
+            | {f"p{i:04d}.png" for i in range(n_png)}
+            | {f"j{i:04d}.jpg" for i in range(n_jpeg)}
+        )
+        for name in os.listdir(path):
+            if not name.startswith("_") and name not in expected:
+                try:
+                    os.remove(os.path.join(path, name))
+                except OSError:
+                    pass  # concurrent caller already removed it
 
     def put(name: str, payload: bytes) -> None:
         dst = os.path.join(path, name)
@@ -1536,6 +1555,11 @@ def _make_jpeg_decoder():
                         pq, tq = data[d] >> 4, data[d] & 0x0F
                         if pq != 0:
                             raise ValueError("16-bit quant tables unsupported")
+                        if len(data) - d < 65:
+                            # Mirror the truncated-DHT check: a short DQT
+                            # must fail loudly, not zero-fill qmat cells and
+                            # decode to silently wrong pixels.
+                            raise ValueError("truncated DQT")
                         qtables[tq] = list(data[d + 1 : d + 65])
                         d += 65
                 elif marker == 0xC0:  # SOF0 baseline

@@ -94,6 +94,19 @@ class TestDecoder:
         with pytest.raises(ValueError, match="non-baseline"):
             decode_jpeg_gray(content + b"\xff\xd9")
 
+    def test_truncated_dqt_refused(self):
+        # A DQT segment whose declared length cuts the 64-entry table
+        # short must fail loudly — zero-filling the missing qmat cells
+        # would decode to silently wrong pixels that still emit a
+        # valid-looking feature row.
+        content = (
+            b"\xff\xd8"
+            + _seg(0xFFDB, bytes([0x00]) + bytes([16] * 40))  # only 40 of 64
+            + _seg(0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+        )
+        with pytest.raises(ValueError, match="truncated DQT"):
+            decode_jpeg_gray(content + b"\xff\xd9")
+
     def test_restart_interval_refused(self):
         content = b"\xff\xd8" + _seg(0xFFDD, struct.pack(">H", 4))
         with pytest.raises(ValueError, match="restart"):

@@ -198,6 +198,29 @@ def test_write_media_fixture_dir_roundtrip(spark, tmp_path):
     assert got_j == want_j and len(got_j) == 4
 
 
+def test_write_media_fixture_dir_shrink_removes_stale_assets(tmp_path):
+    """Shrinking a count (n_jpeg 4 → 0) changes the manifest, and the
+    regeneration must DELETE the now-excess j*.jpg files — binaryFile
+    ingest lists the directory, so stale assets would surface as an
+    asset-count/value mismatch pointing at the decode path."""
+    import os
+
+    from delta_unity_duckdb_spark.operators.multimodal import (
+        write_media_fixture_dir,
+    )
+
+    d = str(tmp_path / "assets")
+    assert write_media_fixture_dir(d, n_wav=3, n_png=2, n_jpeg=4) == 9
+    assert sum(f.endswith(".jpg") for f in os.listdir(d)) == 4
+    assert write_media_fixture_dir(d, n_wav=3, n_png=2, n_jpeg=0) == 5
+    names = sorted(f for f in os.listdir(d) if not f.startswith("_"))
+    assert names == ["p0000.png", "p0001.png", "w0000.wav", "w0001.wav",
+                     "w0002.wav"]
+    # Growing back regenerates the jpegs and keeps the survivors.
+    assert write_media_fixture_dir(d, n_wav=3, n_png=2, n_jpeg=1) == 6
+    assert sum(f.endswith(".jpg") for f in os.listdir(d)) == 1
+
+
 def test_media_scale_referee_matches_oracle_constants(spark):
     """The numpy referee in tools/bench_media_scale.py and the
     media_ingest_decode SQL oracle must agree at the registered fixture

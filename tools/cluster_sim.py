@@ -156,9 +156,15 @@ def launch_cluster(workers: int, cores: int, mem_gb: int, workdir: str):
 def main() -> None:
     argv = list(sys.argv[1:])
     out_path = None
-    if argv and argv[0] == "--out":
-        out_path = argv[1]
-        argv = argv[2:]
+    # Accept --out anywhere in argv (not just first): a trailing
+    # '... 3 4 --out f.json all' must not silently treat '--out' as a
+    # query name and report it in bad[].
+    while "--out" in argv:
+        i = argv.index("--out")
+        if i + 1 >= len(argv):
+            raise SystemExit("--out requires a FILE argument")
+        out_path = argv[i + 1]
+        del argv[i : i + 2]
     sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
     workers = int(argv[1]) if len(argv) > 1 else 3
     cores = int(argv[2]) if len(argv) > 2 else 4
