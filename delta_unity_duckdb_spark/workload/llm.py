@@ -1790,34 +1790,33 @@ def exact_span_dedup(spark, sf_dir):
     drop or trim docs above a dup_ratio threshold.
 
     Scale: strictly linear — spans are hashed (md5-portable 60-bit) so
-    the shuffle key is a fixed-width long, the duplicated-span census is
-    one groupBy, and marking is a keyed left join back; no pair join
-    exists in this operator at all, so a boilerplate span shared by
-    millions of docs costs its group count, never a blow-up.
+    the shuffle key is a fixed-width long, and the duplicated-span census
+    is a COUNT window over h: every (doc, span) row learns its span's
+    corpus frequency in the same exchange that the old census-groupBy +
+    join-back needed TWO passes (and a localCheckpoint to avoid
+    re-tokenizing) for. One consumer of the shingle explode → the corpus
+    tokenizes once with no materialization barrier at all — round 6
+    measured the per-iteration checkpoint re-write as the warm>cold
+    inversion at sf100 (265.7 s warm vs 183.6 s cold). No pair join
+    exists in this operator, so a boilerplate span shared by millions of
+    docs costs its group count, never a blow-up; the worst window
+    partition is that group's (doc_id, h) rows — 16 bytes each.
     """
+    from pyspark.sql import Window
+
     from delta_unity_duckdb_spark.functions.hashing import hash60
 
     d = load_table(spark, sf_dir, "documents")
-    # Two consumers (census + join-back): checkpoint the hashed explode
-    # so the corpus tokenizes once — same move as boilerplate_ngram_flags
-    # (~40% of sf100 wall was the second tokenize pass).
-    spans = (
-        D.shingle_rows(d, "doc_id", "text", 8, distinct=True)
-        .select(F.col("id").alias("doc_id"), hash60(F.col("s")).alias("h"))
-        .localCheckpoint(eager=False)
+    spans = D.shingle_rows(d, "doc_id", "text", 8, distinct=True).select(
+        F.col("id").alias("doc_id"), hash60(F.col("s")).alias("h")
     )
-    marked = (
-        spans.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h", F.lit(1).alias("dup"))
-    )
+    nd = F.count(F.lit(1)).over(Window.partitionBy("h"))
     return (
-        spans.join(marked, "h", "left")
+        spans.select("doc_id", (nd >= 2).cast("int").alias("dup"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
-            F.sum(F.coalesce(F.col("dup"), F.lit(0))).cast("bigint").alias("dup_spans"),
+            F.sum("dup").cast("bigint").alias("dup_spans"),
         )
         .select(
             "doc_id",

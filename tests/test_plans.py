@@ -357,14 +357,19 @@ def test_bigram_surprisal_single_lm_shuffle(plans):
 
 
 def test_exact_span_census_partial_agg_no_pair_join(plans):
-    """The span census partial-aggregates map-side; the operator marks
-    spans by a keyed join — there is never a pair join in the plan."""
+    """The span census is a COUNT window over h — every (doc, span) row
+    learns its span's corpus frequency in one exchange; no census
+    groupBy + join-back pair, no checkpoint barrier, and never a pair
+    join in the plan."""
     p = plans["exact_span_dedup"]
-    assert "partial_" in p
+    assert "Window" in p
     assert "CartesianProduct" not in p
-    # one scan of documents (census + mark reuse the exploded frame via
-    # a self-referencing shuffle, not a second text pass)
-    assert p.count("Scan parquet") <= 2
+    # ONE scan of documents: the window's single consumer means the
+    # corpus tokenizes once with no second text pass and no join.
+    assert p.count("Scan parquet") == 1
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    # the final per-doc rollup still partial-aggregates map-side
+    assert "partial_" in p
 
 
 def test_winnow_single_window_shuffle(spark, sf_dir, plans):
