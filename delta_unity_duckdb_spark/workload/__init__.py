@@ -24,75 +24,73 @@ from delta_unity_duckdb_spark.workload import (  # noqa: F401
 )
 from delta_unity_duckdb_spark.workload.registry import ORACLE, QUERIES
 
-# Round-6 driver window (50 slots): slots 1-2 go to the round-6 work —
-# `image_jpeg_features` (new, never driver-checked) and
-# `media_ingest_decode` (oracle shape changed this round); the rest is a
-# pure staleness rotation — the 13 queries whose only green row is
-# round 1 (5 windows old), then 35 of the 45 whose last green is round 2
-# (the final two listed entries now sit past position 50 and roll to
-# round 7).
-# The remaining round-2 re-confirms (projection, count_star,
-# conditional_agg, filter_eq, sort_limit, nullsafe_change, case_expr,
-# describe_schema — all trivial single-operator shapes) rotate in
-# round 7 together with the round-3 cohort.
+# Round-7 driver window (50 slots): slot 1 is the round-7 work —
+# `dedup_pipeline_exact_first` (new, never driver-checked: the E1+E2
+# exact-first composition promoted from tools/bench_dedup_clique.py arm
+# B). The rest is the pure staleness rotation the round-6 plan recorded:
+# the 10 remaining round-2 re-confirms (window_frame_sum /
+# window_lag_lead rolled past position 50 last round, plus the 8 trivial
+# single-operator shapes), then the round-3 cohort in registry order —
+# 39 of its 50 fit this window; the final 11 (kmv_distinct_merge,
+# cms_heavy_hitters, bloom_join_stats, kmv_set_ops,
+# hll_incremental_refresh, hist_quantile_sketch, stream_hll_distinct,
+# stream_cms_top_users, window_ntile_stats, window_first_last,
+# stratified_sample) roll to round 8, after which no green row is older
+# than round 4.
 _PRIORITY = [
-    # --- new in round 6, never driver-checked: the real-JPEG arm ---
-    "image_jpeg_features",
-    # --- oracle shape changed in round 6 (2-row -> 3-codec rollup):
-    # its r05 green row describes the old contract, so re-earn one ---
-    "media_ingest_decode",
-    # --- last green: round 1 (stalest) ---
-    "ewma_trailing",
-    "equi_depth_histogram",
-    "graph_one_hop",
-    "graph_descendants",
-    "graph_degree_distribution",
-    "wordcount",
-    "token_counts",
-    "udf_pandas_scalar",
-    "udf_pandas_grouped_agg",
-    "bigram_freq",
-    "doc_repetition",
-    "doc_chunks",
-    "dataset_split_assign",
-    # --- last green: round 2 ---
-    "sliding_window",
-    "distribution_drift",
-    "graph_cypher_load",
-    "graph_pagerank",
-    "lang_profile",
-    "text_profile",
-    "minhash_near_dups",
-    "simhash_near_dups",
-    "embedding_pairs_lsh",
-    "similarity_topk_ivf",
-    "near_dup_clusters",
-    "inverted_index",
-    "source_mixture_weights",
-    "multimodal_frame_stats",
-    "scd2_sync",
-    "snapshot_diff_orders",
-    "stream_tumbling_window",
-    "stream_session_window",
-    "stream_stateful_totals",
-    "stream_sliding_window",
-    "stream_stream_join",
-    "stream_dedup",
-    "stream_scd2_sync",
-    "stream_static_join",
-    "topk_group_count",
-    "filter_range_in_like_null",
-    "group_aggs",
-    "rollup_agg",
-    "cube_agg",
-    "join_inner",
-    "join_left",
-    "join_semi",
-    "join_anti",
-    "self_join",
-    "window_rank",
+    # --- new in round 7, never driver-checked ---
+    "dedup_pipeline_exact_first",
+    # --- last green: round 2 (stalest) ---
     "window_frame_sum",
     "window_lag_lead",
+    "projection",
+    "count_star",
+    "conditional_agg",
+    "filter_eq",
+    "sort_limit",
+    "nullsafe_change",
+    "case_expr",
+    "describe_schema",
+    # --- last green: round 3, registry order ---
+    "kmeans_clusters",
+    "semantic_dedup_blocks",
+    "cluster_balanced_sample",
+    "pii_redact",
+    "llm_pipeline_end_to_end",
+    "graph_kcore",
+    "lang_id_confusion",
+    "multimodal_features",
+    "set_ops",
+    "distinct_pairs",
+    "string_funcs",
+    "regex_funcs",
+    "date_funcs",
+    "math_funcs",
+    "array_funcs",
+    "json_extract",
+    "cte_subquery",
+    "sample_mod",
+    "pricing_summary",
+    "multiway_join_topk",
+    "join_right",
+    "join_full",
+    "join_cross",
+    "grouping_sets",
+    "pivot_agg",
+    "percentile_agg",
+    "exists_subquery",
+    "map_funcs",
+    "string_agg_group",
+    "unpivot_melt",
+    "correlated_scalar_agg",
+    "delta_time_travel",
+    "delta_merge_upsert",
+    "table_profile",
+    "delta_restore",
+    "delta_schema_evolution",
+    "lateral_topn_join",
+    "window_percent_cume",
+    "hll_distinct_groups",
 ]
 
 

@@ -267,6 +267,63 @@ def incremental_near_dup_ingest(spark, sf_dir):
 
 
 @query(
+    "dedup_pipeline_exact_first",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000000 AS doc_id, text FROM documents
+      WHERE doc_id % 5 = 0),
+    survivors AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM corpus) t
+      WHERE rn = 1),
+    pairs AS ({D.minhash_pairs_sql('survivors', 'doc_id', 'text',
+                                   num_perm=32, bands=8)})
+    SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b LIMIT 1000
+    """,
+)
+def dedup_pipeline_exact_first(spark, sf_dir):
+    """E1+E2 composition in PRODUCTION pipeline order: hash-exact dedup
+    first (keyed window, linear, no pair join), MinHash+LSH near-dup
+    candidates second — over the exact survivors only.
+
+    Why the order matters (the round-6 sf100 lesson,
+    tools/bench_dedup_clique.py): any near-dup detector's candidate-PAIR
+    output is inherently Θ(clique²) per duplicate clique, so a crawl
+    where each doc exists as 1000 verbatim copies makes the pair answer
+    itself ~2.5e9 rows for ANY engine. Collapsing verbatim cliques to
+    one deterministic survivor each (min id) FIRST keeps the whole
+    pipeline linear and preserves the true near-dup pairs of the base
+    corpus — the sf100 measurement was 5 M docs → 4,992 survivors →
+    8,301 pairs in 5.7 s end-to-end, vs spill-disk exhaustion in
+    pair-first order.
+
+    The fixture corpus has few verbatim duplicates below sf100, so the
+    query injects them: every 5th doc is unioned back under id + 1e10
+    (same move as ``incremental_near_dup_ingest``; the offset clears the
+    ~1e7 id range of the replicated sf100 fixture so injected ids never
+    collide with real ones). Exact dedup must eliminate every injected
+    copy (survivor = original, smaller id) — a pair touching an id >=
+    1e10 would prove the exact stage failed, and the oracle replays the
+    identical survivor set and banding.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = d.unionAll(
+        d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + F.lit(10_000_000_000)).alias("doc_id"), "text"
+        )
+    )
+    survivors = D.dedup_exact(corpus, ["text"], "doc_id")
+    pairs = D.minhash_near_dups(
+        survivors, "doc_id", "text", num_perm=32, bands=8
+    )
+    return pairs.orderBy("id_a", "id_b").limit(1000)
+
+
+@query(
     "simhash_near_dups",
     oracle=f"""
     WITH pairs AS ({D.simhash_pairs_sql()})

@@ -132,6 +132,31 @@ def test_incremental_ingest_detects_every_recrawl(spark, sf_dir):
         assert r["dup_of"] <= r["new_id"] - 500000
 
 
+def test_dedup_pipeline_exact_first_collapses_verbatim_cliques(spark, sf_dir):
+    """The exact-first pipeline must (a) eliminate every injected
+    verbatim copy — a pair touching an id >= 1e10 proves the exact
+    stage failed — and (b) recover exactly the near-dup pairs of the
+    base corpus (at this SF the originals are distinct, so survivors ==
+    originals and the pair set equals minhash over the originals)."""
+    from delta_unity_duckdb_spark.operators import dedup as D
+    from delta_unity_duckdb_spark.sources.tables import load_table
+    from delta_unity_duckdb_spark.workload.llm import dedup_pipeline_exact_first
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup_pipeline_exact_first(spark, sf_dir).collect()
+    }
+    assert all(a < 10_000_000_000 and b < 10_000_000_000 for a, b in got)
+    d = load_table(spark, sf_dir, "documents")
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_near_dups(
+            d, "doc_id", "text", num_perm=32, bands=8
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
 def test_sequence_packing_conserves_tokens_and_orders_bins(spark, sf_dir):
     """Packing must conserve the corpus token count exactly (every doc in
     exactly one bin) and fill bins in contiguous order: within a
