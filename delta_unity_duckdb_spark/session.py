@@ -127,6 +127,12 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
     )
+    # Against a real (standalone) master the executor heap matters and
+    # the 1g Spark default is far too small for the scale fixtures;
+    # local mode ignores this. Same env var tools/cluster_sim.py uses.
+    exec_mem = os.environ.get("SPARK_GRAFT_EXECUTOR_MEM")
+    if exec_mem:
+        builder = builder.config("spark.executor.memory", exec_mem)
     if _delta_available():
         builder = builder.config(
             "spark.sql.extensions", "io.delta.sql.DeltaSparkSessionExtension"

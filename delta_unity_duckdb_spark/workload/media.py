@@ -50,7 +50,8 @@ def _features_oracle_sql(n: int = 48) -> str:
     )
 
 
-@query("multimodal_features", oracle=_features_oracle_sql(48))
+@query("multimodal_features", oracle=_features_oracle_sql(48),
+       oracle_kind="closed_form_replay")
 def multimodal_features(spark, sf_dir):
     """binary → feature vectors via Arrow-batched mapInPandas (1:1).
 
@@ -93,6 +94,7 @@ def multimodal_features(spark, sf_dir):
            CAST((3000 + i * 500) // 500 AS BIGINT) AS n_frames
     FROM range(48) t(i) WHERE i % 3 = 2
     """,
+    oracle_kind="closed_form_replay",
 )
 def multimodal_frame_stats(spark, sf_dir):
     """Video frame sampling (1:N explode via Arrow-batched mapInPandas) +
@@ -137,6 +139,7 @@ def multimodal_frame_stats(spark, sf_dir):
                 AS BIGINT) AS rms_milli
     FROM feat ORDER BY asset_id
     """,
+    oracle_kind="closed_form_replay",
 )
 def audio_wav_features(spark, sf_dir):
     """REAL audio decode — the multimodal arm that is no longer a stub:
@@ -188,6 +191,7 @@ def audio_wav_features(spark, sf_dir):
            CAST((pix_sum * 1000) // (w * h * 3) AS BIGINT) AS mean_milli
     FROM feat ORDER BY asset_id
     """,
+    oracle_kind="closed_form_replay",
 )
 def image_png_features(spark, sf_dir):
     """REAL image decode — PNG, pure stdlib (zlib inflate + all five
@@ -244,6 +248,7 @@ def image_png_features(spark, sf_dir):
            CAST((pix_sum * 1000) // (w * h) AS BIGINT) AS mean_milli
     FROM feat ORDER BY asset_id
     """,
+    oracle_kind="closed_form_replay",
 )
 def image_jpeg_features(spark, sf_dir):
     """REAL JPEG decode — baseline sequential DCT (T.81), pure
@@ -298,6 +303,7 @@ def image_jpeg_features(spark, sf_dir):
            CAST((pix_sum * 1000) // (16 * 12 * 3) AS BIGINT) AS mean_milli
     FROM feat ORDER BY asset_id
     """,
+    oracle_kind="closed_form_replay",
 )
 def image_resize_stats(spark, sf_dir):
     """REAL resize→re-encode→re-decode loop for the PNG arm: the fixture
@@ -349,6 +355,7 @@ def image_resize_stats(spark, sf_dir):
            CAST((pix_sum * 1000) // (16 * 12 * 3) AS BIGINT) AS mean_milli
     FROM feat ORDER BY asset_id, frame_index
     """,
+    oracle_kind="closed_form_replay",
 )
 def video_frame_features(spark, sf_dir):
     """REAL video-frame extraction + per-frame decode: the fixture's
@@ -391,6 +398,7 @@ def video_frame_features(spark, sf_dir):
     SELECT survivor, CAST(n_assets AS BIGINT) AS n_assets, n_byte_variants
     FROM groups ORDER BY survivor
     """,
+    oracle_kind="closed_form_replay",
 )
 def image_pixel_dedup(spark, sf_dir):
     """Content-defined image dedup — the dedup a byte hash CANNOT do:
@@ -444,6 +452,7 @@ def image_pixel_dedup(spark, sf_dir):
     SELECT survivor, dhash, CAST(n_assets AS BIGINT) AS n_assets
     FROM grouped ORDER BY survivor
     """,
+    oracle_kind="closed_form_replay",
 )
 def image_dhash_near_dup(spark, sf_dir):
     """Perceptual image near-dup via difference hash — the image
@@ -504,6 +513,7 @@ def image_dhash_near_dup(spark, sf_dir):
              AS longest_segment_ms
     FROM per_asset ORDER BY asset_id
     """,
+    oracle_kind="closed_form_replay",
 )
 def audio_energy_segments(spark, sf_dir):
     """VAD-style energy segmentation over REAL decoded audio — the
@@ -644,6 +654,7 @@ def _media_fixture_path() -> str:
     FROM img_asset
     ORDER BY modality
     """,
+    oracle_kind="closed_form_replay",
 )
 def media_ingest_decode(spark, sf_dir):
     """THE on-disk multimodal path, end-to-end: 360 real WAV/PNG/JPEG

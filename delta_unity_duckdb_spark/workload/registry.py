@@ -20,6 +20,13 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
+# Pairing-honesty tags (round-6 verdict item): queries whose DuckDB
+# "oracle" does not perform equivalent work — e.g. the codec queries,
+# where DuckDB has no WAV/PNG/JPEG decoder so the oracle REPLAYS the
+# fixture's closed-form waveform/pixel math instead of decoding bytes.
+# Correctness pairing stays valid (same values); PERF ratios do not —
+# bench tools report matched totals with and without these.
+ORACLE_KIND: dict[str, str] = {}
 
 
 def normalize_output(df: DataFrame) -> DataFrame:
@@ -75,7 +82,9 @@ def normalize_output(df: DataFrame) -> DataFrame:
     return df.select(*cols) if changed else df
 
 
-def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+def query(
+    name: str, oracle: str | None = None, oracle_kind: str | None = None
+) -> Callable[[QueryFn], QueryFn]:
     def deco(fn: QueryFn) -> QueryFn:
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -84,6 +93,8 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
         QUERIES[name] = wrapped
         if oracle is not None:
             ORACLE[name] = oracle
+        if oracle_kind is not None:
+            ORACLE_KIND[name] = oracle_kind
         return fn
 
     return deco

@@ -689,6 +689,7 @@ def stream_late_data_drop(spark, sf_dir):
                 AS BIGINT) AS rms_milli
     FROM feat ORDER BY asset_id
     """,
+    oracle_kind="closed_form_replay",
 )
 def stream_media_decode(spark, sf_dir):
     """STREAMING multimodal ingest + decode: real WAV assets arrive as a

@@ -49,6 +49,7 @@ def main() -> None:
     from delta_unity_duckdb_spark.session import get_spark
     from delta_unity_duckdb_spark.sources.tables import TABLES
     from delta_unity_duckdb_spark.workload import ORACLE, QUERIES
+    from delta_unity_duckdb_spark.workload.registry import ORACLE_KIND
 
     names = args.names or list(HEADLINE)
     unknown = [n for n in names if n not in QUERIES]
@@ -141,6 +142,15 @@ def main() -> None:
                 )
         print(f"[pair:duck] {n}: {out[n]}", file=sys.stderr, flush=True)
 
+    # Pairing-honesty tag: for these queries the DuckDB side does NOT do
+    # equivalent work (e.g. codec queries, where the oracle replays the
+    # fixture's closed-form pixel/waveform math because DuckDB has no
+    # decoder), so their ratios are artifacts — carry the tag per query
+    # and report the matched totals with and without them.
+    for n in names:
+        if n in ORACLE_KIND:
+            out[n]["oracle_kind"] = ORACLE_KIND[n]
+
     ok = [n for n in names if "ratio" in out[n]]
     payload = {
         "metric": "matched_pair_warm",
@@ -156,6 +166,12 @@ def main() -> None:
         payload["ratio_matched"] = round(
             payload["spark_total_matched"] / max(payload["duckdb_total_matched"], 1e-9), 3
         )
+    real = [n for n in ok if n not in ORACLE_KIND]
+    if real != ok:
+        s = sum(out[n]["spark_warm"] for n in real)
+        d = sum(out[n]["duck_warm"] for n in real)
+        payload["n_matched_excl_replay"] = len(real)
+        payload["ratio_matched_excl_replay"] = round(s / max(d, 1e-9), 3)
     print(json.dumps(payload))
 
 

@@ -72,6 +72,9 @@ def main() -> None:
     # so stream instead, with a hard memory ceiling + disk spill.
     con.execute("SET preserve_insertion_order = false")
     con.execute("SET memory_limit = '32GB'")
+    # A single-hop 1000-copy run builds a 1000-branch UNION ALL, which
+    # trips DuckDB's default max_expression_depth of 1000.
+    con.execute(f"SET max_expression_depth TO {max(1000, copies * 4)}")
     con.execute(f"SET temp_directory = '{dst}/.duckdb_tmp'")
 
     offsets = {}
