@@ -2377,6 +2377,14 @@ def token_budget_mixture(spark, sf_dir):
     serialized window over a whole (possibly 30%-of-corpus) source; the
     oracle's single window over the same total order is value-identical
     by associativity of the prefix sum.
+
+    Tokenize-once: the narrow (source, doc_id, n_tok, h, shard) frame is
+    checkpointed for its two consumers (shard rollup + running sum), and
+    the per-source totals REUSE the 64-row-per-source shard subtotals
+    (sum of sums — exact) instead of re-aggregating the corpus. The
+    round-6 shape re-tokenized the 5 M-doc corpus three times — measured
+    3.06x vs DuckDB at sf100 in a clean window, dominated by the
+    repeated split+md5 passes.
     """
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
@@ -2389,11 +2397,14 @@ def token_budget_mixture(spark, sf_dir):
         hash60(
             F.concat(F.lit("tb:"), F.col("doc_id").cast("string"))
         ).alias("h"),
-    ).withColumn("shard", F.col("h") % 64)
+    ).withColumn("shard", F.col("h") % 64).localCheckpoint(eager=False)
 
+    shard_tot = toks.groupBy("source", "shard").agg(
+        F.sum("n_tok").alias("st"), F.count(F.lit(1)).alias("nd")
+    )
     per_source = (
-        toks.groupBy("source")
-        .agg(F.sum("n_tok").cast("bigint").alias("src_tokens"))
+        shard_tot.groupBy("source")
+        .agg(F.sum("st").cast("bigint").alias("src_tokens"))
         .withColumn(
             "qs",
             F.expr(
@@ -2426,40 +2437,72 @@ def token_budget_mixture(spark, sf_dir):
         )
     )
 
-    # Two-phase sharded prefix sum: shard subtotals -> cumulative tokens
-    # before each shard (64 rows/source), then an in-shard running sum.
-    shard_cum = (
-        toks.groupBy("source", "shard")
-        .agg(F.sum("n_tok").alias("st"))
-        .select(
-            "source",
-            "shard",
-            F.coalesce(
-                F.sum("st").over(
-                    Window.partitionBy("source")
-                    .orderBy("shard")
-                    .rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
-            ).alias("cum_before"),
+    # Boundary-shard selection: with cumulative shard subtotals in hand,
+    # a shard is WHOLLY selected when cum_before + st <= budget, wholly
+    # rejected when cum_before >= budget, and exactly one shard per
+    # source straddles the budget boundary. Only that boundary shard
+    # (~1/64 of one source) needs a per-row prefix scan — the previous
+    # shape ran the in-shard running-sum window over the ENTIRE corpus
+    # and filtered afterwards, a full shuffle+sort of every doc row that
+    # at 100 TB is the plan's biggest exchange for rows whose verdict
+    # the 64-row rollup already decides.
+    shard_state = shard_tot.join(
+        F.broadcast(budgets.select("source", "budget_tokens")), "source"
+    ).select(
+        "source",
+        "shard",
+        "st",
+        "nd",
+        "budget_tokens",
+        F.coalesce(
+            F.sum("st").over(
+                Window.partitionBy("source")
+                .orderBy("shard")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("cum_before"),
+    )
+    full = (
+        shard_state.filter(
+            F.col("cum_before") + F.col("st") <= F.col("budget_tokens")
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("nd").alias("n_docs_sel"),
+            F.sum("st").alias("tokens_sel"),
         )
     )
+    boundary = shard_state.filter(
+        (F.col("cum_before") < F.col("budget_tokens"))
+        & (F.col("cum_before") + F.col("st") > F.col("budget_tokens"))
+    ).select("source", "shard", "cum_before", "budget_tokens")
     in_shard = Window.partitionBy("source", "shard").orderBy(
         "h", "doc_id"
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ordered = toks.join(shard_cum, ["source", "shard"]).select(
-        "source",
-        "doc_id",
-        "n_tok",
-        (F.col("cum_before") + F.sum("n_tok").over(in_shard)).alias("running"),
-    )
-    sel = (
-        ordered.join(F.broadcast(budgets), "source")
+    bsel = (
+        toks.join(F.broadcast(boundary), ["source", "shard"])
+        .select(
+            "source",
+            "n_tok",
+            (
+                F.col("cum_before") + F.sum("n_tok").over(in_shard)
+            ).alias("running"),
+            "budget_tokens",
+        )
         .filter(F.col("running") <= F.col("budget_tokens"))
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs_sel"),
-            F.sum("n_tok").cast("bigint").alias("tokens_sel"),
+            F.sum("n_tok").alias("tokens_sel"),
+        )
+    )
+    sel = (
+        full.unionAll(bsel)
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs_sel").cast("bigint").alias("n_docs_sel"),
+            F.sum("tokens_sel").cast("bigint").alias("tokens_sel"),
         )
     )
     return (
