@@ -80,6 +80,8 @@ HEADLINE = [
     "hybrid_rrf_fusion",
     "leakage_safe_split",
     "token_budget_mixture",
+    # round-7 addition: E1+E2 composition in production pipeline order
+    "dedup_pipeline_exact_first",
     # round-5 addition: on-disk binaryFile ingest -> real WAV/PNG decode.
     # NOTE for matched (Spark-vs-DuckDB) comparisons: this query's oracle
     # REGENERATES the closed-form waveforms/pixels in SQL because DuckDB
