@@ -225,7 +225,8 @@ def make_fake_media(spark, n: int = 24) -> DataFrame:
 
 
 def write_media_fixture_dir(
-    path: str, n_wav: int = 120, n_png: int = 120, n_jpeg: int = 0
+    path: str, n_wav: int = 120, n_png: int = 120, n_jpeg: int = 0,
+    n_jpeg_color: int = 0,
 ) -> int:
     """Materialize the deterministic WAV/PNG/JPEG fixtures as REAL FILES so the
     ``binaryFile`` → ``ingest_binary_dir`` path is exercised end-to-end
@@ -258,7 +259,10 @@ def write_media_fixture_dir(
         "png=pixel((7x+13y+29c+31i)%256,w=32+8*(i%5),h=24+8*(i%3),rotate) "
         "jpeg=dctbasis(kdc=(bx+2by+3i)%7-3,ka=(bx+i)%5-2,kb=(by+2i)%5-2,"
         "kc=(bx+by+i)%3-1,w=8*(2+i%3),h=8*(1+i%2)) "
-        f"n_wav={n_wav} n_png={n_png} n_jpeg={n_jpeg}\n"
+        "jpeg_color=ycbcr-dctbasis(jpeg_color.color_plane_value,"
+        "dims=color_asset_dims,sub=420/444) "
+        f"n_wav={n_wav} n_png={n_png} n_jpeg={n_jpeg} "
+        f"n_jpeg_color={n_jpeg_color}\n"
     )
     try:
         stale = open(manifest).read() != formula
@@ -276,6 +280,7 @@ def write_media_fixture_dir(
             {f"w{i:04d}.wav" for i in range(n_wav)}
             | {f"p{i:04d}.png" for i in range(n_png)}
             | {f"j{i:04d}.jpg" for i in range(n_jpeg)}
+            | {f"jc{i:04d}.jpg" for i in range(n_jpeg_color)}
         )
         for name in os.listdir(path):
             if not name.startswith("_") and name not in expected:
@@ -336,6 +341,13 @@ def write_media_fixture_dir(
                 for y in range(h)
             ]
             put(f"j{i:04d}.jpg", encode_jpeg(pixels))
+    if n_jpeg_color:
+        from delta_unity_duckdb_spark.operators.jpeg_color import (
+            build_color_asset,
+        )
+
+        for i in range(n_jpeg_color):
+            put(f"jc{i:04d}.jpg", build_color_asset(i))
     # Manifest last: a crash mid-write leaves no/stale manifest, which
     # forces regeneration on the next call — never a torn fixture.
     if stale:
@@ -343,7 +355,7 @@ def write_media_fixture_dir(
         with os.fdopen(fd, "w") as f:
             f.write(formula)
         os.replace(tmp, manifest)
-    return n_wav + n_png + n_jpeg
+    return n_wav + n_png + n_jpeg + n_jpeg_color
 
 
 _EXT_MODALITY = {

@@ -24,22 +24,24 @@ from delta_unity_duckdb_spark.workload import (  # noqa: F401
 )
 from delta_unity_duckdb_spark.workload.registry import ORACLE, QUERIES
 
-# Round-7 driver window (50 slots): slot 1 is the round-7 work —
-# `dedup_pipeline_exact_first` (new, never driver-checked: the E1+E2
-# exact-first composition promoted from tools/bench_dedup_clique.py arm
-# B). The rest is the pure staleness rotation the round-6 plan recorded:
-# the 10 remaining round-2 re-confirms (window_frame_sum /
-# window_lag_lead rolled past position 50 last round, plus the 8 trivial
-# single-operator shapes), then the round-3 cohort in registry order —
-# 39 of its 50 fit this window; the final 11 (kmv_distinct_merge,
-# cms_heavy_hitters, bloom_join_stats, kmv_set_ops,
-# hll_incremental_refresh, hist_quantile_sketch, stream_hll_distinct,
-# stream_cms_top_users, window_ntile_stats, window_first_last,
-# stratified_sample) roll to round 8, after which no green row is older
-# than round 4.
+# Round-7 driver window (50 slots): slots 1-2 are the round-7 work —
+# `dedup_pipeline_exact_first` (the E1+E2 exact-first composition
+# promoted from tools/bench_dedup_clique.py arm B) and
+# `image_jpeg_color_features` (the new chroma-subsampled color-JPEG
+# arm), both never driver-checked. The rest is the pure staleness
+# rotation the round-6 plan recorded: the 10 remaining round-2
+# re-confirms (window_frame_sum / window_lag_lead rolled past position
+# 50 last round, plus the 8 trivial single-operator shapes), then the
+# round-3 cohort in registry order — 38 of its 50 fit this window; the
+# final 12 (hll_distinct_groups, kmv_distinct_merge, cms_heavy_hitters,
+# bloom_join_stats, kmv_set_ops, hll_incremental_refresh,
+# hist_quantile_sketch, stream_hll_distinct, stream_cms_top_users,
+# window_ntile_stats, window_first_last, stratified_sample) roll to
+# round 8, after which no green row is older than round 4.
 _PRIORITY = [
     # --- new in round 7, never driver-checked ---
     "dedup_pipeline_exact_first",
+    "image_jpeg_color_features",
     # --- last green: round 2 (stalest) ---
     "window_frame_sum",
     "window_lag_lead",
@@ -90,7 +92,6 @@ _PRIORITY = [
     "delta_schema_evolution",
     "lateral_topn_join",
     "window_percent_cume",
-    "hll_distinct_groups",
 ]
 
 

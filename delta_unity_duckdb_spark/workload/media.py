@@ -276,6 +276,108 @@ def image_jpeg_features(spark, sf_dir):
 
 
 @query(
+    "image_jpeg_color_features",
+    oracle="""
+    WITH params AS (
+      SELECT i,
+             CASE WHEN i % 2 = 0 THEN 16 * (1 + (i // 2) % 2)
+                  ELSE 8 * (2 + (i // 2) % 2) END AS w,
+             16 AS h,
+             CASE WHEN i % 2 = 0 THEN '420' ELSE '444' END AS sub
+      FROM (SELECT UNNEST(RANGE(0, 12)) AS i)),
+    px AS (
+      SELECT p.i, p.w, p.h, p.sub, x.x, y.y,
+             128 + 2 * (
+               ((((x.x // 8) + 2 * (y.y // 8) + 3 * p.i) % 7) - 3)
+               + ((((x.x // 8) + p.i) % 5) - 2)
+                 * (CASE WHEN (x.x % 8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+               + ((((y.y // 8) + 2 * p.i) % 5) - 2)
+                 * (CASE WHEN (y.y % 8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+               + ((((x.x // 8) + (y.y // 8) + p.i) % 3) - 1)
+                 * (CASE WHEN (x.x % 8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+                 * (CASE WHEN (y.y % 8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+             ) AS y_v,
+             CASE WHEN p.sub = '420' THEN x.x // 2 ELSE x.x END AS cx,
+             CASE WHEN p.sub = '420' THEN y.y // 2 ELSE y.y END AS cy
+      FROM params p,
+           LATERAL (SELECT UNNEST(RANGE(0, p.w)) AS x) x,
+           LATERAL (SELECT UNNEST(RANGE(0, p.h)) AS y) y),
+    ycc AS (
+      SELECT i, w, h, sub, x, y, y_v,
+             (128 + 2 * (
+               ((((cx // 8) + (cy // 8) + i) % 5) - 2)
+               + ((((cx // 8) + 2 * i) % 3) - 1)
+                 * (CASE WHEN (cx % 8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+               + ((((cy // 8) + i) % 3) - 1)
+                 * (CASE WHEN (cy % 8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+             )) - 128 AS cb_,
+             (128 + 2 * (
+               (((2 * (cx // 8) + (cy // 8) + i) % 5) - 2)
+               + ((((cy // 8) + 2 * i) % 3) - 1)
+                 * (CASE WHEN (cx % 8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+               + ((((cx // 8) + i) % 3) - 1)
+                 * (CASE WHEN (cy % 8) IN (0,3,4,7) THEN 1 ELSE -1 END)
+             )) - 128 AS cr_
+      FROM px),
+    rgb AS (
+      SELECT i, w, h, sub,
+             LEAST(255, GREATEST(0, y_v
+               + CAST(FLOOR((91881 * cr_ + 32768) / 65536.0) AS BIGINT))) AS r,
+             LEAST(255, GREATEST(0, y_v
+               - CAST(FLOOR((22554 * cb_ + 46802 * cr_ + 32768) / 65536.0) AS BIGINT))) AS g,
+             LEAST(255, GREATEST(0, y_v
+               + CAST(FLOOR((116130 * cb_ + 32768) / 65536.0) AS BIGINT))) AS b
+      FROM ycc),
+    feat AS (
+      SELECT i, w, h, sub,
+             CAST(SUM(r) AS BIGINT) AS r_sum,
+             CAST(SUM(g) AS BIGINT) AS g_sum,
+             CAST(SUM(b) AS BIGINT) AS b_sum,
+             MIN(LEAST(r, g, b)) AS rgb_min,
+             MAX(GREATEST(r, g, b)) AS rgb_max
+      FROM rgb GROUP BY i, w, h, sub)
+    SELECT 'jc' || lpad(CAST(i AS VARCHAR), 4, '0') AS asset_id,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           sub AS subsampling,
+           r_sum, g_sum, b_sum,
+           CAST(rgb_min AS BIGINT) AS rgb_min,
+           CAST(rgb_max AS BIGINT) AS rgb_max
+    FROM feat ORDER BY asset_id
+    """,
+    oracle_kind="closed_form_replay",
+)
+def image_jpeg_color_features(spark, sf_dir):
+    """REAL chroma-subsampled COLOR JPEG decode — the arm round 6 left
+    gated "on absent libjpeg", now implemented in the from-scratch T.81
+    codec (operators/jpeg_color.py): 3-component SOF0, per-component
+    quant/huffman table routing from the file's own DQT/DHT segments,
+    interleaved-MCU entropy decode (4 luma + Cb + Cr blocks per MCU at
+    4:2:0), per-component DC prediction, 2x2 chroma upsampling, and
+    fixed-point YCbCr->RGB (libjpeg's 16-bit constants, floor shift).
+
+    Oracle-checkable lossy decode via the same DCT-basis-exact fixture
+    family as the grayscale arm, applied per PLANE with plane-distinct
+    coefficient formulas — a Cb/Cr swap, wrong quant table, wrong MCU
+    block order, or an upsampling bug value-mismatches. The 12-asset
+    corpus covers both subsamplings and two widths each; the SQL oracle
+    replays the closed-form planes and the exact fixed-point conversion
+    (FLOOR(x/65536.0): numerators < 2^25, exact in doubles).
+
+    Scale: same Arrow-batched one-pass mapInPandas shape as every media
+    arm; malformed or non-3-component payloads quarantine."""
+    from delta_unity_duckdb_spark.operators.jpeg_color import (
+        jpeg_color_features,
+        make_jpeg_color_media,
+    )
+
+    return jpeg_color_features(
+        make_jpeg_color_media(spark, 12)
+    ).orderBy("asset_id")
+
+
+@query(
     "image_resize_stats",
     oracle="""
     WITH params AS (
