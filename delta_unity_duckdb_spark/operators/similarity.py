@@ -404,16 +404,49 @@ def dense_jaccard_pairs(
     if len(ks) > max_universe:
         return None
     universe = sorted(int(k) for k in ks)
+    K = len(universe)
+    n_words = max(1, (K + 63) // 64)
     n_users_row = uk.select(user_col).distinct().count()
     if n_users_row == 0:
         return uk.sparkSession.createDataFrame(
             [], "u1 long, u2 long, both_n long, jaccard_ppm long"
         )
-    n_blocks = (n_users_row + block_rows - 1) // block_rows
+    # Replication-aware block sizing: each user row ships to every block
+    # partner, so shuffle volume is U·B·row_bytes with B = U/block_rows.
+    # The round-7 skewed-sf100 sweep (1.5M users, K=100) measured the
+    # fixed-2048 blocking at ~1.1B replicated collect_set rows — 53 GB of
+    # spill-disk exhaustion. Two levers fix it: (a) rows carry a PACKED
+    # K-bit mask (n_words longs — 2 at K=100) instead of the element
+    # array, (b) blocks grow with U, capped so a tile's two float32
+    # unpacked panels stay ~<=64 MB. At fixture scale nothing changes
+    # (one block); at 1.5M users B drops ~8x and the row ~12x.
+    eff_block = max(block_rows, n_users_row // 256)
+    eff_block = min(eff_block, max(block_rows, (64 << 20) // (4 * K)))
+    n_blocks = (n_users_row + eff_block - 1) // eff_block
 
-    compact = uk.groupBy(F.col(user_col).alias("u")).agg(
-        F.collect_set(k_col).alias("ks"),
+    uni_df = F.broadcast(
+        uk.sparkSession.createDataFrame(
+            [(int(k), i) for i, k in enumerate(universe)], "kk long, idx int"
+        )
+    )
+    with_idx = uk.join(
+        uni_df, F.col(k_col).eqNullSafe(F.col("kk")), "left"
+    )
+    word_exprs = [
+        F.sum(
+            F.when(
+                (F.col("idx") >= w * 64) & (F.col("idx") < (w + 1) * 64),
+                # expr: pyspark's shiftleft only takes a literal count
+                F.expr("shiftleft(CAST(1 AS BIGINT), idx % 64)"),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias(f"w{w}")
+        for w in range(n_words)
+    ]
+    compact = with_idx.groupBy(F.col(user_col).alias("u")).agg(
+        *word_exprs,
         F.count(F.lit(1)).alias("n"),
+    ).select(
+        "u", F.array(*[f"w{w}" for w in range(n_words)]).alias("bits"), "n"
     )
     # Block assignment by HASH, not by global rank: the old
     # row_number() over Window.orderBy(u) funneled every user through ONE
@@ -421,16 +454,16 @@ def dense_jaccard_pairs(
     # shuffle-wrote B·U rows) inside that single task — the serial stage
     # that dominated the 100×-scale wall. A deterministic hash spreads
     # both the assignment and the explode across the cluster; blocks are
-    # Poisson-balanced (±few % at 2048 rows/block), and each unordered
-    # pair still lands in exactly ONE tile — (least, greatest) of the two
-    # block ids — with canonical u1 < u2 enforced elementwise in the
-    # kernel instead of by block order.
+    # Poisson-balanced (±few %), and each unordered pair still lands in
+    # exactly ONE tile — (least, greatest) of the two block ids — with
+    # canonical u1 < u2 enforced elementwise in the kernel instead of by
+    # block order.
     compact = compact.withColumn(
         "ub", F.pmod(F.xxhash64("u"), F.lit(n_blocks)).cast("int")
     )
     parts = compact.select(
         "u",
-        "ks",
+        "bits",
         "n",
         "ub",
         F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("pb"),
@@ -438,7 +471,7 @@ def dense_jaccard_pairs(
         F.least("ub", "pb").alias("ba"),
         F.greatest("ub", "pb").alias("bb"),
         "u",
-        "ks",
+        "bits",
         "n",
         "ub",
     )
@@ -448,17 +481,21 @@ def dense_jaccard_pairs(
         import pandas as pd
 
         ba, bb = int(key[0]), int(key[1])
-        uni = np.asarray(universe, dtype=np.int64)
-        K = len(uni)
 
         def mat(rows):
             rows = rows.sort_values("u")
             us = rows["u"].to_numpy(np.int64)
             ns = rows["n"].to_numpy(np.int64)
-            M = np.zeros((len(rows), K), dtype=np.float32)
-            for i, cell in enumerate(rows["ks"]):
-                if len(cell):
-                    M[i, np.searchsorted(uni, np.asarray(cell, np.int64))] = 1.0
+            # packed longs -> uint8 view (little-endian) -> bit panel;
+            # int64 (not uint64): word values carrying bit 63 arrive as
+            # negative Python ints, and the byte view is sign-agnostic
+            packed = np.array(
+                [np.asarray(cell, np.int64) for cell in rows["bits"]],
+                dtype=np.int64,
+            ).reshape(len(rows), n_words)
+            bytes_ = packed.view(np.uint8).reshape(len(rows), n_words * 8)
+            bits = np.unpackbits(bytes_, axis=1, bitorder="little")
+            M = bits[:, :K].astype(np.float32)
             return us, ns, M
 
         a = pdf[pdf["ub"] == ba]
@@ -511,6 +548,200 @@ def dense_jaccard_pairs(
 
     return parts.groupBy("ba", "bb").applyInPandas(
         tile, "u1 long, u2 long, both_n long, jaccard_ppm long"
+    )
+
+
+def jaccard_topk_pairs_dedup(
+    uk: DataFrame,
+    user_col: str = "user_id",
+    k_col: str = "k",
+    top_k: int = 50,
+    max_universe: int = 4096,
+    max_masks: int = 20_000,
+    n_salts: int = 64,
+) -> DataFrame | None:
+    """EXACT top-k Jaccard pairs via set-dedup-first — the third regime
+    of the set-similarity join, found by the round-7 skewed-sf100 sweep.
+
+    At 1.5M users the blocked-tile plan (``dense_jaccard_pairs``)
+    replicates every user's set to every block partner — ~1.1B shuffle
+    rows, measured 53 GB of spill-disk exhaustion — and the
+    co-occurrence join (DuckDB's plan for the same query) died the same
+    way: exact ALL-pairs scoring is inherently Θ(U²·K). But a crawl-
+    scale corpus is duplication-heavy: the 1.5M users carry only ~1,500
+    DISTINCT k-sets. Dedup to distinct sets FIRST (the exact-first move
+    of dedup_pipeline_exact_first, applied to set similarity):
+
+      1. mask per user: (sorted k-set, row count n) — n is part of the
+         identity because a NULL element counts in |A| but never
+         intersects (the operator family's null contract).
+      2. score pairs over the M distinct masks (mask id = MIN member,
+         so ids are stable and deterministic) with the SAME blocked
+         tile kernel — Θ(M²·K) instead of Θ(U²·K).
+      3. exact pruning: each mask pair expands to a KNOWN pair count
+         (C(cnt,2) within a mask at jaccard exactly size·1e6/(2n-size);
+         cntA·cntB across masks at the kernel's score). Only mask pairs
+         whose score ties or beats the top_k-th score of a one-each
+         TakeOrdered probe can contribute — keep those.
+      4. expansion: a global-top-k user pair must draw both ids from
+         its classes' smallest 2·top_k+2 members (preceding-pair
+         counting argument in the source), so per kept mask pair only
+         that bounded cross product materializes; a final exact
+         TakeOrdered(top_k) under (jaccard desc, u1, u2) finishes.
+
+    The smallest-members lists come from a SALTED two-phase order-
+    statistic aggregate (per (mask, salt) local sorted-prefix arrays,
+    then a bounded merge) so a boilerplate mask shared by 25M users
+    never funnels one task.
+
+    Returns None when the universe exceeds ``max_universe`` (sparse
+    regime: co-occurrence join) or the distinct-mask count exceeds
+    ``max_masks`` (no duplication to exploit: the caller's tiled
+    ``dense_jaccard_pairs(top_k=...)`` is the right plan). Worst case
+    equals the old cost; duplication-heavy data drops to linear + M².
+    """
+    ks_probe = [
+        r[0]
+        for r in uk.select(k_col)
+        .filter(F.col(k_col).isNotNull())
+        .distinct()
+        .limit(max_universe + 1)
+        .collect()
+    ]
+    if len(ks_probe) > max_universe:
+        return None
+    spark = uk.sparkSession
+    bound = 2 * top_k + 2
+
+    per_user = uk.groupBy(F.col(user_col).alias("u")).agg(
+        F.array_sort(F.collect_set(k_col)).alias("ks"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    # Salted order-statistic: smallest `bound` members per mask without
+    # ever grouping a hot mask's members into one task.
+    part = per_user.withColumn(
+        "salt", F.pmod(F.xxhash64("u"), F.lit(n_salts))
+    ).groupBy("ks", "n", "salt").agg(
+        F.slice(F.array_sort(F.collect_list("u")), 1, bound).alias("m"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    groups = part.groupBy("ks", "n").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("m"))), 1, bound
+        ).alias("members"),
+        F.sum("c").alias("cnt"),
+    ).withColumn("rep", F.col("members")[0])
+    groups = groups.localCheckpoint(eager=True)
+
+    n_masks = groups.count()
+    if n_masks > max_masks:
+        return None
+    if n_masks == 0:
+        return spark.createDataFrame(
+            [], "u1 long, u2 long, both_n long, jaccard_ppm long"
+        )
+
+    # Mask-level scoring through the SAME tile kernel: rebuild (rep, k)
+    # rows; a mask whose n exceeds its non-null size carried exactly one
+    # NULL element row (uk is distinct), re-added so the kernel's
+    # COUNT(*) semantics reproduce n.
+    mask_rows = groups.select(
+        F.col("rep").alias(user_col), F.explode("ks").alias(k_col)
+    ).unionAll(
+        groups.filter(F.col("n") > F.size("ks")).select(
+            F.col("rep").alias(user_col),
+            F.lit(None).cast("long").alias(k_col),
+        )
+    )
+    cross = dense_jaccard_pairs(
+        mask_rows, user_col=user_col, k_col=k_col, max_universe=max_universe
+    )
+    reps = groups.select(
+        F.col("rep"), "members", "cnt", "n", F.size("ks").alias("sz")
+    )
+    r1 = reps.select(
+        F.col("rep").alias("u1"), F.col("members").alias("m1"),
+        F.col("cnt").alias("c1"),
+    )
+    r2 = reps.select(
+        F.col("rep").alias("u2"), F.col("members").alias("m2"),
+        F.col("cnt").alias("c2"),
+    )
+    cross = (
+        cross.join(F.broadcast(r1), "u1")
+        .join(F.broadcast(r2), "u2")
+        .select(
+            "m1", "m2", "both_n", "jaccard_ppm",
+            (F.col("c1") * F.col("c2")).alias("expn"),
+        )
+    )
+    # sz = 0 masks (only-NULL sets) share no element with anyone — the
+    # join/tile planes never materialize such pairs; neither do we.
+    selfp = reps.filter((F.col("cnt") >= 2) & (F.col("sz") >= 1)).select(
+        F.col("members").alias("m1"),
+        F.col("members").alias("m2"),
+        F.col("sz").alias("both_n"),
+        # integer floor division end-to-end (a double quotient could land
+        # one ulp under an exact integer and truncate wrong)
+        F.expr(
+            "CAST((sz * 1000000) DIV (2 * n - sz) AS BIGINT)"
+        ).alias("jaccard_ppm"),
+        F.expr("CAST((cnt * (cnt - 1)) DIV 2 AS BIGINT)").alias("expn"),
+    )
+    mask_pairs = cross.unionByName(
+        selfp.withColumn("is_self", F.lit(True)), allowMissingColumns=True
+    ).fillna({"is_self": False}).localCheckpoint(eager=True)
+
+    # Exact prune: the top_k-th score when every mask pair contributes
+    # one pair is a lower bound on the global top_k-th score; only mask
+    # pairs at or above it can contribute (each expands to >= 1 pair).
+    probe = [
+        r["jaccard_ppm"]
+        for r in mask_pairs.orderBy(F.desc("jaccard_ppm")).limit(top_k).collect()
+    ]
+    if not probe:
+        return spark.createDataFrame(
+            [], "u1 long, u2 long, both_n long, jaccard_ppm long"
+        )
+    jmin = min(probe)
+    kept = mask_pairs.filter(F.col("jaccard_ppm") >= F.lit(jmin))
+
+    within = kept.filter("is_self").select(
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(0, size(m1) - 2), i -> "
+                "transform(sequence(i + 1, size(m1) - 1), j -> "
+                "struct(m1[i] AS u1, m1[j] AS u2))))"
+            )
+        ).alias("p"),
+        "both_n",
+        "jaccard_ppm",
+    )
+    between = (
+        kept.filter(~F.col("is_self"))
+        .select(F.explode("m1").alias("a"), "m2", "both_n", "jaccard_ppm")
+        .select(
+            "a", F.explode("m2").alias("b"), "both_n", "jaccard_ppm"
+        )
+        .select(
+            F.struct(
+                F.least("a", "b").alias("u1"),
+                F.greatest("a", "b").alias("u2"),
+            ).alias("p"),
+            "both_n",
+            "jaccard_ppm",
+        )
+    )
+    return (
+        within.unionAll(between)
+        .select(
+            F.col("p.u1").alias("u1"),
+            F.col("p.u2").alias("u2"),
+            "both_n",
+            "jaccard_ppm",
+        )
+        .orderBy(F.desc("jaccard_ppm"), "u1", "u2")
+        .limit(top_k)
     )
 
 

@@ -126,6 +126,17 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
         )
         .config("spark.ui.enabled", "false")
+        # Result materialization cap. Spark's 1g default fails any query
+        # whose ANSWER is big (the skewed-sf100 sessionization result is
+        # ~1.1 GiB serialized) even though the driver heap holds it
+        # comfortably — an artificial asymmetry vs engines with no such
+        # cap. 8g stays far under the smallest driver heap the factory
+        # configures while letting legitimately large results through;
+        # a truly runaway collect still dies, just later.
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "8g"),
+        )
     )
     # Against a real (standalone) master the executor heap matters and
     # the 1g Spark default is far too small for the scale fixtures;

@@ -389,6 +389,7 @@ def user_jaccard_pairs(spark, sf_dir):
     """
     from delta_unity_duckdb_spark.operators.similarity import (
         dense_jaccard_pairs,
+        jaccard_topk_pairs_dedup,
     )
 
     e = load_table(spark, sf_dir, "events")
@@ -400,13 +401,21 @@ def user_jaccard_pairs(spark, sf_dir):
         )
         .distinct()
     )
-    # top_k=50 pushes the query's final cut into the tile kernels: each
-    # tile emits its local top-50 under the identical total order, an
-    # exact superset of the global top-50 (see dense_jaccard_pairs) —
-    # without it the operator's OUTPUT is every overlapping pair, which
-    # at 100× fixture scale (150k users, all-overlapping) is ~10¹⁰ rows
-    # and hung the sf10 sweep.
-    pairs = dense_jaccard_pairs(uk, top_k=50)
+    # Regime ladder (each returns None to fall through):
+    # 1. set-dedup-first (jaccard_topk_pairs_dedup): score the M
+    #    DISTINCT k-sets, expand exactly — the only plan that survives
+    #    duplication-heavy data (skewed sf100: 1.5M users, ~1.5k masks;
+    #    both the tile plan and DuckDB's join exhausted 53 GB of spill).
+    # 2. dense tiles with per-tile top-50 (small universe, masks ~ users)
+    # 3. sparse co-occurrence join (large universe).
+    pairs = jaccard_topk_pairs_dedup(uk, top_k=50)
+    if pairs is None:
+        # top_k=50 pushes the query's final cut into the tile kernels:
+        # each tile emits its local top-50 under the identical total
+        # order, an exact superset of the global top-50 (see
+        # dense_jaccard_pairs) — without it the operator's OUTPUT is
+        # every overlapping pair (~10¹⁰ rows at 100× fixture scale).
+        pairs = dense_jaccard_pairs(uk, top_k=50)
     if pairs is None:  # sparse regime: co-occurrence join
         sizes = uk.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
         a, b = uk.alias("a"), uk.alias("b")

@@ -86,6 +86,41 @@ def test_empty_input(spark):
     assert dense_jaccard_pairs(uk).count() == 0
 
 
+def test_dedup_topk_equals_full_order(spark):
+    """jaccard_topk_pairs_dedup (set-dedup-first, round-7 skew-regime
+    fix) must return EXACTLY the top-k of the sparse join's full
+    materialized order — duplicated sets, null elements, within- and
+    cross-mask pairs, and tie ordering all exercised."""
+    from delta_unity_duckdb_spark.operators.similarity import (
+        jaccard_topk_pairs_dedup,
+    )
+
+    rng = random.Random(11)
+    rows = set()
+    for u in range(60):
+        base = u % 7  # 7 distinct set shapes -> heavy duplication
+        for k in range(base, base + 4):
+            rows.add((u, k))
+        if u % 5 == 0:
+            rows.add((u, None))  # null: in |A|, never in intersections
+        if u >= 40:  # some unique sets too (cnt=1 masks)
+            rows.add((u, 100 + u))
+    uk = _mk_uk(spark, sorted(rows, key=lambda r: (r[0], -1 if r[1] is None else r[1])))
+    for top_k in (5, 20, 50):
+        got = [tuple(r) for r in jaccard_topk_pairs_dedup(uk, top_k=top_k).collect()]
+        want = [
+            tuple(r)
+            for r in _sparse_pairs(uk)
+            .orderBy(F.desc("jaccard_ppm"), "u1", "u2")
+            .limit(top_k)
+            .collect()
+        ]
+        assert got == want, f"top_k={top_k}"
+    # regime guards: big universe or too many distinct masks -> None
+    assert jaccard_topk_pairs_dedup(uk, max_universe=4) is None
+    assert jaccard_topk_pairs_dedup(uk, max_masks=3) is None
+
+
 def test_block_cosine_pairs_bit_identical_to_hof_expression(spark):
     """The vectorized block kernel must produce the IDENTICAL doubles as
     the F.aggregate sequential-fold expression it replaces (same
