@@ -498,50 +498,69 @@ def dense_jaccard_pairs(
             M = bits[:, :K].astype(np.float32)
             return us, ns, M
 
-        a = pdf[pdf["ub"] == ba]
-        if ba == bb:
-            ua, na, Ma = mat(a)
-            C = Ma @ Ma.T
-            iu, ju = np.triu_indices(len(ua), 1)
-            both = C[iu, ju].astype(np.int64)
-            u1, u2 = ua[iu], ua[ju]
-            n1, n2 = na[iu], na[ju]
-        else:
-            b = pdf[pdf["ub"] == bb]
-            if not len(a) or not len(b):  # hash blocks may be empty
-                return pd.DataFrame(
-                    {c: [] for c in ("u1", "u2", "both_n", "jaccard_ppm")}
-                )
-            ua, na, Ma = mat(a)
-            ub_, nb, Mb = mat(b)
-            C = Ma @ Mb.T
-            # The full grid IS the pair set here: ravel + repeat/tile
-            # instead of a meshgrid fancy-gather (measured ~5× cheaper
-            # on a 1M-pair tile — this kernel runs B(B+1)/2 times).
-            both = C.ravel().astype(np.int64)
-            u1 = np.repeat(ua, len(ub_))
-            u2 = np.tile(ub_, len(ua))
-            n1 = np.repeat(na, len(ub_))
-            n2 = np.tile(nb, len(ua))
-            # Hash blocks carry no order: canonicalize u1 < u2 per pair
-            # (jaccard is symmetric in n1/n2, so only ids swap).
-            sw = u1 > u2
-            u1, u2 = np.where(sw, u2, u1), np.where(sw, u1, u2)
-        keep = both > 0
-        u1, u2, both = u1[keep], u2[keep], both[keep]
-        n1, n2 = n1[keep], n2[keep]
-        jac = both * 1_000_000 // (n1 + n2 - both)
-        if top_k is not None and len(jac) > top_k:
+        def cut(u1, u2, both, jac):
             # Local cut under the EXACT global total order — jaccard
             # desc, then (u1, u2) asc. Select-by-value first (O(n)
             # partition), then lexsort only the ≥-kth candidates: a full
             # 1M-pair lexsort was the tile's single largest cost.
+            if top_k is None or len(jac) <= top_k:
+                return u1, u2, both, jac
             kth = np.partition(jac, len(jac) - top_k)[len(jac) - top_k]
             cand = np.flatnonzero(jac >= kth)
             if len(cand) > top_k:
                 order = np.lexsort((u2[cand], u1[cand], -jac[cand]))
                 cand = cand[order[:top_k]]
-            u1, u2, both, jac = u1[cand], u2[cand], both[cand], jac[cand]
+            return u1[cand], u2[cand], both[cand], jac[cand]
+
+        a = pdf[pdf["ub"] == ba]
+        b = a if ba == bb else pdf[pdf["ub"] == bb]
+        if not len(a) or not len(b):  # hash blocks may be empty
+            return pd.DataFrame(
+                {c: [] for c in ("u1", "u2", "both_n", "jaccard_ppm")}
+            )
+        ua, na, Ma = mat(a)
+        if ba == bb:
+            ub_, nb, Mb = ua, na, Ma
+        else:
+            ub_, nb, Mb = mat(b)
+        MbT = Mb.T
+        cols = np.arange(len(ub_))
+        # STRIP processing (round-7 skew-sweep lesson): the full tile's
+        # C matrix is block_rows² floats — 138 MB at 5878 rows — and the
+        # ravel/astype/index chain allocated several same-sized
+        # temporaries per tile; 32 workers doing that concurrently spent
+        # 94% of the machine in the kernel page-fault path. Strips keep
+        # every temporary ≤ a few MB, so the loop stays user-time bound
+        # (GEMM + vector ops) with a near-constant working set.
+        strip = max(64, (4 << 20) // max(1, len(ub_) * 4))
+        outs = []
+        for i0 in range(0, len(ua), strip):
+            i1 = min(i0 + strip, len(ua))
+            C = Ma[i0:i1] @ MbT
+            if ba == bb:
+                # pairs only above the diagonal: j > global row index
+                mask = (C > 0.5) & (cols[None, :] > np.arange(i0, i1)[:, None])
+            else:
+                mask = C > 0.5
+            ii, jj = np.nonzero(mask)
+            if not len(ii):
+                continue
+            both = C[ii, jj].astype(np.int64)
+            u1, u2 = ua[i0 + ii], ub_[jj]
+            n1, n2 = na[i0 + ii], nb[jj]
+            if ba != bb:
+                # Hash blocks carry no order: canonicalize u1 < u2 per
+                # pair (jaccard is symmetric in n1/n2, so only ids swap).
+                sw = u1 > u2
+                u1, u2 = np.where(sw, u2, u1), np.where(sw, u1, u2)
+            jac = both * 1_000_000 // (n1 + n2 - both)
+            outs.append(cut(u1, u2, both, jac))
+        if not outs:
+            return pd.DataFrame(
+                {c: [] for c in ("u1", "u2", "both_n", "jaccard_ppm")}
+            )
+        u1, u2, both, jac = (np.concatenate(x) for x in zip(*outs))
+        u1, u2, both, jac = cut(u1, u2, both, jac)
         return pd.DataFrame(
             {"u1": u1, "u2": u2, "both_n": both, "jaccard_ppm": jac}
         )

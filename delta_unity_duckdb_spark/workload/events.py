@@ -401,14 +401,22 @@ def user_jaccard_pairs(spark, sf_dir):
         )
         .distinct()
     )
-    # Regime ladder (each returns None to fall through):
-    # 1. set-dedup-first (jaccard_topk_pairs_dedup): score the M
-    #    DISTINCT k-sets, expand exactly — the only plan that survives
-    #    duplication-heavy data (skewed sf100: 1.5M users, ~1.5k masks;
-    #    both the tile plan and DuckDB's join exhausted 53 GB of spill).
-    # 2. dense tiles with per-tile top-50 (small universe, masks ~ users)
-    # 3. sparse co-occurrence join (large universe).
-    pairs = jaccard_topk_pairs_dedup(uk, top_k=50)
+    # Regime ladder (each step falls through):
+    # 1. SMALL user count -> dense tiles directly (one tile, no
+    #    checkpoint overhead — the dedup machinery costs ~2s of eager
+    #    materialization that small frames never earn back).
+    # 2. large user count -> set-dedup-first (jaccard_topk_pairs_dedup):
+    #    score the M DISTINCT k-sets, expand exactly — the plan that
+    #    survives duplication-heavy data (plain sf100: 1.5M users,
+    #    ~1.5k masks); returns None when masks ~ users (no duplication,
+    #    e.g. the skewed fixture's random per-user subsets), where the
+    #    packed dense tiles below are the inherently-quadratic exact
+    #    fallback (Theta(U^2 K): ~2e14 FLOPs at 1.5M users — the
+    #    registered LSH/minhash family is the production answer there).
+    # 3. sparse co-occurrence join (large element universe).
+    pairs = None
+    if uk.select("user_id").distinct().count() > 100_000:
+        pairs = jaccard_topk_pairs_dedup(uk, top_k=50)
     if pairs is None:
         # top_k=50 pushes the query's final cut into the tile kernels:
         # each tile emits its local top-50 under the identical total

@@ -441,15 +441,20 @@ def test_semantic_dedup_pair_kernel_is_grouped_arrow(plans):
 
 
 def test_user_jaccard_dense_regime_is_tiled_gemm(plans):
-    """With the fixtures' small element universe the dense regime must be
-    chosen: blocked incidence tiles via a grouped Arrow kernel (plus the
-    final top-k), no co-occurrence self-join row explosion, no
+    """With the fixtures' small element universe the set-dedup-first
+    regime must be chosen (round 7): mask-level tile scoring happens
+    behind an eager localCheckpoint (so the final plan starts from its
+    LogicalRDD), and what remains is the bounded member expansion —
+    Generate (explode) over the kept mask pairs into an exact global
+    TakeOrdered. Never a co-occurrence self-join row explosion or a
     cartesian."""
     p = plans["user_jaccard_pairs"]
-    assert "FlatMapGroupsInPandas" in p
+    assert "Generate" in p  # bounded member-list expansion
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
+    # (the pre-checkpoint tile kernel itself is pinned value-level by
+    # tests/test_jaccard_dense.py against the sparse join)
 
 
 # ---------------------------------------------------- round-4 additions
