@@ -275,15 +275,21 @@ def write_media_fixture_dir(
         # old manifest (stale j*.jpg) would survive on disk, be listed by
         # binaryFile ingest, and surface as an asset-count/value mismatch
         # that points at the decode path instead of the fixture. Remove
-        # every non-"_" file that is not in the new expected set first.
+        # excess files FROM THE FIXTURE NAMESPACES ONLY (w####.wav /
+        # p####.png / j####.jpg / jc####.jpg): deleting every unexpected
+        # file would silently destroy unrelated user data if the caller
+        # points this at a directory that already holds some.
+        import re
+
         expected = (
             {f"w{i:04d}.wav" for i in range(n_wav)}
             | {f"p{i:04d}.png" for i in range(n_png)}
             | {f"j{i:04d}.jpg" for i in range(n_jpeg)}
             | {f"jc{i:04d}.jpg" for i in range(n_jpeg_color)}
         )
+        ns = re.compile(r"^(w\d+\.wav|p\d+\.png|j\d+\.jpg|jc\d+\.jpg)$")
         for name in os.listdir(path):
-            if not name.startswith("_") and name not in expected:
+            if ns.match(name) and name not in expected:
                 try:
                     os.remove(os.path.join(path, name))
                 except OSError:

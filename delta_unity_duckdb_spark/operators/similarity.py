@@ -392,6 +392,9 @@ def dense_jaccard_pairs(
     Null contract: a NULL element joins nothing in the sparse path, so
     here it is excluded from the set bits but still counted in the set
     size ``n`` (COUNT(*) semantics) — value-identical to the join form.
+    Input contract: (user, k) rows are expected distinct (every caller
+    dedups); the bitmask aggregate is bit_or, so duplicate rows cannot
+    corrupt the masks, but ``n``'s COUNT(*) would still over-count them.
     """
     ks = [
         r[0]
@@ -432,14 +435,19 @@ def dense_jaccard_pairs(
     with_idx = uk.join(
         uni_df, F.col(k_col).eqNullSafe(F.col("kk")), "left"
     )
+    # bit_or, not SUM: OR is idempotent, so a duplicate (user, k) input
+    # row re-asserts the same bit instead of adding it twice and carrying
+    # into the neighbor (which would corrupt both_n for every pair the
+    # user appears in). ``n`` below stays COUNT(*), so full value-identity
+    # with the join form still assumes distinct (user, k) input — which
+    # every caller guarantees — but a violation can no longer scramble
+    # unrelated bits.
     word_exprs = [
-        F.sum(
-            F.when(
-                (F.col("idx") >= w * 64) & (F.col("idx") < (w + 1) * 64),
-                # expr: pyspark's shiftleft only takes a literal count
-                F.expr("shiftleft(CAST(1 AS BIGINT), idx % 64)"),
-            ).otherwise(F.lit(0))
-        ).cast("long").alias(f"w{w}")
+        F.expr(
+            f"bit_or(CASE WHEN idx >= {w * 64} AND idx < {(w + 1) * 64} "
+            "THEN shiftleft(CAST(1 AS BIGINT), idx % 64) "
+            "ELSE CAST(0 AS BIGINT) END)"
+        ).alias(f"w{w}")
         for w in range(n_words)
     ]
     compact = with_idx.groupBy(F.col(user_col).alias("u")).agg(
@@ -711,18 +719,29 @@ def jaccard_topk_pairs_dedup(
         selfp.withColumn("is_self", F.lit(True)), allowMissingColumns=True
     ).fillna({"is_self": False}).localCheckpoint(eager=True)
 
-    # Exact prune: the top_k-th score when every mask pair contributes
-    # one pair is a lower bound on the global top_k-th score; only mask
-    # pairs at or above it can contribute (each expands to >= 1 pair).
-    probe = [
-        r["jaccard_ppm"]
-        for r in mask_pairs.orderBy(F.desc("jaccard_ppm")).limit(top_k).collect()
-    ]
+    # Exact prune via KNOWN pair counts: every expansion of a mask pair
+    # shares its score, so walking mask pairs in score-desc order and
+    # accumulating expn (c1*c2 cross / C(cnt,2) self — exact counts, not
+    # the slice bound) proves "at least top_k user pairs score >= j" as
+    # soon as the running sum reaches top_k; that j is a valid — and
+    # sharper — lower bound on the global top_k-th score than the old
+    # one-pair-each probe, which pessimistically assumed expn == 1.
+    probe = (
+        mask_pairs.orderBy(F.desc("jaccard_ppm"))
+        .select("jaccard_ppm", "expn")
+        .limit(top_k)
+        .collect()
+    )
     if not probe:
         return spark.createDataFrame(
             [], "u1 long, u2 long, both_n long, jaccard_ppm long"
         )
-    jmin = min(probe)
+    jmin, cum = probe[-1]["jaccard_ppm"], 0
+    for r in probe:
+        cum += r["expn"]
+        if cum >= top_k:
+            jmin = r["jaccard_ppm"]
+            break
     kept = mask_pairs.filter(F.col("jaccard_ppm") >= F.lit(jmin))
 
     within = kept.filter("is_self").select(

@@ -33,6 +33,24 @@ def _default_driver_mem() -> str:
     return f"{int(gb)}g"
 
 
+def _mem_bytes(mem: str) -> int:
+    """Parse a Spark memory string ('8g', '512m', '16384k', bare bytes)."""
+    mem = mem.strip().lower()
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+    if mem and mem[-1] in units:
+        return int(float(mem[:-1]) * units[mem[-1]])
+    return int(mem)
+
+
+def _default_max_result(driver_mem: str) -> str:
+    """min(8g, driver_heap/2), in MiB granularity — the result-size cap
+    must sit meaningfully UNDER the heap or a big collect skips the clean
+    maxResultSize error and OOMs the JVM instead (a fixed 8g did exactly
+    that on hosts whose half-of-RAM heap resolves below 16g)."""
+    half = _mem_bytes(driver_mem) // 2
+    return f"{max(1, min(8 * 1024**3, half) // (1024**2))}m"
+
+
 def _delta_available() -> bool:
     try:
         import delta  # noqa: F401
@@ -71,6 +89,7 @@ def get_spark(
     master = resolve_master(master)
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem())
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -121,21 +140,20 @@ def get_spark(
         # OOMed k-core's edge checkpoint at sf10), but never past half the
         # machine (a fixed 24g default would swap a 16 GB host); override
         # per-run with SPARK_GRAFT_DRIVER_MEM.
-        .config(
-            "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_mem()),
-        )
+        .config("spark.driver.memory", driver_mem)
         .config("spark.ui.enabled", "false")
         # Result materialization cap. Spark's 1g default fails any query
         # whose ANSWER is big (the skewed-sf100 sessionization result is
         # ~1.1 GiB serialized) even though the driver heap holds it
         # comfortably — an artificial asymmetry vs engines with no such
-        # cap. 8g stays far under the smallest driver heap the factory
-        # configures while letting legitimately large results through;
-        # a truly runaway collect still dies, just later.
+        # cap. Cap at min(8g, driver_heap/2): a fixed 8g would EXCEED the
+        # heap on small hosts (half-of-RAM flooring at 1g), turning the
+        # clean maxResultSize error into a driver OOM; half the resolved
+        # heap keeps the cap meaningfully under it at every size while
+        # still letting legitimately large results through on big hosts.
         .config(
             "spark.driver.maxResultSize",
-            os.environ.get("SPARK_GRAFT_MAX_RESULT", "8g"),
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", _default_max_result(driver_mem)),
         )
     )
     # Against a real (standalone) master the executor heap matters and

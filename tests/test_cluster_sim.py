@@ -29,3 +29,21 @@ def test_master_env_reaches_session(monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_MASTER")
     monkeypatch.setenv("SPARK_GRAFT_CPUS", "7")
     assert resolve_master() == "local[7]"
+
+
+def test_max_result_cap_stays_under_driver_heap():
+    """The maxResultSize default must track the resolved driver heap
+    (min(8g, heap/2)) — a fixed 8g on a small host exceeds the heap and
+    a big collect OOMs the JVM instead of raising the clean
+    maxResultSize error."""
+    from delta_unity_duckdb_spark.session import _default_max_result, _mem_bytes
+
+    assert _mem_bytes("8g") == 8 * 1024**3
+    assert _mem_bytes("512m") == 512 * 1024**2
+    assert _mem_bytes("1048576") == 1048576
+    # big host: 24g heap -> capped at 8g
+    assert _default_max_result("24g") == f"{8 * 1024}m"
+    # small host: 1g heap -> half of it, never above it
+    assert _mem_bytes(_default_max_result("1g")) == 512 * 1024**2
+    for heap in ("1g", "2g", "4g", "12g", "24g"):
+        assert _mem_bytes(_default_max_result(heap)) <= _mem_bytes(heap) // 2

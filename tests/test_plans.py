@@ -441,20 +441,58 @@ def test_semantic_dedup_pair_kernel_is_grouped_arrow(plans):
 
 
 def test_user_jaccard_dense_regime_is_tiled_gemm(plans):
-    """With the fixtures' small element universe the set-dedup-first
-    regime must be chosen (round 7): mask-level tile scoring happens
-    behind an eager localCheckpoint (so the final plan starts from its
-    LogicalRDD), and what remains is the bounded member expansion —
-    Generate (explode) over the kept mask pairs into an exact global
-    TakeOrdered. Never a co-occurrence self-join row explosion or a
-    cartesian."""
+    """At fixture scale the regime ladder's user-count gate (>100k for
+    set-dedup-first) selects the DENSE branch, so the registered query's
+    plan must show the blocked-tile Arrow kernel itself —
+    FlatMapGroupsInPandas over the hash-block replication explode
+    (Generate) — feeding an exact global TakeOrdered. Never a
+    co-occurrence self-join row explosion or a cartesian."""
     p = plans["user_jaccard_pairs"]
+    assert "FlatMapGroupsInPandas" in p  # the tiled-GEMM kernel
+    assert "Generate" in p  # block replication explode
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
+def test_user_jaccard_dedup_regime_plan_shape(spark, sf_dir):
+    """The set-dedup-first regime (jaccard_topk_pairs_dedup) never runs
+    at fixture scale through the registered query (the >100k-user gate),
+    so pin its plan directly: after the eager mask-scoring checkpoint,
+    what remains is the bounded member expansion — Generate over kept
+    mask pairs into an exact global TakeOrdered — with no cartesian and
+    no co-occurrence self-join. Values must match the dense tile plan
+    exactly (same total order, same top-k)."""
+    from pyspark.sql import functions as F
+
+    from delta_unity_duckdb_spark.operators.similarity import (
+        dense_jaccard_pairs,
+        jaccard_topk_pairs_dedup,
+    )
+    from delta_unity_duckdb_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    uk = (
+        e.filter(F.col("props").isNotNull())
+        .select(
+            "user_id",
+            F.regexp_extract("props", "[0-9]+", 0).cast("bigint").alias("k"),
+        )
+        .distinct()
+    )
+    dd = jaccard_topk_pairs_dedup(uk, top_k=50)
+    assert dd is not None  # fixture masks are far under max_masks
+    p = plan_of(dd)
     assert "Generate" in p  # bounded member-list expansion
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
     assert "SortMergeJoin" not in p
-    # (the pre-checkpoint tile kernel itself is pinned value-level by
-    # tests/test_jaccard_dense.py against the sparse join)
+    dense = dense_jaccard_pairs(uk, top_k=50).orderBy(
+        F.desc("jaccard_ppm"), "u1", "u2"
+    ).limit(50)
+    assert [tuple(r) for r in dd.collect()] == [
+        tuple(r) for r in dense.collect()
+    ]
 
 
 # ---------------------------------------------------- round-4 additions
