@@ -24,74 +24,69 @@ from delta_unity_duckdb_spark.workload import (  # noqa: F401
 )
 from delta_unity_duckdb_spark.workload.registry import ORACLE, QUERIES
 
-# Round-7 driver window (50 slots): slots 1-2 are the round-7 work —
-# `dedup_pipeline_exact_first` (the E1+E2 exact-first composition
-# promoted from tools/bench_dedup_clique.py arm B) and
-# `image_jpeg_color_features` (the new chroma-subsampled color-JPEG
-# arm), both never driver-checked. The rest is the pure staleness
-# rotation the round-6 plan recorded: the 10 remaining round-2
-# re-confirms (window_frame_sum / window_lag_lead rolled past position
-# 50 last round, plus the 8 trivial single-operator shapes), then the
-# round-3 cohort in registry order — 38 of its 50 fit this window; the
-# final 12 (hll_distinct_groups, kmv_distinct_merge, cms_heavy_hitters,
-# bloom_join_stats, kmv_set_ops, hll_incremental_refresh,
-# hist_quantile_sketch, stream_hll_distinct, stream_cms_top_users,
-# window_ntile_stats, window_first_last, stratified_sample) roll to
-# round 8, after which no green row is older than round 4.
+# Round-8 driver window (50 slots): pure staleness rotation per the
+# round-7 plan. First the 12 remaining round-3-cohort queries (the
+# sketch/window/sampling family that rolled past position 50 last
+# round) — after they green, no query's newest driver row is older
+# than round 4. The other 38 slots start the round-4 cohort in
+# registry order; its final 12 (promo_revenue_share through
+# nation_revenue_share, all single-shape TPC-H variants) roll to
+# round 9. `salted_hot_key_agg` and `sequence_packing` — the two
+# queries reworked this round for the skew-regime findings — are in
+# the round-4 cohort and thus get driver rows on the new code.
 _PRIORITY = [
-    # --- new in round 7, never driver-checked ---
-    "dedup_pipeline_exact_first",
-    "image_jpeg_color_features",
-    # --- last green: round 2 (stalest) ---
-    "window_frame_sum",
-    "window_lag_lead",
-    "projection",
-    "count_star",
-    "conditional_agg",
-    "filter_eq",
-    "sort_limit",
-    "nullsafe_change",
-    "case_expr",
-    "describe_schema",
-    # --- last green: round 3, registry order ---
-    "kmeans_clusters",
-    "semantic_dedup_blocks",
-    "cluster_balanced_sample",
-    "pii_redact",
-    "llm_pipeline_end_to_end",
-    "graph_kcore",
-    "lang_id_confusion",
-    "multimodal_features",
-    "set_ops",
-    "distinct_pairs",
-    "string_funcs",
-    "regex_funcs",
-    "date_funcs",
-    "math_funcs",
-    "array_funcs",
-    "json_extract",
-    "cte_subquery",
-    "sample_mod",
-    "pricing_summary",
-    "multiway_join_topk",
-    "join_right",
-    "join_full",
-    "join_cross",
-    "grouping_sets",
-    "pivot_agg",
-    "percentile_agg",
-    "exists_subquery",
-    "map_funcs",
-    "string_agg_group",
-    "unpivot_melt",
-    "correlated_scalar_agg",
-    "delta_time_travel",
-    "delta_merge_upsert",
-    "table_profile",
-    "delta_restore",
-    "delta_schema_evolution",
-    "lateral_topn_join",
-    "window_percent_cume",
+    # --- last green: round 3 (stalest) ---
+    "hll_distinct_groups",
+    "kmv_distinct_merge",
+    "cms_heavy_hitters",
+    "bloom_join_stats",
+    "kmv_set_ops",
+    "hll_incremental_refresh",
+    "hist_quantile_sketch",
+    "stream_hll_distinct",
+    "stream_cms_top_users",
+    "window_ntile_stats",
+    "window_first_last",
+    "stratified_sample",
+    # --- last green: round 4, registry order (first 38 of 50) ---
+    "curation_verdicts",
+    "incremental_near_dup_ingest",
+    "bigram_surprisal",
+    "sequence_packing",
+    "shard_manifest",
+    "dedup_signal_agreement",
+    "boilerplate_ngram_flags",
+    "quality_retention_sweep",
+    "bpe_vocab_merges",
+    "bpe_encode_stats",
+    "winnow_fingerprint_pairs",
+    "exact_span_dedup",
+    "embedding_quantization",
+    "embedding_dim_stats",
+    "embedding_centroid_outliers",
+    "pca_top_component",
+    "ann_recall_eval",
+    "pca_projection_scores",
+    "approx_aggs",
+    "regional_revenue",
+    "cohort_retention",
+    "basket_pairs",
+    "skyline_pareto",
+    "incremental_agg_refresh",
+    "winsorized_stats",
+    "salted_hot_key_agg",
+    "key_skew_profile",
+    "stream_incremental_dedup",
+    "stream_late_data_drop",
+    "order_priority_check",
+    "customer_order_distribution",
+    "top_supplier_revenue",
+    "large_volume_orders",
+    "idle_rich_customers",
+    "nation_volume_shipping",
+    "interval_join_events",
+    "forecast_revenue_change",
+    "returned_item_customers",
 ]
 
 

@@ -8,8 +8,10 @@ values TYPE-sensitively. ``strict_compare`` mirrors that; this sweep runs
 it over every registered oracle-paired query so "strict green" locally
 predicts a driver-green CORRECTNESS row.
 
-Usage: python tools/strict_check.py [sf_dir] [name_filter_substring]
-Writes one JSON line per query; summary line at the end.
+Usage: python tools/strict_check.py [sf_dir] [name_substring ...]
+Multiple substrings OR together (a query runs if ANY matches); no
+substring sweeps every oracle-paired query. Writes one JSON line per
+query; summary line at the end.
 """
 
 from __future__ import annotations
@@ -21,7 +23,7 @@ import sys
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    filt = sys.argv[2] if len(sys.argv) > 2 else ""
+    filts = sys.argv[2:]
     sys.path.insert(0, "/root/repo")
     from pyspark.sql import SparkSession
 
@@ -45,7 +47,7 @@ def main():
     con = duck_connection(sf_dir)
     bad = []
     for name, fn in QUERIES.items():
-        if filt and filt not in name:
+        if filts and not any(f in name for f in filts):
             continue
         if name not in ORACLE:
             continue
