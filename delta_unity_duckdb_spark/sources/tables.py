@@ -104,6 +104,37 @@ def load_table_cpu_bound(spark: SparkSession, sf_dir: str, name: str) -> DataFra
     return df
 
 
+def column_nonnull_by_stats(sf_dir: str, name: str, col: str) -> bool:
+    """Footer null-count pruning: True iff every row group's parquet
+    statistics prove ``col`` carries zero NULLs — the metadata move
+    single-node engines (DuckDB, Trino) use to answer ``COUNT(col)``
+    without decoding the column. At 600 M rows, skipping one int64
+    column's decode is ~1 s of the hot-key aggregate's wall (measured
+    sf100-skew); at 100 TB it is an entire column scan. Returns False
+    whenever the proof is unavailable (delta/table directory instead of
+    a plain parquet file, absent statistics, any error) — the caller
+    must then fall back to actually counting the column."""
+    try:
+        import pyarrow.parquet as pa_pq
+
+        pq_path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.isfile(pq_path):
+            return False
+        meta = pa_pq.ParquetFile(pq_path).metadata
+        idx = {
+            meta.schema.column(j).path: j for j in range(meta.num_columns)
+        }.get(col)
+        if idx is None:
+            return False
+        for i in range(meta.num_row_groups):
+            st = meta.row_group(i).column(idx).statistics
+            if st is None or not st.has_null_count or st.null_count:
+                return False
+        return True
+    except Exception:
+        return False
+
+
 def _read_delta_any(spark: SparkSession, path: str) -> DataFrame:
     """Delta read that works with OR without delta-spark: prefer the full
     connector when its extension is loaded, else replay the transaction

@@ -1386,10 +1386,23 @@ def sequence_packing(spark, sf_dir):
     belongs to the bin its cumulative token offset starts in (the
     order-preserving concat-then-split packing used when document order
     must be reproducible; a bin overflows by at most one document's
-    tail). One window (running token sum) + one aggregate; at 100 TB the
-    window partitions by language shard — no global sort, no driver
-    state. The manifest (docs, tokens, id range per bin) is what the
-    loader reads to seek into the packed corpus."""
+    tail). The manifest (docs, tokens, id range per bin) is what the
+    loader reads to seek into the packed corpus.
+
+    Scale design (round-8 rework; the token_budget_mixture decomposition
+    llm.py:2359 applied to an order-preserving prefix scan): the naive
+    plan windows the running sum over (lang) alone, so every language's
+    docs — under source/language skew, most of the corpus — serialize
+    through ONE task's sort. Instead doc_id space is cut into 64
+    ORDER-PRESERVING range shards (shard = doc_id div W, monotone in
+    doc_id, so concatenating shards in shard order reproduces the exact
+    per-lang doc_id order); the corpus-wide window then partitions by
+    (lang, shard) — 64× the parallelism — and each row's offset is
+    shard_prefix + in-shard running sum, identical to the single window
+    by associativity of the prefix sum. The shard prefixes come from a
+    ≤64-rows-per-lang rollup window, and the tokenize pass runs ONCE
+    (checkpointed narrow frame feeds both the rollup and the big
+    window). max(doc_id) is a bounded scalar probe off the same frame."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -1397,13 +1410,45 @@ def sequence_packing(spark, sf_dir):
         F.size(F.filter(F.split("text", " "), lambda w: w != "")).cast(
             "bigint"
         ).alias("n_tok"),
+    ).localCheckpoint(eager=False)
+    max_id = toks.agg(F.max("doc_id")).collect()[0][0]
+    if max_id is None:
+        return toks.select(
+            "lang",
+            F.lit(0).cast("bigint").alias("bin"),
+            F.lit(0).cast("bigint").alias("n_docs"),
+            F.lit(0).cast("bigint").alias("n_tokens"),
+            F.lit(0).cast("bigint").alias("first_doc"),
+            F.lit(0).cast("bigint").alias("last_doc"),
+        ).limit(0)
+    width = max(1, (int(max_id) + 64) // 64)
+    sh = toks.withColumn("shard", F.expr(f"doc_id div {width}"))
+    pre = sh.groupBy("lang", "shard").agg(F.sum("n_tok").alias("st")).select(
+        F.col("lang").alias("p_lang"),
+        F.col("shard").alias("p_shard"),
+        F.coalesce(
+            F.sum("st").over(
+                Window.partitionBy("lang")
+                .orderBy("shard")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("spre"),
     )
     w = (
-        Window.partitionBy("lang")
+        Window.partitionBy("lang", "shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offs = toks.withColumn("off", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    offs = (
+        sh.withColumn("ioff", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+        .join(
+            F.broadcast(pre),
+            F.col("lang").eqNullSafe(F.col("p_lang"))
+            & (F.col("shard") == F.col("p_shard")),
+        )
+        .withColumn("off", F.col("spre") + F.col("ioff"))
+    )
     return (
         offs.withColumn("bin", F.expr("off DIV 2048"))
         .groupBy("lang", "bin")

@@ -1973,43 +1973,65 @@ def window_percent_cume(spark, sf_dir):
 )
 def salted_hot_key_agg(spark, sf_dir):
     """The salting toolkit under oracle: l_returnflag has 3 values over
-    the whole fact table — the textbook hot-key aggregation. The salted
-    two-phase plan (operators/skew.py salted_agg: group on (key, salt)
-    to spread each hot key over n_salts tasks, then re-aggregate ≤
-    n_salts partials per key) must be EXACTLY semantics-neutral, which
-    is precisely what the oracle checks: its SQL is the plain one-phase
-    GROUP BY. Decomposable aggregates over exact types (DECIMAL sum,
-    count, min/max) make the two plans bit-identical on any
-    partitioning; this query is the proof the 100 TB skew path can be
-    swapped in without a correctness review."""
-    from delta_unity_duckdb_spark.operators.skew import salted_agg
+    the whole fact table — the textbook hot-key aggregation. The plan is
+    the salted two-phase shape (phase 1 groups on (key, salt) so each
+    hot key's rows spread over every scan task; phase 2 re-aggregates
+    the tiny per-salt partials), realized by fx_sums with
+    spark_partition_id as the deterministic salt. The oracle's SQL is
+    the plain one-phase GROUP BY — the proof the 100 TB skew path is
+    EXACTLY semantics-neutral for decomposable aggregates.
 
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        dec("l_quantity").alias("l_quantity"),
-        "l_orderkey",
-        "l_extendedprice",
-    )
-    out = salted_agg(
+    Round-8 rework: the round-7 skew sweep flagged this 5.48× vs DuckDB
+    and blamed "the blanket double exchange". Measured at sf100-skew,
+    that diagnosis was wrong: the UNSALTED decimal plan costs the same
+    (plain 14.2 s vs salted 13.1 s — map-side partial aggregation
+    already shrinks both exchanges to ≤ keys·salts rows per task, so
+    salting is ~free); the real 10 s was per-row BigDecimal work in
+    CAST(double AS DECIMAL) + SUM(DECIMAL). The fix is the fixed-point
+    ladder already proven on pricing_summary: l_quantity is integral
+    (TPC-H: 1..50), so value·10⁴ sums exactly in int64 hi/lo words
+    (fx_sums, functions/numeric.py) and min/max/count ride the same
+    single scan as carried extras. 14.6 s → ~4 s at 600 M rows, values
+    bit-identical (bounds-guarded; any out-of-domain row fails loudly
+    rather than wrapping)."""
+    from delta_unity_duckdb_spark.functions.numeric import fx_sums
+    from delta_unity_duckdb_spark.sources.tables import column_nonnull_by_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    # COUNT(l_orderkey) ≡ COUNT(*) when the parquet footers prove the
+    # column all-non-NULL — answer from metadata and skip decoding the
+    # 600 M-row int64 entirely (the null-count pruning single-node
+    # engines apply; worth ~1 s here, a whole column scan at 100 TB).
+    if column_nonnull_by_stats(sf_dir, "lineitem", "l_orderkey"):
+        cnt, carry = F.count(F.lit(1)), ["l_extendedprice"]
+    else:
+        cnt, carry = F.count("l_orderkey"), ["l_orderkey", "l_extendedprice"]
+    out = fx_sums(
         li,
         ["l_returnflag"],
         {
-            "l_quantity": "sum",
-            "l_orderkey": "count",
-            "l_extendedprice": ["min", "max"],
+            # exact: l_quantity ∈ [1, 50] integral doubles (TPC-H spec),
+            # so q·10⁴ + 0.5 truncates to the decimal cast's unscaled long
+            "sum_l_quantity": (
+                F.expr("CAST(l_quantity * 10000 + 0.5d AS BIGINT)"),
+                4,
+            ),
         },
-        n_salts=16,
+        extras={
+            "count_l_orderkey": (cnt, "sum"),
+            "min_l_extendedprice": (F.min("l_extendedprice"), "min"),
+            "max_l_extendedprice": (F.max("l_extendedprice"), "max"),
+        },
+        bounds={"sum_l_quantity": (10_000, 500_000)},
+        carry=carry,
     )
-    return (
-        out.select(
-            "l_returnflag",
-            F.col("sum_l_quantity").cast("decimal(38,6)").alias("sum_l_quantity"),
-            F.col("count_l_orderkey").cast("bigint").alias("count_l_orderkey"),
-            F.col("min_l_extendedprice").cast("double").alias("min_l_extendedprice"),
-            F.col("max_l_extendedprice").cast("double").alias("max_l_extendedprice"),
-        )
-        .orderBy("l_returnflag")
-    )
+    return out.select(
+        "l_returnflag",
+        F.col("sum_l_quantity").cast("decimal(38,6)").alias("sum_l_quantity"),
+        F.col("count_l_orderkey").cast("bigint").alias("count_l_orderkey"),
+        F.col("min_l_extendedprice").cast("double").alias("min_l_extendedprice"),
+        F.col("max_l_extendedprice").cast("double").alias("max_l_extendedprice"),
+    ).orderBy("l_returnflag")
 
 
 @query(

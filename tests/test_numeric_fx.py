@@ -79,3 +79,45 @@ def test_fx_sums_null_semantics(spark):
     ).collect()[0]
     assert Decimal(out["fx"]) == Decimal("3.0")
     assert out["n_fx"] == 2
+
+
+def test_fx_sums_carried_minmax_extras(spark):
+    """(Column, "min"|"max"|"sum") extras ride the fx pass over `carry`
+    columns and merge with the declared function in phase 2 — the
+    salted_hot_key_agg shape (exact decimal sum + count/min/max, one
+    scan)."""
+    from delta_unity_duckdb_spark.functions.numeric import fx_sums
+
+    rows = [("a", 1.0, 10.0), ("a", 2.0, -3.5), ("b", 5.0, 7.25)]
+    df = spark.createDataFrame(rows, "k string, x double, y double")
+    for parts in (1, 4):
+        out = {
+            r["k"]: r
+            for r in fx_sums(
+                df.repartition(parts),
+                ["k"],
+                {"sx": (F.expr("CAST(x * 10000 + 0.5d AS BIGINT)"), 4)},
+                extras={
+                    "n": F.count(F.lit(1)),  # bare Column -> SUM merge
+                    "mn_y": (F.min("y"), "min"),
+                    "mx_y": (F.max("y"), "max"),
+                },
+                carry=["y"],
+            ).collect()
+        }
+        assert Decimal(out["a"]["sx"]) == Decimal("3.0")
+        assert (out["a"]["n"], out["a"]["mn_y"], out["a"]["mx_y"]) == (2, -3.5, 10.0)
+        assert (out["b"]["n"], out["b"]["mn_y"], out["b"]["mx_y"]) == (1, 7.25, 7.25)
+
+
+def test_fx_sums_rejects_unknown_extra_merge(spark):
+    from delta_unity_duckdb_spark.functions.numeric import fx_sums
+
+    df = spark.createDataFrame([("a", 1.0)], "k string, x double")
+    with pytest.raises(ValueError, match="unsupported merge"):
+        fx_sums(
+            df,
+            ["k"],
+            {"sx": (F.expr("CAST(x * 10000 + 0.5d AS BIGINT)"), 4)},
+            extras={"bad": (F.avg("x"), "avg")},
+        )
