@@ -35,6 +35,26 @@ from pyspark.sql.types import (
 
 from delta_unity_duckdb_spark.sources.tables import _ensure_session_confs
 
+
+def stream_scratch_dir(prefix: str) -> str:
+    """Allocate a feed/stage/checkpoint directory for a streaming run.
+
+    Defaults to the process temp dir (single-host). On a MULTI-HOST
+    cluster the checkpoint location is written by the EXECUTORS' state
+    stores and the staged feed dirs are listed by the driver but read
+    by executors, so both must live on storage every node sees — set
+    ``SPARK_GRAFT_STREAM_DIR`` to a shared path (NFS mount, fuse-mounted
+    object store, DBFS) and every streaming entry point here relocates
+    its scratch space there with no code change. tools/cluster_sim.py
+    sets it to the cluster's shared workdir so the streaming twins run
+    under the same contract a real deployment would use."""
+    import tempfile
+
+    root = os.environ.get("SPARK_GRAFT_STREAM_DIR") or None
+    if root:
+        os.makedirs(root, exist_ok=True)
+    return tempfile.mkdtemp(prefix=prefix, dir=root)
+
 # Explicit source schema (streaming readers cannot infer). ``ts`` physical
 # encoding varies with the fixture writer — TIMESTAMP(NANOS) surfaces as
 # int64 (nanosAsLong, see session.py), TIMESTAMP(MICROS/MILLIS) as a real
@@ -201,7 +221,7 @@ def run_available_now(
     timing) can assert on the observed metrics instead of trusting them.
     """
     name = query_name or f"q_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix=f"ckpt_{name}_")
+    ckpt = stream_scratch_dir(f"ckpt_{name}_")
     try:
         q = (
             stream_df.writeStream.format("memory")
@@ -293,7 +313,7 @@ def scd2_stream_sync(
         )
         holder["state"] = new_state.localCheckpoint(eager=True)
 
-    ckpt = tempfile.mkdtemp(prefix="ckpt_scd2_stream_")
+    ckpt = stream_scratch_dir("ckpt_scd2_stream_")
     q = (
         change_stream.writeStream.foreachBatch(apply_batch)
         .outputMode("update")

@@ -31,6 +31,7 @@ from delta_unity_duckdb_spark.streaming.events import (
     read_events_stream,
     run_available_now,
     stateful_running_totals,
+    stream_scratch_dir,
 )
 from delta_unity_duckdb_spark.workload.registry import query
 
@@ -291,10 +292,10 @@ def stream_scd2_sync(spark, sf_dir):
         ).withColumn("batch_ts", F.lit(T2)),
     ]
 
-    feed_dir = tempfile.mkdtemp(prefix="scd2_feed_")
+    feed_dir = stream_scratch_dir("scd2_feed_")
     base_mtime = 1_700_000_000
     for i, bdf in enumerate(batches):
-        stage = tempfile.mkdtemp(prefix=f"scd2_stage_{i}_")
+        stage = stream_scratch_dir(f"scd2_stage_{i}_")
         bdf.coalesce(1).write.mode("overwrite").parquet(stage)
         part = next(
             f for f in os.listdir(stage) if f.endswith(".parquet") and f.startswith("part-")
@@ -604,11 +605,11 @@ def stream_late_data_drop(spark, sf_dir):
         ev.filter(F.col("ts") <= cutoff),
     ]
 
-    feed_dir = tempfile.mkdtemp(prefix="late_feed_")
+    feed_dir = stream_scratch_dir("late_feed_")
     try:
         base_mtime = 1_700_000_000
         for i, bdf in enumerate(batches):
-            stage = tempfile.mkdtemp(prefix=f"late_stage_{i}_")
+            stage = stream_scratch_dir(f"late_stage_{i}_")
             bdf.coalesce(1).write.mode("overwrite").parquet(stage)
             part = next(
                 f
@@ -717,12 +718,12 @@ def stream_media_decode(spark, sf_dir):
     )
 
     media = make_wav_media(spark, 24)
-    feed_dir = tempfile.mkdtemp(prefix="media_feed_")
+    feed_dir = stream_scratch_dir("media_feed_")
     try:
         base_mtime = 1_700_000_000
         for b in range(3):
             part = media.filter(F.col("asset_id").substr(2, 4).cast("int") % 3 == b)
-            stage = tempfile.mkdtemp(prefix=f"media_stage_{b}_")
+            stage = stream_scratch_dir(f"media_stage_{b}_")
             part.coalesce(1).write.mode("overwrite").parquet(stage)
             src = next(
                 f

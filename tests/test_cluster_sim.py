@@ -12,8 +12,15 @@ def test_default_subset_registered_and_oracled():
     missing = [n for n in DEFAULT_SUBSET if n not in QUERIES]
     unoracled = [n for n in DEFAULT_SUBSET if n not in ORACLE]
     assert not missing and not unoracled, (missing, unoracled)
-    # no streaming twins: their temp-dir file sinks are process-local
-    assert not [n for n in DEFAULT_SUBSET if n.startswith("stream_")]
+    # round 8: the flagship streaming twins ARE in the subset — their
+    # feeds/checkpoints relocate to SPARK_GRAFT_STREAM_DIR (the shared-
+    # storage contract), which cluster_sim points at its workdir
+    streams = [n for n in DEFAULT_SUBSET if n.startswith("stream_")]
+    assert set(streams) == {
+        "stream_tumbling_window",
+        "stream_scd2_sync",
+        "stream_late_data_drop",
+    }
 
 
 def test_master_env_reaches_session(monkeypatch):
@@ -47,3 +54,23 @@ def test_max_result_cap_stays_under_driver_heap():
     assert _mem_bytes(_default_max_result("1g")) == 512 * 1024**2
     for heap in ("1g", "2g", "4g", "12g", "24g"):
         assert _mem_bytes(_default_max_result(heap)) <= _mem_bytes(heap) // 2
+
+
+def test_stream_scratch_dir_env_relocation(monkeypatch, tmp_path):
+    """SPARK_GRAFT_STREAM_DIR relocates every streaming feed/stage/
+    checkpoint allocation (the multi-host shared-storage contract);
+    unset, allocation falls back to the process temp dir."""
+    from delta_unity_duckdb_spark.streaming.events import stream_scratch_dir
+
+    shared = tmp_path / "shared_stream"
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_DIR", str(shared))
+    d = stream_scratch_dir("feed_test_")
+    assert d.startswith(str(shared))
+    import os
+
+    assert os.path.isdir(d)
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_DIR")
+    import tempfile
+
+    d2 = stream_scratch_dir("feed_test_")
+    assert d2.startswith(tempfile.gettempdir())

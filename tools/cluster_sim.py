@@ -54,9 +54,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# Every kernel family, one representative each; streaming twins are
-# excluded (their file-sink temp dirs assume a single process tree).
+# Every kernel family, one representative each. Streaming twins run with
+# SPARK_GRAFT_STREAM_DIR pointed at the cluster's shared workdir — the
+# same mechanism a multi-host deployment uses (NFS/object-store mount),
+# so their feeds/checkpoints no longer assume the driver's private /tmp.
 DEFAULT_SUBSET = [
+    "stream_tumbling_window", # flagship streaming twin (windowed agg)
+    "stream_scd2_sync",       # staged-feed streaming MERGE flagship
+    "stream_late_data_drop",  # watermark drop semantics over staged feed
+
     "pricing_summary",        # fixed-point partial aggregation
     "multiway_join_topk",     # broadcast join + TakeOrdered
     "window_rank",            # window functions
@@ -176,6 +182,10 @@ def main() -> None:
     try:
         os.environ["SPARK_GRAFT_MASTER"] = url
         os.environ.setdefault("SPARK_GRAFT_EXECUTOR_MEM", "3g")
+        # Streaming feeds/checkpoints on the cluster-shared workdir (the
+        # multi-host contract: every node must see this path; here that
+        # is the standalone cluster's own work directory).
+        os.environ["SPARK_GRAFT_STREAM_DIR"] = os.path.join(workdir, "stream")
         from pyspark.sql import SparkSession
 
         from delta_unity_duckdb_spark.workload import ORACLE, QUERIES
@@ -239,10 +249,10 @@ def main() -> None:
                 "strict driver-mirror compare vs DuckDB oracles on a "
                 "real multi-process standalone cluster; executors have "
                 "NO repo PYTHONPATH (by-value closures verified). "
-                "Streaming twins run under the single-host shared-"
-                "filesystem sink contract (driver-written temp-dir "
-                "feeds + memory sinks; multi-host would need the feeds "
-                "on shared storage)."
+                "Streaming twins run with feeds/checkpoints on the "
+                "cluster-shared SPARK_GRAFT_STREAM_DIR (the multi-host "
+                "mechanism: point it at NFS/object storage); memory "
+                "sinks are driver-side by Spark's design."
             ),
         }
         print(json.dumps(summary))
