@@ -30,17 +30,30 @@ from delta_unity_duckdb_spark.workload.registry import query
 )
 def tumbling_window(spark, sf_dir):
     """5-minute tumbling windows per event type — partial agg before the
-    (window, type) shuffle; identical plan under Structured Streaming."""
+    (window, type) shuffle; identical plan under Structured Streaming.
+    The exact decimal sum runs in fixed-point (fx_sums) — the round-8
+    high-cardinality sweep measured the per-row BigDecimal CAST+SUM as
+    the window family's dominant cost (same finding as
+    salted_hot_key_agg, relational.py)."""
+    from delta_unity_duckdb_spark.functions.numeric import fx_sums
+
     e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.window("ts", "5 minutes"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec("value")).cast("double").alias("sum_value"))
-        .select(
-            F.col("window.start").alias("window_start"),
-            "event_type",
-            "n",
-            "sum_value",
-        )
+    bucketed = e.select(
+        F.window("ts", "5 minutes")["start"].alias("window_start"),
+        "event_type",
+        "value",
+    )
+    return fx_sums(
+        bucketed,
+        ["window_start", "event_type"],
+        {"sv": (F.expr("CAST(value * 10000 + 0.5d AS BIGINT)"), 4)},
+        extras={"n": F.count(F.lit(1))},
+        bounds={"sv": (0, 100_000_000)},
+    ).select(
+        "window_start",
+        "event_type",
+        "n",
+        F.col("sv").cast("double").alias("sum_value"),
     )
 
 
@@ -62,12 +75,23 @@ def tumbling_window(spark, sf_dir):
 )
 def sliding_window(spark, sf_dir):
     """10-minute windows sliding by 5 — each event lands in 2 windows; the
-    oracle reproduces this as two phase-shifted tumbling bucketings."""
+    oracle reproduces this as two phase-shifted tumbling bucketings.
+    Decimal sums in fixed-point (fx_sums — see tumbling_window)."""
+    from delta_unity_duckdb_spark.functions.numeric import fx_sums
+
     e = load_table(spark, sf_dir, "events")
-    return (
-        e.groupBy(F.window("ts", "10 minutes", "5 minutes"))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(dec("value")).cast("double").alias("sum_value"))
-        .select(F.col("window.start").alias("window_start"), "n", "sum_value")
+    bucketed = e.select(
+        F.window("ts", "10 minutes", "5 minutes")["start"].alias("window_start"),
+        "value",
+    )
+    return fx_sums(
+        bucketed,
+        ["window_start"],
+        {"sv": (F.expr("CAST(value * 10000 + 0.5d AS BIGINT)"), 4)},
+        extras={"n": F.count(F.lit(1))},
+        bounds={"sv": (0, 100_000_000)},
+    ).select(
+        "window_start", "n", F.col("sv").cast("double").alias("sum_value")
     )
 
 
@@ -187,25 +211,83 @@ def asof_join_events(spark, sf_dir):
 )
 def hypertable_rollup(spark, sf_dir):
     """Hypertable-style continuous-aggregate rollup: one pass producing
-    day, day+hour, and day+hour+5-minute aggregates via ROLLUP over the
-    time hierarchy (equivalent to the three grouping sets since each level
-    nests in the previous). Spark plans a single Expand + partial/final
-    hash agg — one shuffle for all three granularities; at scale each
-    level is also the natural incremental-materialization unit."""
+    day, day+hour, and day+hour+5-minute aggregates.
+
+    Round-8 rework (found by the high-cardinality sf100 sweep): the
+    ROLLUP form plans an Expand that quadruples the raw rows BEFORE the
+    partial aggregate — 400 M expanded rows each paying the per-row
+    BigDecimal CAST+SUM, measured 10.2 s vs DuckDB 0.7 s. The rollup of
+    a time HIERARCHY needs none of that: aggregate ONCE at the finest
+    granularity (≈10⁴ buckets — this is also the natural incremental-
+    materialization unit), keep the 5-minute sums in exact fixed-point
+    decimal (fx_sums, bounds-guarded), and derive the hour and day
+    levels by re-aggregating the tiny fine aggregate — decimal re-sums
+    are exact, so every level is bit-identical to summing the raw rows.
+    The raw scan now runs the codegen long-word path and each coarser
+    level costs ~10⁴ rows instead of a second pass."""
+    from delta_unity_duckdb_spark.functions.numeric import fx_sums
+
     e = load_table(spark, sf_dir, "events")
+    # ONE per-row temporal function: day and hour are functionally
+    # determined by the 5-minute bucket (the hierarchy nests), so they
+    # are derived on the ~10⁴ aggregate rows, not per raw row.
     bucketed = e.select(
-        F.date_trunc("day", "ts").cast("date").alias("day"),
-        F.date_trunc("hour", "ts").alias("hour"),
         F.window("ts", "5 minutes")["start"].alias("bucket_5m"),
         "value",
     )
-    return (
-        bucketed.rollup("day", "hour", "bucket_5m")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(dec("value")).cast("double").alias("sum_value"),
+    fine = fx_sums(
+        bucketed,
+        ["bucket_5m"],
+        # value is a nonnegative ≤4-decimal double (events generator);
+        # v·10⁴ + 0.5 truncates to CAST(value AS DECIMAL(18,4))'s
+        # unscaled long — same recipe as pricing_summary
+        {"sv": (F.expr("CAST(value * 10000 + 0.5d AS BIGINT)"), 4)},
+        extras={"n": F.count(F.lit(1))},
+        bounds={"sv": (0, 100_000_000)},
+    ).select(
+        F.date_trunc("day", "bucket_5m").cast("date").alias("day"),
+        F.date_trunc("hour", "bucket_5m").alias("hour"),
+        "bucket_5m",
+        "n",
+        "sv",
+    )
+    # NULL level markers must match the fine frame's exact temporal types
+    # (timestamp_ntz for the nanos-normalized fixture, timestamp for a
+    # plain-typed one) or the union refuses to resolve.
+    types = dict(fine.dtypes)
+    lvl3 = fine.select("day", "hour", "bucket_5m", "n", F.col("sv").alias("s"))
+    lvl2 = (
+        fine.groupBy("day", "hour")
+        .agg(F.sum("n").alias("n"), F.sum("sv").alias("s"))
+        .select(
+            "day",
+            "hour",
+            F.lit(None).cast(types["bucket_5m"]).alias("bucket_5m"),
+            "n",
+            "s",
         )
-        .filter(F.col("day").isNotNull())
+    )
+    lvl1 = (
+        fine.groupBy("day")
+        .agg(F.sum("n").alias("n"), F.sum("sv").alias("s"))
+        .select(
+            "day",
+            F.lit(None).cast(types["hour"]).alias("hour"),
+            F.lit(None).cast(types["bucket_5m"]).alias("bucket_5m"),
+            "n",
+            "s",
+        )
+    )
+    return (
+        lvl3.unionByName(lvl2)
+        .unionByName(lvl1)
+        .select(
+            "day",
+            "hour",
+            "bucket_5m",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("s").cast("double").alias("sum_value"),
+        )
     )
 
 
@@ -242,17 +324,25 @@ def timeseries_gapfill(spark, sf_dir):
     by #types x #buckets — independent of row count, so at 100 TB the
     expensive part stays the one partial-agg shuffle over the raw events;
     the spine join and LOCF window act on the already-aggregated series."""
+    from delta_unity_duckdb_spark.functions.numeric import fx_sums
+
     e = load_table(spark, sf_dir, "events")
-    buckets = (
-        e.groupBy(
+    buckets = fx_sums(
+        e.select(
             "event_type",
             F.window("ts", "5 minutes").getField("start").alias("bucket"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(dec("value")).cast("double").alias("sum_value"),
-        )
-    )
+            "value",
+        ),
+        ["event_type", "bucket"],
+        # fixed-point exact decimal sum (see tumbling_window)
+        {"sv": (F.expr("CAST(value * 10000 + 0.5d AS BIGINT)"), 4)},
+        extras={"n": F.count(F.lit(1))},
+        bounds={"sv": (0, 100_000_000)},
+    ).select(
+        "event_type", "bucket", "n", F.col("sv").cast("double").alias("sum_value")
+    ).localCheckpoint(eager=False)
+    # checkpointed: three consumers below (bounds, spine, the left join)
+    # re-read the ~10⁴-row aggregate, never the 100 M-row scan
     bounds = buckets.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
     spine = (
         buckets.select("event_type")
@@ -556,24 +646,103 @@ def equi_depth_histogram(spark, sf_dir):
     """Equi-depth (quantile-bucketed) histogram per event type — the
     feature-binning / CBO-statistics companion to the fixed-grid
     `histogram_bins`: every decile holds the same row count and the
-    boundaries adapt to the data. NTILE is made deterministic by the
-    unique (value, event_id) tie-break; bucket boundaries are raw column
-    values (no arithmetic), so both engines emit identical doubles.
+    boundaries adapt to the data.
 
-    Scale: one window shuffle on event_type; the decile groupBy reuses
-    that partitioning (event_type is a prefix of its key), so the fact
-    table moves once. The output is #types × 10 rows regardless of input
-    size.
+    Round-8 rework (found by the sf100 high-cardinality sweep): the
+    NTILE window funnels each event type's 20 M rows through ONE task's
+    sort — >200 s at sf100 where DuckDB's parallel sort takes 42 s. But
+    the OUTPUT never needs per-row deciles: NTILE fixes each decile's
+    row count from n alone (floor(n/10), +1 for the first n%10), and a
+    decile's lo/hi are the VALUES at its boundary ranks — the event_id
+    tie-break only orders rows WITHIN equal values, so it cannot change
+    which value sits at any rank. So: aggregate to a per-(type, value)
+    count histogram (one partial-agg shuffle, fully parallel), take the
+    running count (a window over histogram rows, not raw rows), and
+    join each decile's two boundary ranks into the value-run that
+    contains them. Value-identical to the NTILE form on any input.
+
+    Regime ladder: the histogram is #types × #distinct-values — tiny
+    for quantized measures (the fixture's 2-decimal values: ≤56 k).
+    A bounded probe falls back to the NTILE window when distinct values
+    exceed 4 M (arbitrary-double data), where the histogram's own
+    cumulative window would inherit the same serialization.
     """
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    return (
-        e.select("event_type", "value", F.ntile(10).over(w).alias("decile"))
-        .groupBy("event_type", "decile")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("value").alias("lo"),
-            F.max("value").alias("hi"),
+    # ladder probe: one scan, no shuffle (HLL partial merge); the
+    # threshold is a regime choice, so ±2% estimation error is fine
+    n_distinct = e.agg(
+        F.approx_count_distinct("value").alias("d")
+    ).collect()[0]["d"]
+    if n_distinct > 4_000_000:
+        w = Window.partitionBy("event_type").orderBy("value", "event_id")
+        return (
+            e.select("event_type", "value", F.ntile(10).over(w).alias("decile"))
+            .groupBy("event_type", "decile")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("value").alias("lo"),
+                F.max("value").alias("hi"),
+            )
+            .orderBy("event_type", "decile")
         )
+    hist = e.groupBy("event_type", "value").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wv = Window.partitionBy("event_type").orderBy("value")
+    cum = hist.select(
+        "event_type",
+        "value",
+        F.sum("cnt").over(wv).alias("c_end"),
+        (F.sum("cnt").over(wv) - F.col("cnt")).alias("c_start"),
+        F.sum("cnt").over(Window.partitionBy("event_type")).alias("n_tot"),
+    ).localCheckpoint(eager=False)
+    # decile spec: NTILE row counts are arithmetic in n — decile d spans
+    # ranks (S_{d-1}, S_d] where the first n%10 deciles hold one extra
+    deciles = (
+        cum.select("event_type", "n_tot")
+        .distinct()
+        .select(
+            "event_type",
+            "n_tot",
+            F.explode(F.sequence(F.lit(1), F.lit(10))).alias("decile"),
+        )
+        .select(
+            "event_type",
+            "decile",
+            F.expr(
+                "(decile - 1) * (n_tot div 10)"
+                " + least(CAST(decile - 1 AS BIGINT), n_tot % 10)"
+            ).alias("r_start"),  # exclusive
+            F.expr(
+                "decile * (n_tot div 10)"
+                " + least(CAST(decile AS BIGINT), n_tot % 10)"
+            ).alias("r_end"),  # inclusive
+        )
+        .filter(F.col("r_end") > F.col("r_start"))  # n < 10: empty deciles
+    )
+    lo = deciles.alias("d").join(
+        cum.alias("h"),
+        (F.col("d.event_type") == F.col("h.event_type"))
+        & (F.col("h.c_start") < F.col("d.r_start") + 1)
+        & (F.col("d.r_start") + 1 <= F.col("h.c_end")),
+    ).select(
+        F.col("d.event_type").alias("event_type"),
+        "d.decile",
+        (F.col("d.r_end") - F.col("d.r_start")).alias("n"),
+        F.col("h.value").alias("lo"),
+    )
+    hi = deciles.alias("d").join(
+        cum.alias("h"),
+        (F.col("d.event_type") == F.col("h.event_type"))
+        & (F.col("h.c_start") < F.col("d.r_end"))
+        & (F.col("d.r_end") <= F.col("h.c_end")),
+    ).select(
+        F.col("d.event_type").alias("event_type"),
+        "d.decile",
+        F.col("h.value").alias("hi"),
+    )
+    return (
+        lo.join(hi, ["event_type", "decile"])
+        .select("event_type", "decile", "n", "lo", "hi")
         .orderBy("event_type", "decile")
     )
