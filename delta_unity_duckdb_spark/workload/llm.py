@@ -1147,9 +1147,13 @@ def source_mixture_weights(spark, sf_dir):
     result is bit-stable — no order-dependent float summation anywhere.
 
     Scale: token counting is a narrow map (array length, no explode);
-    one shuffle to the per-source rollup; the normalizing SUM() OVER ()
-    window runs on the post-agg rows (#sources, trivially small) — the
-    corpus itself is touched exactly once.
+    one shuffle to the per-source rollup. The normalizer is a SCALAR
+    aggregate joined back as a 1-row broadcast — round 8 replaced the
+    previous SUM() OVER () global window, whose single unbounded
+    partition serialized the whole rollup through one task once the
+    high-cardinality regime pushed #sources to 1.8 M (9.3 s vs
+    DuckDB 2.5 s; the "post-agg rows are trivially small" assumption
+    only held for tens of sources).
     """
     d = load_table(spark, sf_dir, "documents")
     w = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
@@ -1166,23 +1170,17 @@ def source_mixture_weights(spark, sf_dir):
                 "CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT)"
             ),
         )
+        # two consumers (normalizer + output) — tokenize the corpus once
+        .localCheckpoint(eager=False)
     )
-    from pyspark.sql import Window
-
-    total = Window.partitionBy()
+    den = per_source.agg(F.sum("qs").alias("den"))
     return (
-        per_source.select(
-            "source",
-            "n_docs",
-            "n_tokens",
-            F.expr("qs * 1000000").cast("bigint").alias("num"),
-            F.sum("qs").over(total).alias("den"),
-        )
+        per_source.crossJoin(F.broadcast(den))
         .select(
             "source",
             "n_docs",
             "n_tokens",
-            F.expr("num div den").alias("weight_ppm"),
+            F.expr("(qs * 1000000) div den").alias("weight_ppm"),
         )
         .orderBy("source")
     )
@@ -2355,6 +2353,11 @@ def leakage_safe_split(spark, sf_dir):
 
 
 # ------------------------------------------- E6+: token-budget mixture fill
+# Regime-ladder threshold: below this mean docs-per-source the plain
+# per-source prefix window is already parallel (partitions = sources) and
+# the boundary-shard machinery degenerates (see token_budget_mixture).
+# Module-level so tests can pin BOTH plan shapes by injection.
+_TB_SHARD_MIN_DOCS_PER_SOURCE = 256
 @query(
     "token_budget_mixture",
     oracle=f"""
@@ -2444,32 +2447,63 @@ def token_budget_mixture(spark, sf_dir):
         ).alias("h"),
     ).withColumn("shard", F.col("h") % 64).localCheckpoint(eager=False)
 
-    shard_tot = toks.groupBy("source", "shard").agg(
-        F.sum("n_tok").alias("st"), F.count(F.lit(1)).alias("nd")
-    )
-    per_source = (
-        shard_tot.groupBy("source")
-        .agg(F.sum("st").cast("bigint").alias("src_tokens"))
-        .withColumn(
-            "qs",
-            F.expr(
-                "CAST(FLOOR(SQRT(CAST(src_tokens AS DOUBLE)) * 1000000) AS BIGINT)"
-            ),
+    # Regime ladder (round 8, found by the 1.8M-distinct-source sweep):
+    # the boundary-shard decomposition below assumes FEW, HUGE sources —
+    # there, one source's prefix scan would serialize and the 64-way
+    # shard split is the parallelism. With MANY tiny sources (mean docs/
+    # source under the shard count) the machinery inverts: shard
+    # subtotals approach row cardinality, every source straddles its
+    # budget in its first shard, and the "tiny" boundary frame is a
+    # corpus-sized join — while the plain per-source running-sum window
+    # is already embarrassingly parallel (1.8M independent partitions).
+    # One scan-only probe picks the plan; both are value-identical.
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct("source").alias("s"),
+    ).collect()[0]
+    many_tiny = stats["n"] < stats["s"] * _TB_SHARD_MIN_DOCS_PER_SOURCE
+    if many_tiny:
+        per_source = (
+            toks.groupBy("source")
+            .agg(F.sum("n_tok").cast("bigint").alias("src_tokens"))
+            .withColumn(
+                "qs",
+                F.expr(
+                    "CAST(FLOOR(SQRT(CAST(src_tokens AS DOUBLE)) * 1000000)"
+                    " AS BIGINT)"
+                ),
+            )
         )
+    else:
+        shard_tot = toks.groupBy("source", "shard").agg(
+            F.sum("n_tok").alias("st"), F.count(F.lit(1)).alias("nd")
+        ).localCheckpoint(eager=False)
+        per_source = (
+            shard_tot.groupBy("source")
+            .agg(F.sum("st").cast("bigint").alias("src_tokens"))
+            .withColumn(
+                "qs",
+                F.expr(
+                    "CAST(FLOOR(SQRT(CAST(src_tokens AS DOUBLE)) * 1000000)"
+                    " AS BIGINT)"
+                ),
+            )
+        )
+    # Global normalizers as a SCALAR aggregate + 1-row broadcast — the
+    # previous SUM() OVER () unbounded window serialized every per-source
+    # row through one task once the high-cardinality regime pushed
+    # #sources to 1.8M (the round-8 sweep's repeated finding: "tiny
+    # post-agg frame" assumptions break when the key is the cardinality).
+    totals = per_source.agg(
+        F.sum("qs").alias("den"),
+        (F.sum("src_tokens") * 2).alias("tot2"),
     )
-    everything = Window.partitionBy()
     budgets = (
-        per_source.select(
-            "source",
-            "src_tokens",
-            F.expr("qs * 1000000").cast("bigint").alias("num"),
-            F.sum("qs").over(everything).alias("den"),
-            (F.sum("src_tokens").over(everything) * 2).alias("tot2"),
-        )
+        per_source.crossJoin(F.broadcast(totals))
         .select(
             "source",
             "src_tokens",
-            F.expr("num div den").alias("w_ppm"),
+            F.expr("(qs * 1000000) div den").alias("w_ppm"),
             F.expr("tot2 div 5").alias("b40"),
         )
         .select(
@@ -2482,74 +2516,104 @@ def token_budget_mixture(spark, sf_dir):
         )
     )
 
-    # Boundary-shard selection: with cumulative shard subtotals in hand,
-    # a shard is WHOLLY selected when cum_before + st <= budget, wholly
-    # rejected when cum_before >= budget, and exactly one shard per
-    # source straddles the budget boundary. Only that boundary shard
-    # (~1/64 of one source) needs a per-row prefix scan — the previous
-    # shape ran the in-shard running-sum window over the ENTIRE corpus
-    # and filtered afterwards, a full shuffle+sort of every doc row that
-    # at 100 TB is the plan's biggest exchange for rows whose verdict
-    # the 64-row rollup already decides.
-    shard_state = shard_tot.join(
-        F.broadcast(budgets.select("source", "budget_tokens")), "source"
-    ).select(
-        "source",
-        "shard",
-        "st",
-        "nd",
-        "budget_tokens",
-        F.coalesce(
-            F.sum("st").over(
-                Window.partitionBy("source")
-                .orderBy("shard")
-                .rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ).alias("cum_before"),
-    )
-    full = (
-        shard_state.filter(
-            F.col("cum_before") + F.col("st") <= F.col("budget_tokens")
+    if many_tiny:
+        # Plain per-source prefix scan: 1.8M independent window
+        # partitions, one corpus shuffle. The selection order must be
+        # IDENTICAL to the sharded plan's concatenation order — shards
+        # ascending, then (h, doc_id) within a shard — or the two
+        # regimes pick different boundary docs.
+        run_w = (
+            Window.partitionBy("source")
+            .orderBy("shard", "h", "doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
-        .groupBy("source")
-        .agg(
-            F.sum("nd").alias("n_docs_sel"),
-            F.sum("st").alias("tokens_sel"),
+        sel = (
+            toks.join(budgets.select("source", "budget_tokens"), "source")
+            .select(
+                "source",
+                "n_tok",
+                F.sum("n_tok").over(run_w).alias("running"),
+                "budget_tokens",
+            )
+            .filter(F.col("running") <= F.col("budget_tokens"))
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_docs_sel"),
+                F.sum("n_tok").cast("bigint").alias("tokens_sel"),
+            )
         )
-    )
-    boundary = shard_state.filter(
-        (F.col("cum_before") < F.col("budget_tokens"))
-        & (F.col("cum_before") + F.col("st") > F.col("budget_tokens"))
-    ).select("source", "shard", "cum_before", "budget_tokens")
-    in_shard = Window.partitionBy("source", "shard").orderBy(
-        "h", "doc_id"
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    bsel = (
-        toks.join(F.broadcast(boundary), ["source", "shard"])
-        .select(
+    else:
+        # Boundary-shard selection: with cumulative shard subtotals in
+        # hand, a shard is WHOLLY selected when cum_before + st <=
+        # budget, wholly rejected when cum_before >= budget, and exactly
+        # one shard per source straddles the budget boundary. Only that
+        # boundary shard (~1/64 of one source) needs a per-row prefix
+        # scan — the round-6 shape ran the in-shard running-sum window
+        # over the ENTIRE corpus and filtered afterwards, a full
+        # shuffle+sort of every doc row that at 100 TB is the plan's
+        # biggest exchange for rows whose verdict the 64-row rollup
+        # already decides. No forced broadcasts: AQE sees runtime sizes
+        # (a few KB here; ~40 MB in the high-cardinality regime) and
+        # picks broadcast vs shuffle itself.
+        shard_state = shard_tot.join(
+            budgets.select("source", "budget_tokens"), "source"
+        ).select(
             "source",
-            "n_tok",
-            (
-                F.col("cum_before") + F.sum("n_tok").over(in_shard)
-            ).alias("running"),
+            "shard",
+            "st",
+            "nd",
             "budget_tokens",
+            F.coalesce(
+                F.sum("st").over(
+                    Window.partitionBy("source")
+                    .orderBy("shard")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("cum_before"),
         )
-        .filter(F.col("running") <= F.col("budget_tokens"))
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs_sel"),
-            F.sum("n_tok").alias("tokens_sel"),
+        full = (
+            shard_state.filter(
+                F.col("cum_before") + F.col("st") <= F.col("budget_tokens")
+            )
+            .groupBy("source")
+            .agg(
+                F.sum("nd").alias("n_docs_sel"),
+                F.sum("st").alias("tokens_sel"),
+            )
         )
-    )
-    sel = (
-        full.unionAll(bsel)
-        .groupBy("source")
-        .agg(
-            F.sum("n_docs_sel").cast("bigint").alias("n_docs_sel"),
-            F.sum("tokens_sel").cast("bigint").alias("tokens_sel"),
+        boundary = shard_state.filter(
+            (F.col("cum_before") < F.col("budget_tokens"))
+            & (F.col("cum_before") + F.col("st") > F.col("budget_tokens"))
+        ).select("source", "shard", "cum_before", "budget_tokens")
+        in_shard = Window.partitionBy("source", "shard").orderBy(
+            "h", "doc_id"
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        bsel = (
+            toks.join(boundary, ["source", "shard"])
+            .select(
+                "source",
+                "n_tok",
+                (
+                    F.col("cum_before") + F.sum("n_tok").over(in_shard)
+                ).alias("running"),
+                "budget_tokens",
+            )
+            .filter(F.col("running") <= F.col("budget_tokens"))
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs_sel"),
+                F.sum("n_tok").alias("tokens_sel"),
+            )
         )
-    )
+        sel = (
+            full.unionAll(bsel)
+            .groupBy("source")
+            .agg(
+                F.sum("n_docs_sel").cast("bigint").alias("n_docs_sel"),
+                F.sum("tokens_sel").cast("bigint").alias("tokens_sel"),
+            )
+        )
     return (
         budgets.join(sel, "source", "left")
         .select(

@@ -506,23 +506,49 @@ def test_hybrid_rrf_arms_are_takeordered(plans):
     assert "CartesianProduct" not in p
 
 
-def test_token_budget_prefix_scan_is_sharded(plans):
-    """The per-source running sum must window on (source, shard) — 64
-    parallel prefix scans — never a single ordered window over a whole
-    source's documents."""
+def test_token_budget_many_tiny_regime_is_plain_window(plans):
+    """At fixture scale (20 sources × 250 docs — mean docs/source under
+    the ladder threshold) the MANY-TINY regime must be chosen: the plain
+    per-source running-sum window (partitions = sources, already
+    parallel), no shard machinery, no unbounded global window, no
+    cartesian."""
     p = plans["token_budget_mixture"]
     assert "CartesianProduct" not in p
-    # the in-shard running sum: both source and shard in one window spec
-    assert "windowspecdefinition(source" in p
     import re
 
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
-    assert any("source" in s and "shard" in s for s in specs)
+    # the per-source prefix scan orders by the selection hash
+    assert any("source" in s and " h#" in s for s in specs), specs
+    # the round-8 fix: no unbounded SUM() OVER () window anywhere — the
+    # global normalizer is a scalar aggregate + 1-row broadcast
+    for s in specs:
+        assert s.strip().startswith("source") or "source" in s, s
+
+
+def test_token_budget_shard_regime_plan_shape(spark, sf_dir, monkeypatch):
+    """Threshold injection forces the FEW-HUGE regime on the fixture:
+    the boundary-shard decomposition must window the running sum on
+    (source, shard) — 64 parallel prefix scans — and never run a
+    (source)-only window ordered by the per-doc hash over the corpus."""
+    import re
+
+    from delta_unity_duckdb_spark.workload import llm
+
+    monkeypatch.setattr(llm, "_TB_SHARD_MIN_DOCS_PER_SOURCE", 1)
+    p = plan_of(llm.token_budget_mixture(spark, sf_dir))
+    assert "CartesianProduct" not in p
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert any("source" in s and "shard" in s for s in specs), specs
     # any window partitioned by source alone must order by shard (the
     # 64-row-per-source rollup), never by the per-doc hash
     for s in specs:
         if "source" in s and "shard" not in s:
             assert " h#" not in s
+    # the two regimes are value-identical (prefix-sum associativity)
+    sharded = [tuple(r) for r in llm.token_budget_mixture(spark, sf_dir).collect()]
+    monkeypatch.setattr(llm, "_TB_SHARD_MIN_DOCS_PER_SOURCE", 256)
+    plain = [tuple(r) for r in llm.token_budget_mixture(spark, sf_dir).collect()]
+    assert sharded == plain
 
 
 def test_leakage_split_no_cartesian_or_allpairs(plans):
