@@ -342,6 +342,7 @@ def dense_jaccard_pairs(
     block_rows: int = 2048,
     max_universe: int = 4096,
     top_k: int | None = None,
+    n_users: int | None = None,
 ) -> DataFrame | None:
     """Exact pairwise set-intersection counts + Jaccard (integer ppm) for
     a (user, element) incidence table whose element UNIVERSE is small —
@@ -409,7 +410,13 @@ def dense_jaccard_pairs(
     universe = sorted(int(k) for k in ks)
     K = len(universe)
     n_words = max(1, (K + 63) // 64)
-    n_users_row = uk.select(user_col).distinct().count()
+    # n_users: callers that already counted (the regime ladder) pass it
+    # in — the recount is a whole extra job over the input frame
+    n_users_row = (
+        n_users
+        if n_users is not None
+        else uk.select(user_col).distinct().count()
+    )
     if n_users_row == 0:
         return uk.sparkSession.createDataFrame(
             [], "u1 long, u2 long, both_n long, jaccard_ppm long"

@@ -490,6 +490,11 @@ def user_jaccard_pairs(spark, sf_dir):
             F.regexp_extract("props", "[0-9]+", 0).cast("bigint").alias("k"),
         )
         .distinct()
+        # checkpointed: the ladder probe, the operator's universe probe,
+        # its user count, and the kernel pass all re-read the narrow
+        # distinct frame — without this, each probe re-runs the regexp
+        # scan + distinct shuffle (~0.9 s of pure constant at sf0.1)
+        .localCheckpoint(eager=False)
     )
     # Regime ladder (each step falls through):
     # 1. SMALL user count -> dense tiles directly (one tile, no
@@ -505,7 +510,8 @@ def user_jaccard_pairs(spark, sf_dir):
     #    registered LSH/minhash family is the production answer there).
     # 3. sparse co-occurrence join (large element universe).
     pairs = None
-    if uk.select("user_id").distinct().count() > 100_000:
+    n_users = uk.select("user_id").distinct().count()
+    if n_users > 100_000:
         pairs = jaccard_topk_pairs_dedup(uk, top_k=50)
     if pairs is None:
         # top_k=50 pushes the query's final cut into the tile kernels:
@@ -513,7 +519,7 @@ def user_jaccard_pairs(spark, sf_dir):
         # order, an exact superset of the global top-50 (see
         # dense_jaccard_pairs) — without it the operator's OUTPUT is
         # every overlapping pair (~10¹⁰ rows at 100× fixture scale).
-        pairs = dense_jaccard_pairs(uk, top_k=50)
+        pairs = dense_jaccard_pairs(uk, top_k=50, n_users=n_users)
     if pairs is None:  # sparse regime: co-occurrence join
         sizes = uk.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
         a, b = uk.alias("a"), uk.alias("b")
