@@ -250,7 +250,10 @@ def hypertable_rollup(spark, sf_dir):
         "bucket_5m",
         "n",
         "sv",
-    )
+        # checkpointed: the three union levels re-read the ~10⁴-row fine
+        # aggregate — exactly one scan of the fact table by construction
+        # (not by hoping AQE's exchange reuse fires)
+    ).localCheckpoint(eager=False)
     # NULL level markers must match the fine frame's exact temporal types
     # (timestamp_ntz for the nanos-normalized fixture, timestamp for a
     # plain-typed one) or the union refuses to resolve.

@@ -107,16 +107,38 @@ def test_asof_join_is_single_shuffle_no_range_join(plans):
     assert p.count("EqualTo(event_type,") == 2
 
 
-def test_hypertable_rollup_one_expand_one_shuffle(plans):
-    """All three time granularities come from one Expand + one partial/final
-    agg pair — a single shuffle, not three separate aggregations."""
+def test_hypertable_rollup_fine_grain_no_expand(plans, spark, sf_dir):
+    """Round-8 shape: NO Expand — a ROLLUP's Expand quadruples the raw
+    rows before the partial aggregate (measured 10.2 s at sf100). The
+    raw scan feeds exactly ONE fine-grain aggregate (5-minute buckets),
+    checkpointed; the day/hour levels re-aggregate that tiny frame and
+    union (3 branches reading the checkpoint's LogicalRDD — zero
+    FileScans in the registered plan, so one fact-table pass by
+    construction). The scan half (pruning + map-side combine) is pinned
+    on the inline-built fine aggregate."""
     p = plans["hypertable_rollup"]
-    assert "Expand" in p
-    assert p.count("Exchange hashpartitioning") == 1
-    assert "partial_count" in p  # map-side combine before the shuffle
-    # scan is pruned to exactly the needed columns
-    read = p.split("ReadSchema:", 1)[1].splitlines()[0]
-    assert "ts" in read and "value" in read and "props" not in read and "user_id" not in read
+    assert "Expand" not in p
+    assert "Union" in p
+    assert "FileScan parquet" not in p  # all levels read the checkpoint
+    # the pre-checkpoint scan: pruned columns + partial aggregation
+    from delta_unity_duckdb_spark.functions.numeric import fx_sums
+    from delta_unity_duckdb_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "events")
+    fine = fx_sums(
+        e.select(
+            F.window("ts", "5 minutes")["start"].alias("bucket_5m"), "value"
+        ),
+        ["bucket_5m"],
+        {"sv": (F.expr("CAST(value * 10000 + 0.5d AS BIGINT)"), 4)},
+        extras={"n": F.count(F.lit(1))},
+    )
+    fp = plan_of(fine)
+    assert "partial_count" in fp or "partial_sum" in fp  # map-side combine
+    read = fp.split("ReadSchema:", 1)[1].splitlines()[0]
+    assert "ts" in read and "value" in read
+    assert "props" not in read and "user_id" not in read
 
 
 def test_unpivot_is_expand_no_shuffle(plans):
