@@ -24,17 +24,20 @@ from delta_unity_duckdb_spark.workload import (  # noqa: F401
 )
 from delta_unity_duckdb_spark.workload.registry import ORACLE, QUERIES
 
-# Round-8 driver window (50 slots): pure staleness rotation per the
-# round-7 plan. First the 12 remaining round-3-cohort queries (the
+# Round-8 driver window (50 slots): slot 1 is the round-8 work —
+# `delta_optimize_compaction` (OPTIMIZE small-file bin-packing under
+# oracle), never driver-checked. Then the staleness rotation per the
+# round-7 plan: the 12 remaining round-3-cohort queries (the
 # sketch/window/sampling family that rolled past position 50 last
 # round) — after they green, no query's newest driver row is older
-# than round 4. The other 38 slots start the round-4 cohort in
-# registry order; its final 12 (promo_revenue_share through
-# nation_revenue_share, all single-shape TPC-H variants) roll to
-# round 9. `salted_hot_key_agg` and `sequence_packing` — the two
-# queries reworked this round for the skew-regime findings — are in
-# the round-4 cohort and thus get driver rows on the new code.
+# than round 4 — and the round-4 cohort in registry order; its final
+# 13 (returned_item_customers, promo_revenue_share through
+# nation_revenue_share — single-shape TPC-H variants) roll to round 9.
+# `salted_hot_key_agg` and `sequence_packing` — reworked this round
+# for the skew-regime findings — get driver rows on the new code.
 _PRIORITY = [
+    # --- new in round 8, never driver-checked ---
+    "delta_optimize_compaction",
     # --- last green: round 3 (stalest) ---
     "hll_distinct_groups",
     "kmv_distinct_merge",
@@ -86,7 +89,6 @@ _PRIORITY = [
     "nation_volume_shipping",
     "interval_join_events",
     "forecast_revenue_change",
-    "returned_item_customers",
 ]
 
 

@@ -1434,6 +1434,71 @@ def delta_time_travel(spark, sf_dir):
 
 
 @query(
+    "delta_optimize_compaction",
+    oracle="""
+    SELECT 8 AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(38,6))
+             AS sum_acctbal,
+           TRUE AS compacted,
+           TRUE AS stats_survive,
+           CAST(COUNT(*) AS BIGINT) AS pre_optimize_rows
+    FROM customer
+    """,
+)
+def delta_optimize_compaction(spark, sf_dir):
+    """OPTIMIZE small-file compaction end-to-end — the 100 TB ingest
+    reality: streaming appends land thousands of small files, scan task
+    count and object-store listing are O(files), and routine bin-packing
+    is what keeps a lakehouse table scannable. Eight small append
+    commits (disjoint c_custkey mod-8 slices, 2 files each → v0..v7,
+    16 files) then OPTIMIZE (v8, dataChange:false adds+removes,
+    sources/delta_log.py:1122). The oracle checks, by value, that
+    compaction is INVISIBLE: post-OPTIMIZE row count and exact decimal
+    balance sum equal plain customer; ``compacted`` flips false (hash
+    red) if the rewrite didn't actually shrink the file count;
+    ``stats_survive`` flips false if the rewritten files lost their
+    skipping stats; time travel to v7 (pre-OPTIMIZE) must still see
+    every row — removes with dataChange:false stay replayable."""
+    import tempfile
+
+    from delta_unity_duckdb_spark.sources.delta_log import (
+        optimize_delta,
+        read_delta,
+        snapshot,
+        write_delta,
+    )
+    from delta_unity_duckdb_spark.sources.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    t = tempfile.mkdtemp(prefix="delta_opt_")
+    for i in range(8):  # v0..v7: the small-files ingest pattern
+        write_delta(cust.filter(F.col("c_custkey") % 8 == i).repartition(2), t)
+    n_before = len(snapshot(spark, t).adds)
+    res = optimize_delta(spark, t)
+    snap = snapshot(spark, t)
+    compacted = (
+        res["files_removed"] == n_before
+        and 0 < res["files_added"] < n_before
+        and len(snap.adds) == res["files_added"]
+    )
+    stats_survive = all(a.get("stats") for a in snap.adds.values())
+    pre_rows = read_delta(spark, t, version=7).count()
+    return read_delta(spark, t).agg(
+        F.lit(res["version"]).cast("bigint").alias("version"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+        .cast("decimal(38,6)")
+        .alias("sum_acctbal"),
+        F.lit(bool(compacted)).alias("compacted"),
+        F.lit(bool(stats_survive)).alias("stats_survive"),
+        F.lit(pre_rows).cast("bigint").alias("pre_optimize_rows"),
+    )
+
+
+@query(
     "delta_merge_upsert",
     oracle="""
     SELECT c_custkey,
