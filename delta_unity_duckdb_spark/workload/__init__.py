@@ -81,14 +81,19 @@ _PRIORITY = [
     "key_skew_profile",
     "stream_incremental_dedup",
     "stream_late_data_drop",
-    "order_priority_check",
-    "customer_order_distribution",
-    "top_supplier_revenue",
-    "large_volume_orders",
-    "idle_rich_customers",
-    "nation_volume_shipping",
-    "interval_join_events",
-    "forecast_revenue_change",
+    # --- reworked THIS round (r05/r06 cohort pulled forward: fresh
+    # driver rows on new code beat staleness order — the rule that put
+    # dedup_pipeline_exact_first first in round 7). Displaced r04 tail
+    # (order_priority_check .. forecast_revenue_change) rolls to round 9
+    # with the other single-shape TPC-H variants. ---
+    "tumbling_window",
+    "sliding_window",
+    "timeseries_gapfill",
+    "hypertable_rollup",
+    "equi_depth_histogram",
+    "user_jaccard_pairs",
+    "source_mixture_weights",
+    "token_budget_mixture",
 ]
 
 
