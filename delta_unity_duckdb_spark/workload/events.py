@@ -76,22 +76,49 @@ def tumbling_window(spark, sf_dir):
 def sliding_window(spark, sf_dir):
     """10-minute windows sliding by 5 — each event lands in 2 windows; the
     oracle reproduces this as two phase-shifted tumbling bucketings.
-    Decimal sums in fixed-point (fx_sums — see tumbling_window)."""
+    Decimal sums in fixed-point (fx_sums — see tumbling_window).
+
+    Round-8 rework: ``F.window(ts, 10m, 5m)`` plans a Generate that
+    DOUBLES the raw rows before the partial aggregate — 200 M expanded
+    rows through the fixed-point sums. The slide divides the width, so
+    the hypertable_rollup trick applies: aggregate ONCE at the 5-minute
+    grain (~10⁴ rows), then each fine bucket feeds exactly the two
+    sliding windows starting at ``b`` and ``b − 5min`` — explode on the
+    TINY aggregate, re-sum the exact decimals. Value-identical to the
+    direct window by associativity; the raw scan now does the same work
+    as tumbling_window."""
     from delta_unity_duckdb_spark.functions.numeric import fx_sums
 
     e = load_table(spark, sf_dir, "events")
-    bucketed = e.select(
-        F.window("ts", "10 minutes", "5 minutes")["start"].alias("window_start"),
-        "value",
-    )
-    return fx_sums(
-        bucketed,
-        ["window_start"],
+    fine = fx_sums(
+        e.select(
+            F.window("ts", "5 minutes")["start"].alias("b5"),
+            "value",
+        ),
+        ["b5"],
         {"sv": (F.expr("CAST(value * 10000 + 0.5d AS BIGINT)"), 4)},
         extras={"n": F.count(F.lit(1))},
         bounds={"sv": (0, 100_000_000)},
-    ).select(
-        "window_start", "n", F.col("sv").cast("double").alias("sum_value")
+    )
+    return (
+        fine.select(
+            F.explode(
+                F.array(
+                    F.col("b5"),
+                    F.col("b5") - F.expr("INTERVAL 5 MINUTES"),
+                )
+            ).alias("window_start"),
+            "n",
+            "sv",
+        )
+        .groupBy("window_start")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sv").alias("sv"),
+        )
+        .select(
+            "window_start", "n", F.col("sv").cast("double").alias("sum_value")
+        )
     )
 
 

@@ -15,6 +15,7 @@ from delta_unity_duckdb_spark.functions.hashing import hash60_sql
 from delta_unity_duckdb_spark.operators import dedup as D
 from delta_unity_duckdb_spark.operators import similarity as S
 from delta_unity_duckdb_spark.operators import text as T
+from delta_unity_duckdb_spark.operators.text import space_tokens
 from delta_unity_duckdb_spark.sources.tables import load_table
 from delta_unity_duckdb_spark.workload.registry import query
 
@@ -406,7 +407,7 @@ def ngram_jaccard(spark, sf_dir):
         "lang",
         (F.col("n_chars") / 100).cast("int").alias("band"),
         F.array_distinct(
-            F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+            space_tokens("text")
         ).alias("ts"),
     )
     a, b = toks.alias("a"), toks.alias("b")
@@ -845,7 +846,7 @@ def bigram_freq(spark, sf_dir):
     edge case for sub-bigram docs.
     """
     d = load_table(spark, sf_dir, "documents")
-    w = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    w = space_tokens("text")
     return (
         d.select(w.alias("w"))
         .select(
@@ -942,7 +943,7 @@ def doc_chunks(spark, sf_dir):
     ~2x input tokens (stride = size/2), independent of document count.
     """
     d = load_table(spark, sf_dir, "documents")
-    w = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    w = space_tokens("text")
     return (
         d.select("doc_id", w.alias("w"))
         .select(
@@ -1024,7 +1025,7 @@ def contamination_check(spark, sf_dir):
     evaluated exactly once.
     """
     d = load_table(spark, sf_dir, "documents")
-    w = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    w = space_tokens("text")
     doc_grams = d.select("doc_id", w.alias("w")).select(
         "doc_id",
         F.when(
@@ -1093,7 +1094,7 @@ def inverted_index(spark, sf_dir):
         "doc_id",
         F.explode(
             F.array_distinct(
-                F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+                space_tokens("text")
             )
         ).alias("word"),
     )
@@ -1156,7 +1157,7 @@ def source_mixture_weights(spark, sf_dir):
     only held for tens of sources).
     """
     d = load_table(spark, sf_dir, "documents")
-    w = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    w = space_tokens("text", lower=False)  # size-only consumer: count is case-invariant
     per_source = (
         d.select("source", F.size(w).alias("n_tok"))
         .groupBy("source")
@@ -1215,7 +1216,7 @@ def dataset_split_assign(spark, sf_dir):
     1-row broadcast.
     """
     d = load_table(spark, sf_dir, "documents")
-    w = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    w = space_tokens("text", lower=False)  # size-only consumer: count is case-invariant
     bucket = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % 10
     assigned = d.select(
         F.size(w).alias("n_tok"),
@@ -1272,7 +1273,7 @@ def bigram_surprisal(spark, sf_dir):
     (bigram) count shuffle + one broadcast-size LM join back; the avg is
     a portable integer floor division in ppm."""
     d = load_table(spark, sf_dir, "documents")
-    w = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    w = space_tokens("text")
     bg = (
         d.select("doc_id", w.alias("w"))
         .select(
@@ -1405,7 +1406,7 @@ def sequence_packing(spark, sf_dir):
     toks = d.select(
         "doc_id",
         "lang",
-        F.size(F.filter(F.split("text", " "), lambda w: w != "")).cast(
+        F.size(space_tokens("text", lower=False)).cast(
             "bigint"
         ).alias("n_tok"),
     ).localCheckpoint(eager=False)
@@ -1500,7 +1501,7 @@ def shard_manifest(spark, sf_dir):
     toks = d.select(
         "doc_id",
         hash60(F.col("doc_id").cast("string")).alias("h"),
-        F.size(F.filter(F.split("text", " "), lambda w: w != "")).cast(
+        F.size(space_tokens("text", lower=False)).cast(
             "bigint"
         ).alias("n_tok"),
     ).withColumn("shard", F.pmod("h", F.lit(16)))
@@ -2437,7 +2438,7 @@ def token_budget_mixture(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
     )
-    w = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    w = space_tokens("text", lower=False)  # size-only consumer: count is case-invariant
     toks = d.select(
         "source",
         "doc_id",
@@ -2682,7 +2683,7 @@ def context_length_sweep(spark, sf_dir):
     )
     toks = d.select(
         (
-            F.size(F.filter(F.split("text", " "), lambda w: w != ""))
+            F.size(space_tokens("text", lower=False))
             * (1 + F.col("doc_id") % 100)
         )
         .cast("bigint")

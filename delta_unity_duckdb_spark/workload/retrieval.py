@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from delta_unity_duckdb_spark.functions.hashing import hash60, hash60_sql
 from delta_unity_duckdb_spark.operators.similarity import cosine_sim
+from delta_unity_duckdb_spark.operators.text import space_tokens
 from delta_unity_duckdb_spark.sources.tables import load_table
 from delta_unity_duckdb_spark.workload.registry import query
 
@@ -178,7 +179,7 @@ def bm25_scores(d):
     """BM25 scoring of a (doc_id, text, ...) frame — the reusable core
     of ``_bm25_scored_frame``, frame-parameterized so arbitrary corpora
     (incl. the unicode fuzz) run through the identical plan."""
-    words = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    words = space_tokens("text")
     # Null-text contract, explicit on BOTH sides: Spark's size(NULL
     # array) is -1 (it would silently poison the sdl corpus stat) while
     # DuckDB propagates NULL — so null-text docs are excluded from the
