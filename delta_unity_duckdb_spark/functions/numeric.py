@@ -107,7 +107,9 @@ def fx_sums(
     an int64 Column equal to value·10^scale EXACTLY (build from inputs
     that are exact at their data scale — e.g. ``CAST(x*10000 + 0.5d AS
     BIGINT)`` for nonnegative ≤4-decimal doubles, and int64 products
-    thereof). Each term is split at 10⁹ (hi = x div 10⁹, lo = x mod 10⁹ —
+    thereof). When ``bounds`` prove every term fits one sub-10⁹ word the
+    split is skipped entirely (narrow path — see the inline comment);
+    otherwise each term is split at 10⁹ (hi = x div 10⁹, lo = x mod 10⁹ —
     a truncation pair, exact on both signs) and summed AS LONGS per
     (group, spark_partition_id): whole-stage-codegen primitive adds, and
     an int64 partial never spans more than one scan partition — any

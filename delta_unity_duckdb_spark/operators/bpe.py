@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from delta_unity_duckdb_spark.functions.frames import CKPT_DESER
 
 MERGE_SCHEMA = "step bigint, lhs string, rhs string, merged string, pair_count bigint"
 
@@ -108,7 +109,7 @@ def bpe_merge_table(
     state = (
         word_frequencies(df, text_col, vocab_cap)
         .select("word", "cnt", _char_syms(F.col("word")).alias("syms"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=CKPT_DESER)
     )
     records: list[tuple[int, str, str, str, int]] = []
     for step in range(1, iters + 1):
@@ -126,7 +127,7 @@ def bpe_merge_table(
         records.append((step, lhs, rhs, lhs + rhs, cnt))
         state = state.withColumn(
             "syms", merge_pair(F.col("syms"), lhs, rhs)
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True, storageLevel=CKPT_DESER)
     return spark.createDataFrame(records, MERGE_SCHEMA)
 
 
@@ -147,7 +148,7 @@ def bpe_encode_stats(
     state = (
         word_frequencies(df, text_col, vocab_cap)
         .select("word", "cnt", _char_syms(F.col("word")).alias("syms"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=CKPT_DESER)
     )
     for _ in range(iters):
         best = (
@@ -162,7 +163,7 @@ def bpe_encode_stats(
             break
         state = state.withColumn(
             "syms", merge_pair(F.col("syms"), best[0]["lhs"], best[0]["rhs"])
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True, storageLevel=CKPT_DESER)
     return state.agg(
         F.sum("cnt").cast("long").alias("n_words"),
         F.sum(F.col("cnt") * F.length("word")).cast("long").alias("n_chars"),

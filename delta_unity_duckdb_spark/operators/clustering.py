@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from delta_unity_duckdb_spark.functions.frames import CKPT_DESER
 
 SCALE = 100_000  # 1e-5 grid: |q| ≤ ~1e5·|x|; dist sums stay « int64 max
 
@@ -242,7 +243,7 @@ def kmeans_fixed_point_literal(
             "vid", F.col("cid").cast("int").alias("cid"), "dist"
         )
 
-    e = e.localCheckpoint(eager=True)
+    e = e.localCheckpoint(eager=True, storageLevel=CKPT_DESER)
     init = (
         e.filter(F.col("vid") < k)
         .select(

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from delta_unity_duckdb_spark.functions.frames import CKPT_DESER
 
 # Large primes for the universal-hash family h_i(x) = (a_i*x + b_i) mod p.
 _MERSENNE_P = (1 << 61) - 1
@@ -432,7 +433,7 @@ def minhash_near_dups(
     # bands × N small rows — linear, spillable.
     banded = minhash_band_buckets(
         df, id_col, text_col, num_perm, bands, shingle_n, seed
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=CKPT_DESER)
     bucket_sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("sz"))
     small = bucket_sizes.filter(F.col("sz") <= max_bucket_size).select("band", "bucket")
     b = banded.join(small, ["band", "bucket"])

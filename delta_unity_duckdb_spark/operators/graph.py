@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from delta_unity_duckdb_spark.sources.tables import load_table
+from delta_unity_duckdb_spark.functions.frames import CKPT_DESER
 
 # Fast-path threshold shared by connected_components and kcore: graphs at
 # or below this many edges (and with integral node ids) are solved on the
@@ -128,7 +129,7 @@ def one_hop(
         # separate lookup joins. (A collect-and-rebuild variant measured
         # ~2× slower here: Python-side row conversion plus broadcasting a
         # LocalRelation costs more than the two checkpoint jobs.)
-        e = edges.orderBy("dst").limit(limit).localCheckpoint(eager=True)
+        e = edges.orderBy("dst").limit(limit).localCheckpoint(eager=True, storageLevel=CKPT_DESER)
         needed = (
             e.select(F.col("src").alias("id"))
             .union(e.select(F.col("dst").alias("id")))
@@ -147,7 +148,7 @@ def one_hop(
         v = (
             lookup.join(F.broadcast(needed), "id")
             .select("id", "title")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True, storageLevel=CKPT_DESER)
         )
         e = e.select("src", "dst")
     else:
@@ -185,13 +186,13 @@ def descendants(
     edges = edges.select("src", "dst").persist()
     frontier = roots.select(
         F.col("id").alias("root"), F.col("id").alias("node")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=CKPT_DESER)
     levels = [frontier.withColumn("depth", F.lit(0))]
     for depth in range(1, max_depth + 1):
         frontier = (
             frontier.join(edges, frontier.node == edges.src)
             .select("root", F.col("dst").alias("node"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True, storageLevel=CKPT_DESER)
         )
         if frontier.isEmpty():
             break
@@ -294,7 +295,7 @@ def connected_components(edges: DataFrame, max_iter: int = 32) -> DataFrame:
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=CKPT_DESER)
     )
     prev_sum = labels.agg(
         F.sum(F.col("component").cast("decimal(38,0)"))
@@ -322,7 +323,7 @@ def connected_components(edges: DataFrame, max_iter: int = 32) -> DataFrame:
                     "component"
                 ),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True, storageLevel=CKPT_DESER)
         )
         # Labels only ever DECREASE (min over neighborhood + shortcut), so
         # the label sum is strictly monotone until the fixpoint: an
@@ -369,18 +370,18 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=CKPT_DESER)
     )
     n_total = nodes.count()
     out_deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("out_degree")
     )
     # nodes annotated once: out_degree NULL for dangling (no out-edges)
-    base = nodes.join(out_deg, "node", "left").localCheckpoint(eager=True)
+    base = nodes.join(out_deg, "node", "left").localCheckpoint(eager=True, storageLevel=CKPT_DESER)
 
     init = (F.lit(1).cast(DEC) / F.lit(n_total)).cast(DEC)
     ranks = base.select("node", "out_degree", init.alias("rank")).localCheckpoint(
-        eager=True
+        eager=True, storageLevel=CKPT_DESER
     )
     d = F.lit(damping).cast("decimal(6,4)")
     teleport = ((F.lit(1).cast(DEC) - d) / F.lit(n_total)).cast(DEC)
@@ -418,7 +419,7 @@ def pagerank(
                 .cast(DEC)
                 .alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True, storageLevel=CKPT_DESER)
         )
     e.unpersist()
     return ranks.select("node", "rank")
@@ -453,18 +454,18 @@ def pagerank_int(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=CKPT_DESER)
     )
     n_total = nodes.count()
     out_deg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("out_degree")
     )
-    base = nodes.join(out_deg, "node", "left").localCheckpoint(eager=True)
+    base = nodes.join(out_deg, "node", "left").localCheckpoint(eager=True, storageLevel=CKPT_DESER)
 
     tele = (damping_den - damping_num) * scale // (damping_den * n_total)
     ranks = base.select(
         "node", "out_degree", F.lit(scale // n_total).cast("long").alias("rank")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=CKPT_DESER)
 
     for _ in range(iterations):
         dangling = ranks.filter(F.col("out_degree").isNull()).agg(
@@ -490,7 +491,7 @@ def pagerank_int(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True, storageLevel=CKPT_DESER)
         )
     e.unpersist()
     return ranks.select("node", F.col("rank").alias("rank_scaled"))
@@ -618,7 +619,7 @@ def kcore(edges: DataFrame, k: int, rounds: int) -> DataFrame:
                 F.col("dst").cast(dst_t).alias("dst"),
             )
 
-    alive = edges.select("src", "dst").localCheckpoint(eager=True)
+    alive = edges.select("src", "dst").localCheckpoint(eager=True, storageLevel=CKPT_DESER)
     prev_n = alive.count()
     for _ in range(rounds):
         keep = (
@@ -630,7 +631,7 @@ def kcore(edges: DataFrame, k: int, rounds: int) -> DataFrame:
         alive = (
             alive.join(keep, "src")
             .join(keep.withColumnRenamed("src", "dst"), "dst")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True, storageLevel=CKPT_DESER)
         )
         n = alive.count()
         if n == prev_n:

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from delta_unity_duckdb_spark.functions.frames import CKPT_DESER
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -665,7 +666,7 @@ def jaccard_topk_pairs_dedup(
         ).alias("members"),
         F.sum("c").alias("cnt"),
     ).withColumn("rep", F.col("members")[0])
-    groups = groups.localCheckpoint(eager=True)
+    groups = groups.localCheckpoint(eager=True, storageLevel=CKPT_DESER)
 
     n_masks = groups.count()
     if n_masks > max_masks:
@@ -724,7 +725,7 @@ def jaccard_topk_pairs_dedup(
     )
     mask_pairs = cross.unionByName(
         selfp.withColumn("is_self", F.lit(True)), allowMissingColumns=True
-    ).fillna({"is_self": False}).localCheckpoint(eager=True)
+    ).fillna({"is_self": False}).localCheckpoint(eager=True, storageLevel=CKPT_DESER)
 
     # Exact prune via KNOWN pair counts: every expansion of a mask pair
     # shares its score, so walking mask pairs in score-desc order and

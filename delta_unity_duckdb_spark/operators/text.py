@@ -35,36 +35,22 @@ LANG_PROFILES: dict[str, tuple[str, ...]] = {
 }
 
 
-def _nonempty_split(trimmed: Column, pattern: str) -> Column:
-    """``split`` that never yields empty tokens, for a ``trimmed`` input
-    (no leading/trailing separator chars) and a run-quantified ``pattern``
-    (``' +'`` / ``[ws]+`` — interior empties are impossible under a
-    ``X+`` separator). The empty string is the one residual case (split
-    returns ``['']``) and maps to the empty array; NULL propagates
-    through the otherwise-branch unchanged."""
-    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
-        F.split(trimmed, pattern)
-    )
-
-
 def tokens(text: Column) -> Column:
-    return _nonempty_split(
-        F.btrim(F.lower(text), F.lit(" \t\n\x0B\f\r")), TOKEN_SPLIT_RE
-    )
+    return F.array_remove(F.split(F.lower(text), TOKEN_SPLIT_RE), "")
 
 
 def space_tokens(text: Column | str, lower: bool = True) -> Column:
     """Non-empty tokens of ``split(text, ' ')`` — the llm/retrieval
-    family's tokenizer — WITHOUT the interpreted higher-order
-    ``filter(..., t -> t != '')`` lambda: ``btrim`` + split on space
-    RUNS yields the identical array (same tokens, same order; empties
-    under a single-space split only ever arise from leading/trailing
-    spaces or interior runs, which the trim+``' +'`` pattern removes at
-    the separator level). Every expression is codegen-capable; the HOF
-    form it replaces dropped the projection out of whole-stage codegen
-    and measured 3-8x slower over a 5M-doc corpus (round-8 highcard
-    sweep: the tokenize pass dominated sequence_packing and
-    token_budget_mixture).
+    family's tokenizer — as ``array_remove(split(...), '')`` instead of
+    the higher-order ``filter(..., t -> t != '')`` lambda. Value-
+    identical by definition (remove every '' element, order preserved,
+    NULL propagates), but the lambda evaluates per-element through an
+    interpreted closure while array_remove is a plain JVM collection
+    expression: A/B inside the real checkpoint/explode plans at the
+    5 M-doc sf100 corpus measured the HOF at 6-22 s per pass vs 1.6 s
+    for this form — and a btrim+regex-split rewrite tried first LOST to
+    the HOF (Java's single-char literal split fast path beats a ``' +'``
+    Pattern; keep the literal split).
 
     ``lower=False`` skips the per-char lowercasing for consumers that
     only take ``size()`` — token COUNT is case-invariant, so dropping
@@ -72,7 +58,7 @@ def space_tokens(text: Column | str, lower: bool = True) -> Column:
     per document."""
     col = F.col(text) if isinstance(text, str) else text
     base = F.lower(col) if lower else col
-    return _nonempty_split(F.btrim(base, F.lit(" ")), " +")
+    return F.array_remove(F.split(base, " "), "")
 
 
 def whitespace_token_count(text: Column) -> Column:

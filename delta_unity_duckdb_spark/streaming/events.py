@@ -34,6 +34,7 @@ from pyspark.sql.types import (
 )
 
 from delta_unity_duckdb_spark.sources.tables import _ensure_session_confs
+from delta_unity_duckdb_spark.functions.frames import CKPT_DESER
 
 
 def stream_scratch_dir(prefix: str) -> str:
@@ -311,7 +312,7 @@ def scd2_stream_sync(
         new_state = scd2_apply(
             holder["state"], src, keys, tracked, F.lit(ts).cast("timestamp")
         )
-        holder["state"] = new_state.localCheckpoint(eager=True)
+        holder["state"] = new_state.localCheckpoint(eager=True, storageLevel=CKPT_DESER)
 
     ckpt = stream_scratch_dir("ckpt_scd2_stream_")
     q = (

@@ -43,7 +43,7 @@ def _kmeans_assignments(spark, sf_dir):
         e = load_table(spark, sf_dir, "embeddings")
         a = C.kmeans_fixed_point_literal(
             e, k=_K, iters=_ITERS
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True, storageLevel=CKPT_DESER)
         _FIT_CACHE[key] = a
     return a
 
@@ -67,7 +67,7 @@ def _blocked_assignments(spark, sf_dir):
             "vid",
             "cid",
             F.pmod(hash60(F.col("vid").cast("string")), nsub).alias("sub"),
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True, storageLevel=CKPT_DESER)
         _FIT_CACHE[key] = b
     return b
 
@@ -440,7 +440,7 @@ def llm_pipeline_end_to_end(spark, sf_dir):
     # instead of re-running the scan → redact → tokenize → quality chain
     # three times. localCheckpoint also truncates lineage so the CC
     # rounds downstream re-plan from a compact scan, not the full chain.
-    ex = D.dedup_exact(qual, ["text"], "doc_id").localCheckpoint(eager=True)
+    ex = D.dedup_exact(qual, ["text"], "doc_id").localCheckpoint(eager=True, storageLevel=CKPT_DESER)
     survivors = (
         D.near_dup_clusters(ex, "doc_id", "text", num_perm=32, bands=8)
         .filter(F.col("is_survivor"))
@@ -563,12 +563,12 @@ def curation_verdicts(spark, sf_dir):
     wtxt = Window.partitionBy("text")
     exact_keep = surv0.select(
         "doc_id", F.min("doc_id").over(wtxt).alias("canonical")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=CKPT_DESER)
     ex = (
         surv0.join(exact_keep, "doc_id")
         .filter(F.col("canonical") == F.col("doc_id"))
         .select("doc_id", "text")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=CKPT_DESER)
     )
     from delta_unity_duckdb_spark.operators.dedup import near_dup_clusters
 
@@ -602,6 +602,7 @@ def curation_verdicts(spark, sf_dir):
 
 # ------------------------------------------------- repetition: top-bigram char share
 from delta_unity_duckdb_spark.operators.text import TOKEN_SPLIT_RE as _TSRE
+from delta_unity_duckdb_spark.functions.frames import CKPT_DESER
 
 
 @query(

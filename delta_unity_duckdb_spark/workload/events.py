@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from delta_unity_duckdb_spark.functions.numeric import dec
 from delta_unity_duckdb_spark.sources.tables import load_table
 from delta_unity_duckdb_spark.workload.registry import query
+from delta_unity_duckdb_spark.functions.frames import CKPT_DESER
 
 
 # ---------------------------------------------------------------- tumbling
@@ -280,7 +281,7 @@ def hypertable_rollup(spark, sf_dir):
         # checkpointed: the three union levels re-read the ~10⁴-row fine
         # aggregate — exactly one scan of the fact table by construction
         # (not by hoping AQE's exchange reuse fires)
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=CKPT_DESER)
     # NULL level markers must match the fine frame's exact temporal types
     # (timestamp_ntz for the nanos-normalized fixture, timestamp for a
     # plain-typed one) or the union refuses to resolve.
@@ -370,7 +371,7 @@ def timeseries_gapfill(spark, sf_dir):
         bounds={"sv": (0, 100_000_000)},
     ).select(
         "event_type", "bucket", "n", F.col("sv").cast("double").alias("sum_value")
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=CKPT_DESER)
     # checkpointed: three consumers below (bounds, spine, the left join)
     # re-read the ~10⁴-row aggregate, never the 100 M-row scan
     bounds = buckets.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
@@ -524,7 +525,7 @@ def user_jaccard_pairs(spark, sf_dir):
         # its user count, and the kernel pass all re-read the narrow
         # distinct frame — without this, each probe re-runs the regexp
         # scan + distinct shuffle (~0.9 s of pure constant at sf0.1)
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=CKPT_DESER)
     )
     # Regime ladder (each step falls through):
     # 1. SMALL user count -> dense tiles directly (one tile, no
@@ -731,7 +732,7 @@ def equi_depth_histogram(spark, sf_dir):
         F.sum("cnt").over(wv).alias("c_end"),
         (F.sum("cnt").over(wv) - F.col("cnt")).alias("c_start"),
         F.sum("cnt").over(Window.partitionBy("event_type")).alias("n_tot"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=CKPT_DESER)
     # decile spec: NTILE row counts are arithmetic in n — decile d spans
     # ranks (S_{d-1}, S_d] where the first n%10 deciles hold one extra
     deciles = (

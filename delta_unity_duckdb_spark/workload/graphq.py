@@ -10,6 +10,7 @@ from delta_unity_duckdb_spark.operators.graph import (
     one_hop,
 )
 from delta_unity_duckdb_spark.workload.registry import query
+from delta_unity_duckdb_spark.functions.frames import CKPT_DESER
 
 
 @query(
@@ -358,7 +359,7 @@ def graph_kcore(spark, sf_dir):
     # join + sampling-hash subtree provably executes a single time (the
     # point of hashing each unordered pair once), rather than relying on
     # exchange reuse to fire for each branch.
-    half = half.localCheckpoint(eager=True)
+    half = half.localCheckpoint(eager=True, storageLevel=CKPT_DESER)
     edges = half.unionByName(
         half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )

@@ -241,7 +241,7 @@ def incremental_near_dup_ingest(spark, sf_dir):
     )
     bc = D.minhash_band_buckets(
         d, "doc_id", "text", num_perm=32, bands=8
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=CKPT_DESER)
     bi = D.minhash_band_buckets(inc, "doc_id", "text", num_perm=32, bands=8)
     small = (
         bc.groupBy("band", "bucket")
@@ -1172,7 +1172,7 @@ def source_mixture_weights(spark, sf_dir):
             ),
         )
         # two consumers (normalizer + output) — tokenize the corpus once
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=CKPT_DESER)
     )
     den = per_source.agg(F.sum("qs").alias("den"))
     return (
@@ -1409,7 +1409,7 @@ def sequence_packing(spark, sf_dir):
         F.size(space_tokens("text", lower=False)).cast(
             "bigint"
         ).alias("n_tok"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=CKPT_DESER)
     max_id = toks.agg(F.max("doc_id")).collect()[0][0]
     if max_id is None:
         return toks.select(
@@ -1675,7 +1675,7 @@ def boilerplate_ngram_flags(spark, sf_dir):
     sh = (
         D.shingle_rows(dirty, "doc_id", "text", 3, distinct=True)
         .select(F.col("id").alias("doc_id"), hash60(F.col("s")).alias("gh"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=CKPT_DESER)
     )
     n_total = d.count()
     df_tab = sh.groupBy("gh").agg(F.count(F.lit(1)).alias("n_docs"))
@@ -1837,7 +1837,9 @@ def winnow_fingerprint_pairs(spark, sf_dir):
     # the shingle/hash/window pipeline per branch (same trick as the
     # curation capstone) — at cluster scale this is the persisted
     # fingerprint index
-    fps = D.winnow_fingerprints(d, "doc_id", "text", k=4, w=4).localCheckpoint()
+    fps = D.winnow_fingerprints(d, "doc_id", "text", k=4, w=4).localCheckpoint(
+        storageLevel=CKPT_DESER
+    )
     small = (
         fps.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -2274,6 +2276,7 @@ def pca_projection_scores(spark, sf_dir):
 
 # --------------------------------------------- E2/E6+: leakage-safe split
 from delta_unity_duckdb_spark.functions.hashing import hash60  # noqa: E402
+from delta_unity_duckdb_spark.functions.frames import CKPT_DESER
 
 
 @query(
@@ -2446,7 +2449,7 @@ def token_budget_mixture(spark, sf_dir):
         hash60(
             F.concat(F.lit("tb:"), F.col("doc_id").cast("string"))
         ).alias("h"),
-    ).withColumn("shard", F.col("h") % 64).localCheckpoint(eager=False)
+    ).withColumn("shard", F.col("h") % 64).localCheckpoint(eager=False, storageLevel=CKPT_DESER)
 
     # Regime ladder (round 8, found by the 1.8M-distinct-source sweep):
     # the boundary-shard decomposition below assumes FEW, HUGE sources —
@@ -2458,7 +2461,11 @@ def token_budget_mixture(spark, sf_dir):
     # corpus-sized join — while the plain per-source running-sum window
     # is already embarrassingly parallel (1.8M independent partitions).
     # One scan-only probe picks the plan; both are value-identical.
-    stats = toks.agg(
+    # The probe reads `d`, NOT `toks`: it needs only the doc count and
+    # source cardinality, so going to the raw table prunes the scan to
+    # the `source` column (dictionary-coded, ~ms) instead of forcing the
+    # tokenize+checkpoint to materialize before the plan is even chosen.
+    stats = d.agg(
         F.count(F.lit(1)).alias("n"),
         F.approx_count_distinct("source").alias("s"),
     ).collect()[0]
@@ -2478,7 +2485,7 @@ def token_budget_mixture(spark, sf_dir):
     else:
         shard_tot = toks.groupBy("source", "shard").agg(
             F.sum("n_tok").alias("st"), F.count(F.lit(1)).alias("nd")
-        ).localCheckpoint(eager=False)
+        ).localCheckpoint(eager=False, storageLevel=CKPT_DESER)
         per_source = (
             shard_tot.groupBy("source")
             .agg(F.sum("st").cast("bigint").alias("src_tokens"))

@@ -25,6 +25,7 @@ from delta_unity_duckdb_spark.operators.similarity import cosine_sim
 from delta_unity_duckdb_spark.operators.text import space_tokens
 from delta_unity_duckdb_spark.sources.tables import load_table
 from delta_unity_duckdb_spark.workload.registry import query
+from delta_unity_duckdb_spark.functions.frames import CKPT_DESER
 
 # Query terms span the corpus' df spectrum (one rare term, two common)
 # so the idf weighting is actually exercised, not a constant factor.
@@ -200,7 +201,7 @@ def bm25_scores(d):
     # Checkpoint the NARROW frame (id + 4 ints — ~40 bytes/doc, the
     # "term-stats table" a deployment materializes anyway) so the corpus
     # text is tokenized exactly once per execution.
-    docs = docs.localCheckpoint(eager=False)
+    docs = docs.localCheckpoint(eager=False, storageLevel=CKPT_DESER)
     stats = docs.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("dl").alias("sdl"),

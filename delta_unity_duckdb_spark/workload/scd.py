@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from delta_unity_duckdb_spark.operators.scd2 import scd2_apply
 from delta_unity_duckdb_spark.sources.tables import load_table
 from delta_unity_duckdb_spark.workload.registry import query
+from delta_unity_duckdb_spark.functions.frames import CKPT_DESER
 
 T1 = "2024-06-01 00:00:00"
 T2 = "2024-06-02 00:00:00"
@@ -79,7 +80,7 @@ def scd2_sync(spark, sf_dir):
             F.lit(n_shards - 1),
             (F.col("c_custkey") * n_shards / F.lit(int(maxk) + 1)).cast("int"),
         ),
-    ).localCheckpoint(eager=False)  # both consumers share one materialization
+    ).localCheckpoint(eager=False, storageLevel=CKPT_DESER)  # both consumers share one materialization
     cum_before = (
         sharded.groupBy("_shard")
         .agg(F.count(F.lit(1)).alias("_n"))

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from delta_unity_duckdb_spark.operators import sketches as SK
 from delta_unity_duckdb_spark.sources.tables import load_table
 from delta_unity_duckdb_spark.workload.registry import query
+from delta_unity_duckdb_spark.functions.frames import CKPT_DESER
 
 _HLL_P = 6
 _KMV_K = 64
@@ -85,7 +86,7 @@ def kmv_distinct_merge(spark, sf_dir):
     per_sk = SK.kmv_sketch(o, ["o_orderpriority"], "o_custkey", k=_KMV_K)
     # Checkpoint the ≤ groups×k sketch so the per-group and ALL arms share
     # one scan+hash pass instead of recomputing the lineage twice.
-    per_sk = per_sk.localCheckpoint(eager=False)
+    per_sk = per_sk.localCheckpoint(eager=False, storageLevel=CKPT_DESER)
     per = SK.kmv_estimate(per_sk, ["o_orderpriority"], k=_KMV_K)
     merged = (
         per_sk.withColumn("o_orderpriority", F.lit("ALL"))
@@ -299,7 +300,7 @@ def kmv_set_ops(spark, sf_dir):
     # re-hashing per consumer — at scale this IS the point of a sketch
     # (build once, answer many set questions from k rows).
     sk = SK.kmv_sketch(lab, ["g"], "o_custkey", k=_KSET).localCheckpoint(
-        eager=True
+        eager=True, storageLevel=CKPT_DESER
     )
     kth = SK.kmv_estimate(sk, ["g"], k=_KSET).select(
         F.when(F.col("n_kept") < _KSET, F.lit(_H60_MAX))

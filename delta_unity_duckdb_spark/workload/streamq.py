@@ -467,6 +467,7 @@ def stream_cms_top_users(spark, sf_dir):
 from delta_unity_duckdb_spark.operators import dedup as _D  # noqa: E402
 from delta_unity_duckdb_spark.workload.llm import incremental_near_dup_ingest  # noqa: E402
 from delta_unity_duckdb_spark.workload.registry import ORACLE as _ORACLE  # noqa: E402
+from delta_unity_duckdb_spark.functions.frames import CKPT_DESER
 
 
 @query(
@@ -511,7 +512,7 @@ def stream_incremental_dedup(spark, sf_dir):
     corpus = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     bc = _D.minhash_band_buckets(
         corpus, "doc_id", "text", num_perm=32, bands=8
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=CKPT_DESER)
     small = (
         bc.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("sz"))
