@@ -121,3 +121,40 @@ def test_fx_sums_rejects_unknown_extra_merge(spark):
             {"sx": (F.expr("CAST(x * 10000 + 0.5d AS BIGINT)"), 4)},
             extras={"bad": (F.avg("x"), "avg")},
         )
+
+
+def test_fx_sums_narrow_word_path_matches_wide(spark):
+    """Bounds inside [-1e9, 1e9] switch fx_sums to the single-word sum
+    (no hi/lo split — round-8 specialization); the values must be
+    bit-identical to the split path at any partition count, including
+    the all-NULL and empty-group edges."""
+    from delta_unity_duckdb_spark.functions.numeric import fx_sums
+
+    vals = [1.23, 4.56, 0.01, 99999.99, 12.34, 0.0]
+    ex = F.expr("CAST(x * 10000 + 0.5d AS BIGINT)")
+    for parts in (1, 3, 8):
+        df = _fixture(spark, vals, parts)
+        narrow = fx_sums(
+            df, ["k"], {"fx": (ex, 4)}, bounds={"fx": (0, 10**9)}
+        ).collect()[0]
+        wide = fx_sums(
+            df, ["k"], {"fx": (ex, 4)}, bounds={"fx": (0, 10**9 + 1)}
+        ).collect()[0]
+        assert Decimal(narrow["fx"]) == Decimal(wide["fx"])
+        assert narrow["n_fx"] == wide["n_fx"] == len(vals)
+
+
+def test_fx_sums_narrow_word_bounds_still_raise(spark):
+    """The MIN/MAX guard must survive the narrow-word specialization —
+    an out-of-range row fails loudly, not silently."""
+    from delta_unity_duckdb_spark.functions.numeric import fx_sums
+
+    df = _fixture(spark, [1.0, -5.0, 2.0], 2)
+    out = fx_sums(
+        df,
+        ["k"],
+        {"fx": (F.expr("CAST(x * 10000 + 0.5d AS BIGINT)"), 4)},
+        bounds={"fx": (0, 10**9)},
+    )
+    with pytest.raises(Exception, match="fx_sums\\[fx\\]"):
+        out.collect()

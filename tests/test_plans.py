@@ -577,3 +577,34 @@ def test_leakage_split_no_cartesian_or_allpairs(plans):
     p = plans["leakage_safe_split"]
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_tokenize_family_has_no_interpreted_lambdas(plans):
+    """The round-8 tokenizer rewrite: tokenize plans must express
+    non-empty-token extraction as array_remove(split(...), '') — a
+    codegen collection expression — with NO higher-order
+    lambdafunction left in the tokenize path (the interpreted
+    per-element closure measured 4-10x slower over the 5M-doc sf100
+    corpus). Pinned on the queries whose plan EXPOSES the tokenize
+    (several others hide it behind a localCheckpoint's ExistingRDD
+    scan, and bigram_freq keeps a by-design transform() lambda for
+    bigram ARRAY CONSTRUCTION — only the token extraction is pinned)."""
+    for name in ("shard_manifest", "inverted_index", "doc_chunks"):
+        p = plans[name].lower()
+        assert "lambdafunction" not in p, name
+        assert "array_remove" in p, name
+    # nowhere in the registry does a filter-lambda tokenize survive
+    for name, p in plans.items():
+        assert "lambdafunction((not (namedlambdavariable() = )" not in p.lower(), name
+
+
+def test_sliding_window_preaggregates_fine_grain(plans):
+    """sliding_window must NOT expand raw rows through the F.window
+    Generate (2x the corpus through the aggregate): the explode runs on
+    the ~1e4-row fine aggregate. In the printed plan (root first, scan
+    last) the segment below the DEEPEST Exchange — the fine aggregate's
+    shuffle, partial agg, and scan — must contain no Generate."""
+    p = plans["sliding_window"]
+    scan_side = p.rsplit("Exchange", 1)[1]
+    assert "Scan" in scan_side
+    assert "Generate" not in scan_side, "Generate must stay above the fine aggregate"

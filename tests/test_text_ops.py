@@ -65,3 +65,61 @@ def test_token_counts_agree_on_simple_text(spark):
     assert r["ws"] == 3
     # hello(2) + world(2) + 123(1) started-4-char chunks
     assert r["bpe"] == 2 + 2 + 1
+
+
+def test_space_tokens_equals_hof_filter_on_adversarial_strings(spark):
+    """space_tokens (array_remove form, round-8) must produce the exact
+    array the higher-order filter(split(text,' '), t -> t != '') it
+    replaced produced — same tokens, same order — on every empty-token
+    shape: leading/trailing/multiple spaces, all-space, empty, NULL,
+    tabs (NOT separators under a single-space split), and unicode."""
+    cases = [
+        "hello world",
+        "  leading",
+        "trailing   ",
+        "a  b   c",
+        "   ",
+        "",
+        None,
+        "tab\tseparated stays",
+        "ünï¢ödé  tøkens",
+        " x ",
+        "a",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    got = df.select(
+        T.space_tokens("text", lower=False).alias("fast"),
+        F.filter(
+            F.split("text", " "), lambda t: t != ""
+        ).alias("hof"),
+    ).collect()
+    for row, case in zip(got, cases):
+        assert row["fast"] == row["hof"], case
+
+
+def test_space_tokens_lower_matches_hof_lower(spark):
+    df = spark.createDataFrame([("A  Bb C ",), ("ÉÉ x",)], "text string")
+    got = df.select(
+        T.space_tokens("text").alias("fast"),
+        F.filter(
+            F.split(F.lower("text"), " "), lambda t: t != ""
+        ).alias("hof"),
+    ).collect()
+    for row in got:
+        assert row["fast"] == row["hof"]
+
+
+def test_tokens_ws_class_equals_hof_form(spark):
+    """operators/text.tokens (array_remove over the whitespace-class
+    split) must equal its original HOF form across boundary-empty
+    shapes."""
+    cases = ["a\tb\nc", " \t x ", "", None, "one", "\x0b sep \f"]
+    df = spark.createDataFrame([(c,) for c in cases], "text string")
+    got = df.select(
+        T.tokens(F.col("text")).alias("fast"),
+        F.filter(
+            F.split(F.lower("text"), T.TOKEN_SPLIT_RE), lambda t: t != ""
+        ).alias("hof"),
+    ).collect()
+    for row, case in zip(got, cases):
+        assert row["fast"] == row["hof"], case
