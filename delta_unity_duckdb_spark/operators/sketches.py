@@ -431,7 +431,12 @@ def hist_sketch(
         .cast("long")
     )
     return (
-        df.select(*group_cols, b.alias("bin"))
+        # NULL values have no bin: without the filter they form a NULL
+        # bin whose position in the cumulative ORDER BY bin differs per
+        # engine (Spark sorts NULL first, DuckDB last), silently shifting
+        # every quantile's rank (adversarial-values sweep, round 8)
+        df.filter(v.isNotNull())
+        .select(*group_cols, b.alias("bin"))
         .groupBy(*group_cols, "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -507,7 +512,7 @@ def hist_quantiles_sql(
                   WHEN CAST({value_expr} AS DOUBLE) >= {hi!r} THEN {bins}
                   ELSE CAST(FLOOR((CAST({value_expr} AS DOUBLE) - {lo!r})
                                   / {width!r}) AS BIGINT) END AS bin
-      FROM {table}),
+      FROM {table} WHERE {value_expr} IS NOT NULL),
     sk AS (SELECT g, bin, COUNT(*) AS cnt FROM h GROUP BY g, bin),
     c AS (
       SELECT g, bin, cnt,

@@ -68,12 +68,18 @@ def whitespace_token_count(text: Column) -> Column:
 def bpe_ish_token_count(text: Column) -> Column:
     """Subword-ish token estimate: regexp pre-tokenize, then charge one
     token per 4 characters of each word (ceiling) — a deterministic,
-    vectorized stand-in for a real BPE vocabulary."""
+    vectorized stand-in for a real BPE vocabulary. NULL text counts as
+    0 tokens — the oracle twin spells this COALESCE(list_sum(...), 0),
+    and the round-8 adversarial-values sweep caught the Spark side
+    returning NULL instead."""
     pieces = F.regexp_extract_all(F.lower(text), F.lit(BPE_ISH_RE), 0)
-    return F.aggregate(
-        pieces,
+    return F.coalesce(
+        F.aggregate(
+            pieces,
+            F.lit(0).cast("long"),
+            lambda acc, p: acc + F.ceil(F.length(p) / 4.0).cast("long"),
+        ),
         F.lit(0).cast("long"),
-        lambda acc, p: acc + F.ceil(F.length(p) / 4.0).cast("long"),
     )
 
 
@@ -134,10 +140,15 @@ def doc_fingerprint(text: Column) -> Column:
     from delta_unity_duckdb_spark.functions.hashing import hash31
 
     mod = F.lit(1 << 56)
-    return F.aggregate(
-        tokens(text),
+    return F.coalesce(
+        F.aggregate(
+            tokens(text),
+            F.lit(0).cast("long"),
+            lambda acc, t: F.pmod(acc * F.lit(31).cast("long") + hash31(t), mod),
+        ),
+        # NULL text -> the empty stream's fingerprint (0), matching the
+        # oracle's list_prepend(0, …) seed (adversarial-values sweep)
         F.lit(0).cast("long"),
-        lambda acc, t: F.pmod(acc * F.lit(31).cast("long") + hash31(t), mod),
     )
 
 

@@ -613,7 +613,8 @@ from delta_unity_duckdb_spark.functions.frames import CKPT_DESER
                range(1, len(words)),
                i -> array_to_string(list_slice(words, i, i + 1), ' '))) AS gram
       FROM (SELECT doc_id, n_chars,
-                   string_split_regex(lower(text), '{_TSRE}') AS words
+                   list_filter(string_split_regex(lower(text), '{_TSRE}'),
+                               x -> x <> '') AS words
             FROM documents)),
     counts AS (
       SELECT doc_id, n_chars, gram, COUNT(*) AS cnt
@@ -672,6 +673,12 @@ def dup_ngram_char_share(spark, sf_dir):
         for b in batches:
             ids, tgs, mcs, spms = [], [], [], []
             for did, text, nch in zip(b["doc_id"], b["text"], b["n_chars"]):
+                if text is None or (isinstance(text, float) and pd.isna(text)):
+                    # NULL text: the oracle's list ops propagate NULL and
+                    # the len(w) >= 2 filter drops the doc — mirror that
+                    # instead of crashing on None.lower() (adversarial-
+                    # values sweep, round 8)
+                    continue
                 w = [t for t in split.split(text.lower()) if t]
                 if len(w) < 2:
                     continue

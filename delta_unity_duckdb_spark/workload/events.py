@@ -673,7 +673,7 @@ def distribution_drift(spark, sf_dir):
     WITH t AS (
       SELECT event_type, value,
              NTILE(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
-      FROM events)
+      FROM events WHERE value IS NOT NULL)
     SELECT event_type, decile, COUNT(*) AS n,
            MIN(value) AS lo, MAX(value) AS hi
     FROM t GROUP BY 1, 2 ORDER BY event_type, decile
@@ -704,7 +704,13 @@ def equi_depth_histogram(spark, sf_dir):
     exceed 4 M (arbitrary-double data), where the histogram's own
     cumulative window would inherit the same serialization.
     """
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").filter(
+        # NULL values carry no rank: excluded on BOTH sides (oracle WHERE)
+        # — with them in, Spark's NULLS-FIRST vs DuckDB's NULLS-LAST
+        # window order lands them in OPPOSITE deciles and shifts every
+        # boundary (adversarial-values sweep, round 8)
+        F.col("value").isNotNull()
+    )
     # ladder probe: one scan, no shuffle (HLL partial merge); the
     # threshold is a regime choice, so ±2% estimation error is fine
     n_distinct = e.agg(
@@ -759,7 +765,9 @@ def equi_depth_histogram(spark, sf_dir):
     )
     lo = deciles.alias("d").join(
         cum.alias("h"),
-        (F.col("d.event_type") == F.col("h.event_type"))
+        # eqNullSafe: the NULL event_type GROUP is legitimate (only its
+        # VALUES were filtered) and a plain equality would drop it
+        F.col("d.event_type").eqNullSafe(F.col("h.event_type"))
         & (F.col("h.c_start") < F.col("d.r_start") + 1)
         & (F.col("d.r_start") + 1 <= F.col("h.c_end")),
     ).select(
@@ -770,7 +778,7 @@ def equi_depth_histogram(spark, sf_dir):
     )
     hi = deciles.alias("d").join(
         cum.alias("h"),
-        (F.col("d.event_type") == F.col("h.event_type"))
+        F.col("d.event_type").eqNullSafe(F.col("h.event_type"))
         & (F.col("h.c_start") < F.col("d.r_end"))
         & (F.col("d.r_end") <= F.col("h.c_end")),
     ).select(
@@ -778,8 +786,19 @@ def equi_depth_histogram(spark, sf_dir):
         "d.decile",
         F.col("h.value").alias("hi"),
     )
+    hi2 = hi.select(
+        F.col("event_type").alias("h_event_type"),
+        F.col("decile").alias("h_decile"),
+        "hi",
+    )
     return (
-        lo.join(hi, ["event_type", "decile"])
+        # eqNullSafe again: a USING-join would silently drop the NULL
+        # event_type group's rows
+        lo.join(
+            hi2,
+            F.col("event_type").eqNullSafe(F.col("h_event_type"))
+            & (F.col("decile") == F.col("h_decile")),
+        )
         .select("event_type", "decile", "n", "lo", "hi")
         .orderBy("event_type", "decile")
     )

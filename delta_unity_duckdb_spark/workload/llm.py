@@ -387,11 +387,12 @@ def similarity_topk_ivf(spark, sf_dir):
       SELECT doc_id, lang, CAST(n_chars // 100 AS INTEGER) AS band,
              list_distinct(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS ts
       FROM documents
-    )
+    ),
+    nz AS (SELECT * FROM toks WHERE len(ts) > 0)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            ROUND(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
                  / len(list_distinct(list_concat(a.ts, b.ts))), 4) AS jaccard
-    FROM toks a JOIN toks b
+    FROM nz a JOIN nz b
       ON a.lang = b.lang AND a.band = b.band AND a.doc_id < b.doc_id
     ORDER BY jaccard DESC, id_a, id_b LIMIT 100
     """,
@@ -409,6 +410,12 @@ def ngram_jaccard(spark, sf_dir):
         F.array_distinct(
             space_tokens("text")
         ).alias("ts"),
+    ).filter(
+        # zero-token docs (NULL/empty/all-space text) have no defined
+        # Jaccard (0/0) — exclude them on BOTH sides (oracle: len(ts) > 0)
+        # instead of dividing by an empty union (ANSI DIVIDE_BY_ZERO,
+        # adversarial-values sweep)
+        F.size("ts") > 0
     )
     a, b = toks.alias("a"), toks.alias("b")
     return (
@@ -623,9 +630,20 @@ def udf_pandas_grouped_agg(spark, sf_dir):
     def weighted_price(price: pd.Series, qty: pd.Series) -> float:
         import numpy as np
 
-        cents = np.rint(price.to_numpy() * 100.0).astype(np.int64)
-        q = np.rint(qty.to_numpy()).astype(np.int64)
-        return float((cents * q).sum()) / (100.0 * float(q.sum()))
+        p = price.to_numpy(dtype="float64")
+        q0 = qty.to_numpy(dtype="float64")
+        # SQL-NULL semantics, exactly as the oracle computes them: the
+        # numerator SUM skips rows where EITHER factor is NULL (NULL
+        # product), the denominator SUM skips only NULL quantities. An
+        # unmasked np.rint(NaN).astype(int64) is INT64_MIN garbage —
+        # the round-8 adversarial-values sweep measured -1.8e11 from it.
+        num_m = ~(np.isnan(p) | np.isnan(q0))
+        den_m = ~np.isnan(q0)
+        cents = np.rint(p[num_m] * 100.0).astype(np.int64)
+        q = np.rint(q0[num_m]).astype(np.int64)
+        return float((cents * q).sum()) / (
+            100.0 * float(np.rint(q0[den_m]).astype(np.int64).sum())
+        )
 
     wp = pandas_udf(weighted_price, "double")
     l = load_table(spark, sf_dir, "lineitem")
@@ -917,11 +935,11 @@ def doc_repetition(spark, sf_dir):
     oracle="""
     WITH toks AS (
       SELECT doc_id, LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '') AS w
-      FROM documents),
+      FROM documents WHERE LEN(LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '')) > 0),
     c AS (
       SELECT doc_id, CAST((s - 1) // 16 AS INTEGER) AS chunk_idx,
              LIST_SLICE(w, s, s + 31) AS ck
-      FROM toks, UNNEST(RANGE(1, GREATEST(LEN(w), 1) + 1, 16)) AS t(s))
+      FROM toks, UNNEST(RANGE(1, LEN(w) + 1, 16)) AS t(s))
     SELECT doc_id, chunk_idx,
            CAST(LEN(ck) AS INTEGER) AS n_chunk_tokens,
            ARRAY_TO_STRING(ck, ' ') AS chunk_text
@@ -946,9 +964,14 @@ def doc_chunks(spark, sf_dir):
     w = space_tokens("text")
     return (
         d.select("doc_id", w.alias("w"))
+        # zero-token docs (NULL/empty/all-space text) produce NO chunks —
+        # explicit on BOTH sides; the previous greatest(size,1) crutch
+        # emitted a phantom empty chunk where the oracle's engine emitted
+        # NULL-text/NULL-count rows (adversarial-values sweep)
+        .filter(F.size("w") > 0)
         .select(
             "doc_id",
-            F.posexplode(F.expr("sequence(1, greatest(size(w), 1), 16)")).alias(
+            F.posexplode(F.expr("sequence(1, size(w), 16)")).alias(
                 "chunk_idx", "s"
             ),
             "w",

@@ -694,7 +694,7 @@ def math_funcs(spark, sf_dir):
     SELECT doc_id,
            CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
            STRING_SPLIT(text, ' ')[1] AS first_tok,
-           LIST_CONTAINS(STRING_SPLIT(text, ' '), 'data') AS has_data
+           COALESCE(LIST_CONTAINS(STRING_SPLIT(text, ' '), 'data'), FALSE) AS has_data
     FROM documents ORDER BY doc_id LIMIT 200
     """,
 )
@@ -706,7 +706,13 @@ def array_funcs(spark, sf_dir):
             "doc_id",
             F.size(toks).cast("long").alias("n_tokens"),
             F.element_at(toks, 1).alias("first_tok"),
-            F.array_contains(toks, "data").alias("has_data"),
+            # COALESCE on BOTH sides: a NULL boolean round-trips through
+            # pandas as None (Spark) vs NaN (DuckDB) and the driver's
+            # type-sensitive hash would flag a spurious mismatch; NULL
+            # text "contains no token" is the explicit spec.
+            F.coalesce(F.array_contains(toks, "data"), F.lit(False)).alias(
+                "has_data"
+            ),
         )
         .orderBy("doc_id")
         .limit(200)
@@ -2004,7 +2010,12 @@ def window_percent_cume(spark, sf_dir):
     integer division per row, rounded identically on both engines; the
     unique (price, key) ordering removes tie ambiguity."""
     o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    # NULLS LAST explicitly: DuckDB's plain ASC defaults to NULLS LAST
+    # while Spark's defaults to NULLS FIRST — on NULL-bearing price data
+    # the two engines would rank DIFFERENT rows (adversarial-values
+    # sweep: NTH_VALUE(…, 2) picked a NULL on the Spark side).
+    price_asc = F.col("o_totalprice").asc_nulls_last()
+    w = Window.partitionBy("o_orderpriority").orderBy(price_asc, "o_orderkey")
     wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return (
         o.select(
@@ -2018,7 +2029,7 @@ def window_percent_cume(spark, sf_dir):
         # pct_rank: beyond ~2M rows/partition adjacent ranks round to the
         # same 6-decimal value and the two engines could pick different
         # rows at the LIMIT boundary.
-        .orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+        .orderBy("o_orderpriority", price_asc, "o_orderkey")
         .limit(400)
     )
 

@@ -489,11 +489,10 @@ def stream_incremental_dedup(spark, sf_dir):
     single stateful aggregation, drained with Trigger.AvailableNow.
     Exactly-once verdicts via the checkpointed sink; oracle = the batch
     twin's SQL (streaming and batch MUST agree on complete input).
-    One documented divergence: a doc with ZERO shingles (empty text)
-    yields no bucket rows here, so it is absent from the verdict, while
-    the batch form reports it with dup_of NULL — such a doc cannot be a
-    duplicate either way, and the fixtures contain none (asserted in
-    tests)."""
+    Zero-shingle docs (NULL/empty text) get their verdict row through a
+    sentinel union (band -1, no index match -> dup_of NULL), so the
+    streaming and batch verdict tables agree even on degenerate text —
+    round 8 closed what was previously a documented divergence."""
     import os
 
     from delta_unity_duckdb_spark.sources.tables import load_table
@@ -523,6 +522,19 @@ def stream_incremental_dedup(spark, sf_dir):
     bi = _D.minhash_band_buckets_map(
         inc, "doc_id", "text", num_perm=32, bands=8
     ).withColumnRenamed("id", "new_id")
+    # Zero-shingle docs (NULL/empty text) produce no bucket rows from the
+    # narrow map, so they would be ABSENT from the verdict where the
+    # batch twin reports them with dup_of NULL (the round-8 adversarial-
+    # values sweep hit exactly this, previously a documented divergence).
+    # A per-doc sentinel row (band -1 matches no index bucket) guarantees
+    # every increment doc a verdict; F.min skips its NULL candidate, so
+    # docs with real buckets are unchanged.
+    sentinel = inc.select(
+        F.col("doc_id").alias("new_id"),
+        F.lit(-1).cast("int").alias("band"),
+        F.lit(None).cast("long").alias("bucket"),
+    )
+    bi = bi.unionByName(sentinel)
     cand = bi.join(F.broadcast(idx), ["band", "bucket"], "left")
     verdict = (
         cand.groupBy("new_id")
