@@ -26,7 +26,7 @@ from delta_unity_duckdb_spark.functions.frames import CKPT_DESER
            event_type,
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
 )
 def tumbling_window(spark, sf_dir):
@@ -64,10 +64,10 @@ def tumbling_window(spark, sf_dir):
     oracle="""
     WITH phased AS (
       SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS window_start, value
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       UNION ALL
       SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP), INTERVAL '5 minutes') AS window_start, value
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT window_start, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
@@ -134,7 +134,7 @@ def sliding_window(spark, sf_dir):
                        >= INTERVAL '5 minutes'
                   OR LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
              THEN 1 ELSE 0 END AS is_new
-      FROM events),
+      FROM events WHERE ts IS NOT NULL),
     sessions AS (
       SELECT user_id, ts, value,
              SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
@@ -169,7 +169,7 @@ def session_window(spark, sf_dir):
     SELECT event_type, next_type, COUNT(*) AS n FROM (
       SELECT event_type,
              LEAD(event_type) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
-      FROM events) t
+      FROM events WHERE ts IS NOT NULL) t
     WHERE next_type IS NOT NULL
     GROUP BY event_type, next_type
     """,
@@ -177,7 +177,11 @@ def session_window(spark, sf_dir):
 def event_funnel(spark, sf_dir):
     """Event-transition matrix (funnel analysis): lead() per user, then a
     pair count — one keyed shuffle for the window, partial agg after."""
-    e = load_table(spark, sf_dir, "events")
+    # NULL-ts events have no position in a user's event sequence —
+    # excluded on BOTH sides (oracle WHERE ts IS NOT NULL); without the
+    # filter Spark orders NULL first and DuckDB last (adversarial-ts
+    # sweep, round 8)
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
         e.select("event_type", F.lead("event_type").over(w).alias("next_type"))
@@ -197,8 +201,8 @@ def event_funnel(spark, sf_dir):
            p.value,
            v.event_id AS view_event_id,
            CAST(v.ts AS TIMESTAMP) AS view_ts
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+    FROM (SELECT * FROM events WHERE event_type = 'purchase' AND ts IS NOT NULL) p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view' AND ts IS NOT NULL) v
       ON p.user_id = v.user_id AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
     """,
 )
@@ -209,7 +213,8 @@ def asof_join_events(spark, sf_dir):
     DuckDB's native ASOF LEFT JOIN."""
     from delta_unity_duckdb_spark.operators.asof import asof_join
 
-    e = load_table(spark, sf_dir, "events")
+    # NULL-ts rows excluded on both sides (no as-of position)
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     p = e.filter(F.col("event_type") == "purchase").select(
         "user_id", "ts", "event_id", "value"
     )
@@ -233,7 +238,7 @@ def asof_join_events(spark, sf_dir):
            time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS bucket_5m,
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-    FROM events
+    FROM events WHERE ts IS NOT NULL
     GROUP BY GROUPING SETS ((1), (1, 2), (1, 2, 3))
     """,
 )
@@ -405,7 +410,7 @@ def timeseries_gapfill(spark, sf_dir):
     WITH c AS (
       SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
              CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
-      FROM events),
+      FROM events WHERE ts IS NOT NULL),
     l AS (
       SELECT user_id, event_id, ts,
              ROW_NUMBER() OVER w AS rn,
@@ -436,7 +441,8 @@ def ewma_trailing(spark, sf_dir):
     Emitted only once the window is full (rn >= 8), matching a
     steady-state smoother.
     """
-    e = load_table(spark, sf_dir, "events")
+    # NULL-ts rows have no sequence position — excluded on both sides
+    e = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     c = e.select(
         "user_id",
         "event_id",

@@ -484,13 +484,15 @@ def window_rank(spark, sf_dir):
            CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DECIMAL(38,6)) AS rolling_sum
-    FROM events ORDER BY event_id LIMIT 1000
+    FROM events WHERE ts IS NOT NULL ORDER BY event_id LIMIT 1000
     """,
 )
 def window_frame_sum(spark, sf_dir):
     """Sliding-frame sum in DECIMAL: engines may reassociate frame sums
     (segment trees), so exact arithmetic is required for reproducibility."""
-    e = _t(spark, sf_dir, "events")
+    # NULL-ts rows excluded on both sides: no sequence position
+    # (adversarial-ts sweep — Spark orders NULL first, DuckDB last)
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
@@ -513,11 +515,11 @@ def window_frame_sum(spark, sf_dir):
     SELECT event_id,
            LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
            LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
-    FROM events ORDER BY event_id LIMIT 1000
+    FROM events WHERE ts IS NOT NULL ORDER BY event_id LIMIT 1000
     """,
 )
 def window_lag_lead(spark, sf_dir):
-    e = _t(spark, sf_dir, "events")
+    e = _t(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return (
         e.select(

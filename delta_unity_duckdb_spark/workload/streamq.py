@@ -43,7 +43,7 @@ from delta_unity_duckdb_spark.workload.registry import query
            event_type,
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_value
-    FROM events GROUP BY 1, 2
+    FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     """,
 )
 def stream_tumbling_window(spark, sf_dir):
@@ -78,7 +78,7 @@ def stream_tumbling_window(spark, sf_dir):
                        >= INTERVAL '5 minutes'
                   OR LAG(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) IS NULL
              THEN 1 ELSE 0 END AS is_new
-      FROM events),
+      FROM events WHERE ts IS NOT NULL),
     sessions AS (
       SELECT user_id, ts, value,
              SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
@@ -143,10 +143,10 @@ def stream_stateful_totals(spark, sf_dir):
     oracle="""
     WITH phased AS (
       SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS window_start, value
-      FROM events
+      FROM events WHERE ts IS NOT NULL
       UNION ALL
       SELECT time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP), INTERVAL '5 minutes') AS window_start, value
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT window_start, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_value
@@ -335,6 +335,7 @@ def stream_scd2_sync(spark, sf_dir):
            COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_value
     FROM events JOIN customer ON user_id = c_custkey
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -372,7 +373,7 @@ def stream_static_join(spark, sf_dir):
 @query(
     "stream_hll_distinct",
     oracle=hll_sql(
-        "events",
+        "(SELECT * FROM events WHERE ts IS NOT NULL)",
         "time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP))",
         "user_id",
         6,

@@ -13,7 +13,10 @@ not — operators/text.py WS). Mutations are md5-deterministic per id:
   documents: 8% text -> NULL, 4% text -> '', 4% text -> whitespace-
     pathological rewrite (leading/trailing/run spaces + tab/VT/FF
     injections), 2% lang -> NULL, 3% source -> NULL
-  events: 4% value -> NULL, 2% event_type -> NULL, 2% props -> NULL
+  events: 4% value -> NULL, 2% event_type -> NULL, 2% props -> NULL,
+    2% ts -> NULL (an event with no timestamp: time_bucket/F.window
+    divergence class — Spark's window expression silently FILTERS
+    NULL-ts rows while DuckDB's time_bucket(NULL) forms a NULL group)
   orders: 2% o_totalprice -> NULL
   lineitem: 2% l_extendedprice -> NULL   (l_quantity stays non-NULL:
     fx bounds treat NULL as skip on both engines, but the +0.5d recipe
@@ -75,7 +78,9 @@ def main() -> None:
     he = h("event_id", "ev")
     con.execute(f"""
         COPY (
-          SELECT event_id, ts, user_id,
+          SELECT event_id,
+                 CASE WHEN {h("event_id", "ts")} < 2 THEN NULL ELSE ts END AS ts,
+                 user_id,
                  CASE WHEN {h("event_id", "et")} < 2 THEN NULL ELSE event_type END AS event_type,
                  CASE WHEN {he} < 4 THEN NULL ELSE value END AS value,
                  CASE WHEN {h("event_id", "pr")} < 2 THEN NULL ELSE props END AS props
