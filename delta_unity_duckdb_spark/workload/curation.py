@@ -40,7 +40,11 @@ def _kmeans_assignments(spark, sf_dir):
     key = (spark.sparkContext.applicationId, sf_dir, _K, _ITERS)
     a = _FIT_CACHE.get(key)
     if a is None:
-        e = load_table(spark, sf_dir, "embeddings")
+        # vector operators consider only rows WITH a vector — mirrored
+        # (oracle: kmeans_sql over the embedding IS NOT NULL subquery)
+        e = load_table(spark, sf_dir, "embeddings").filter(
+            F.col("embedding").isNotNull()
+        )
         a = C.kmeans_fixed_point_literal(
             e, k=_K, iters=_ITERS
         ).localCheckpoint(eager=True, storageLevel=CKPT_DESER)
@@ -79,7 +83,7 @@ def _blocked_assignments(spark, sf_dir):
     SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vectors,
            CAST(MIN(vid) AS BIGINT) AS min_vec_id,
            CAST(SUM(dist) AS BIGINT) AS wss
-    FROM ({C.kmeans_sql(k=_K, iters=_ITERS)})
+    FROM ({C.kmeans_sql(table="(SELECT * FROM embeddings WHERE embedding IS NOT NULL)", k=_K, iters=_ITERS)})
     GROUP BY cid ORDER BY cid
     """,
 )
@@ -109,7 +113,7 @@ _MAX_BLOCK = 1024
     "semantic_dedup_blocks",
     oracle=f"""
     WITH assign AS (
-      SELECT vid, cid FROM ({C.kmeans_sql(k=_K, iters=_ITERS)})
+      SELECT vid, cid FROM ({C.kmeans_sql(table="(SELECT * FROM embeddings WHERE embedding IS NOT NULL)", k=_K, iters=_ITERS)})
     ),
     sizes AS (
       SELECT cid, COUNT(*) AS sz FROM assign GROUP BY cid),
@@ -199,7 +203,7 @@ def semantic_dedup_blocks(spark, sf_dir):
     "cluster_balanced_sample",
     oracle=f"""
     WITH assign AS (
-      SELECT vid, cid FROM ({C.kmeans_sql(k=_K, iters=_ITERS)})
+      SELECT vid, cid FROM ({C.kmeans_sql(table="(SELECT * FROM embeddings WHERE embedding IS NOT NULL)", k=_K, iters=_ITERS)})
     ),
     ranked AS (
       SELECT vid, cid,

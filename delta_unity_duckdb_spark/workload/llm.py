@@ -580,11 +580,11 @@ def token_counts_bpe(spark, sf_dir):
                / (SQRT(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
                   * SQRT(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
                4) AS cosine_sim
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) a JOIN (SELECT * FROM embeddings WHERE embedding IS NOT NULL) b ON a.vec_id < b.vec_id
     ),
     drops AS (SELECT DISTINCT id_b FROM sims WHERE cosine_sim >= 0.42)
     SELECT e.vec_id, e.label
-    FROM embeddings e LEFT JOIN drops d ON e.vec_id = d.id_b
+    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL) e LEFT JOIN drops d ON e.vec_id = d.id_b
     WHERE d.id_b IS NULL
     ORDER BY e.vec_id
     """,
@@ -596,7 +596,10 @@ def embedding_dedup_cosine(spark, sf_dir):
     dups, max pairwise cosine ~0.51). Exact all-pairs here for the oracle;
     at scale the same operator takes LSH candidates (``cosine_pairs_lsh``)
     instead of the quadratic join — see dedup.dedup_embedding_cosine."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        # vector ops consider only rows WITH a vector (mirrored in the oracle)
+        F.col("embedding").isNotNull()
+    )
     return (
         D.dedup_embedding_cosine(e, "vec_id", "embedding", 0.42)
         .select("vec_id", "label")
@@ -656,8 +659,10 @@ def udf_pandas_grouped_agg(spark, sf_dir):
 @query(
     "knn_join",
     oracle="""
-    WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
-         c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+               WHERE vec_id < 5 AND embedding IS NOT NULL),
+         c AS (SELECT vec_id, embedding FROM embeddings
+               WHERE vec_id >= 5 AND embedding IS NOT NULL),
          sims AS (
            SELECT q.qid, c.vec_id,
                   ROUND(
@@ -678,7 +683,10 @@ def knn_join_q(spark, sf_dir):
     """Batch k-NN: top-3 neighbors for each of 5 query vectors in one scan
     of the candidate side (E3 batch form — the shape of embedding-based
     retrieval/labeling jobs). Broadcast queries, window-ranked per qid."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        # vector ops consider only rows WITH a vector (mirrored in the oracle)
+        F.col("embedding").isNotNull()
+    )
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
@@ -2130,7 +2138,7 @@ def embedding_dim_stats(spark, sf_dir):
              UNNEST(list_transform(embedding,
                v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000 + 0.5) AS BIGINT)))
                AS fp
-      FROM embeddings),
+      FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL)),
     agg AS (
       SELECT dim, CAST(SUM(fp) AS DOUBLE) / COUNT(*) / 1000000 AS mu
       FROM ex GROUP BY dim),
@@ -2139,7 +2147,7 @@ def embedding_dim_stats(spark, sf_dir):
            ROUND(list_sum(list_transform(
              list_zip(list_transform(embedding, v -> CAST(v AS DOUBLE)), mu),
              p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS sq_dist
-    FROM embeddings, mus
+    FROM (SELECT * FROM embeddings WHERE embedding IS NOT NULL), mus
     ORDER BY sq_dist DESC, vec_id LIMIT 50
     """,
 )
@@ -2159,7 +2167,10 @@ def embedding_centroid_outliers(spark, sf_dir):
     of the 64-double centroid into a narrow map + TakeOrdered(50) — two
     passes over the corpus, no self-join, no wide shuffle.
     """
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        # vector ops consider only rows WITH a vector (mirrored in the oracle)
+        F.col("embedding").isNotNull()
+    )
     ex = e.select(
         F.posexplode(
             F.transform(
@@ -2206,7 +2217,7 @@ def embedding_centroid_outliers(spark, sf_dir):
 from delta_unity_duckdb_spark.operators import pca as P  # noqa: E402
 
 
-@query("pca_top_component", oracle=P.pca_power_sql("embeddings", "embedding", iters=24))
+@query("pca_top_component", oracle=P.pca_power_sql("(SELECT * FROM embeddings WHERE embedding IS NOT NULL)", "embedding", iters=24))
 def pca_top_component(spark, sf_dir):
     """Top principal component of the embedding corpus (operators/pca.py):
     Arrow-batched EXACT integer Gram partials via mapInPandas -> one
@@ -2214,7 +2225,10 @@ def pca_top_component(spark, sf_dir):
     The oracle replays the identical iteration in HUGEINT CTEs, so the
     loadings hash-match bit-for-bit — a fully-verified distributed
     eigensolve."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        # vector ops consider only rows WITH a vector (mirrored in the oracle)
+        F.col("embedding").isNotNull()
+    )
     return P.pca_top_component(e, spark, "embedding", iters=24)
 
 
@@ -2280,7 +2294,7 @@ def ann_recall_eval(spark, sf_dir):
 @query(
     "pca_projection_scores",
     oracle=f"""
-    WITH scored AS ({P.pca_projection_sql('embeddings', 'embedding', 'vec_id', iters=24)})
+    WITH scored AS ({P.pca_projection_sql('(SELECT * FROM embeddings WHERE embedding IS NOT NULL)', 'embedding', 'vec_id', iters=24)})
     SELECT vec_id, score FROM scored
     ORDER BY ABS(score) DESC, vec_id LIMIT 100
     """,
@@ -2292,7 +2306,10 @@ def pca_projection_scores(spark, sf_dir):
     fit (fixed-point power iteration) and the apply (exact integer dot)
     are engine-exact, so the entire learned-transform application is
     value-verified."""
-    e = load_table(spark, sf_dir, "embeddings")
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        # vector ops consider only rows WITH a vector (mirrored in the oracle)
+        F.col("embedding").isNotNull()
+    )
     scores = P.pca_projection_scores(e, spark, "embedding", "vec_id", iters=24)
     return scores.orderBy(F.abs(F.col("score")).desc(), "vec_id").limit(100)
 

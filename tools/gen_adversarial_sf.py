@@ -18,6 +18,8 @@ not — operators/text.py WS). Mutations are md5-deterministic per id:
     divergence class — Spark's window expression silently FILTERS
     NULL-ts rows while DuckDB's time_bucket(NULL) forms a NULL group)
   orders: 2% o_totalprice -> NULL
+  embeddings: 2% embedding -> NULL (a row with no vector: every vector
+    operator must consider only rows WITH a vector, mirrored)
   lineitem: 2% l_extendedprice -> NULL   (l_quantity stays non-NULL:
     fx bounds treat NULL as skip on both engines, but the +0.5d recipe
     domain contract is per-row non-null by TPC-H)
@@ -104,8 +106,17 @@ def main() -> None:
           FROM read_parquet('{src}/lineitem.parquet')
         ) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)
     """)
+    con.execute(f"""
+        COPY (
+          SELECT vec_id,
+                 CASE WHEN {h("vec_id", "em")} < 2 THEN NULL ELSE embedding
+                 END AS embedding,
+                 * EXCLUDE (vec_id, embedding)
+          FROM read_parquet('{src}/embeddings.parquet')
+        ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)
+    """)
     for t in ALL_TABLES:
-        if t in ("documents", "events", "orders", "lineitem"):
+        if t in ("documents", "events", "orders", "lineitem", "embeddings"):
             continue
         link = os.path.join(dst, f"{t}.parquet")
         if not os.path.exists(link):
