@@ -170,20 +170,95 @@ def one_hop(
 
 
 def descendants(
-    edges: DataFrame, roots: DataFrame, max_depth: int = 10
+    edges: DataFrame,
+    roots: DataFrame,
+    max_depth: int = 10,
+    probe_every: int = 4,
+    small_graph_edges: int | None = None,
 ) -> DataFrame:
     """Multi-hop reachability via iterative join (SURVEY.md §7.5): Spark has
     no recursive CTE, so BFS iterates ``frontier ⋈ edges`` until empty or
     ``max_depth``. Returns (root, node, depth). ``roots`` must have column
     ``id``.
 
-    Each frontier is ``localCheckpoint``-ed: without lineage truncation the
-    final plan re-derives every frontier from scratch (O(depth²) joins) and
-    a deep walk is unrunnable at any scale. The checkpoint also lets the
-    emptiness probe reuse the materialized frontier."""
+    Each materialization is ``localCheckpoint``-ed: without lineage
+    truncation the final plan re-derives every frontier from scratch
+    (O(depth²) joins) and a deep walk is unrunnable at any scale.
+
+    Driver-action economics (the round-8 blind re-bench finding): the
+    naive loop issues TWO driver actions per level — an eager checkpoint
+    plus an ``isEmpty`` probe — so a 40-hop walk is ~80 *sequential*
+    scheduling-floor jobs, 6.7 s of pure floor at sf0.1 where the oracle
+    (DuckDB WITH RECURSIVE) runs in 0.5 s. The loop is depth-proportional
+    regardless of data size, so the constant is cut in two regimes keyed
+    on the edge count (the same adaptive posture as the other
+    ``SMALL_GRAPH_EDGES`` fast paths, and the same class of decision as
+    AQE's broadcast threshold):
+
+    - **floor regime** (edges ≤ ``small_graph_edges``): collect the edge
+      list and roots and run the BFS in driver-side dict hops — one
+      ``collect`` each plus one ``createDataFrame`` back, ~3 jobs total
+      regardless of depth. Multiplicity semantics are preserved exactly
+      (every path emits, as UNION ALL recursion does). A lazy-batched
+      distributed variant (k levels per checkpoint, probed once per
+      block) was built and measured first and LOST — 7.9 s vs the naive
+      loop's 6.7 s at sf0.1 — because the block union re-derives level i
+      as i serial joins inside one task; the driver hop walk runs the
+      same fixture in well under a second. Output size equals the
+      answer's size, which the distributed path would also materialize.
+    - **scale regime** (bigger graphs): per-level checkpoint — the eager
+      checkpoint IS the materializing job, one action per level — with
+      the emptiness probe run only every ``probe_every`` levels against
+      already-materialized partitions. Join work stays linear in depth;
+      an overshoot past the true fixpoint costs at most
+      ``probe_every − 1`` cheap empty-frontier jobs, against ``depth``
+      probe jobs saved."""
     from functools import reduce
 
+    if small_graph_edges is None:
+        small_graph_edges = SMALL_GRAPH_EDGES
     edges = edges.select("src", "dst").persist()
+    n_edges = edges.count()  # materializes the persist; picks the regime
+
+    if n_edges <= small_graph_edges:
+        import pandas as pd
+
+        from pyspark.sql import types as T
+
+        spark = edges.sparkSession
+        try:  # Arrow both ways: collect and createDataFrame are the cost here
+            spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+        except Exception:
+            pass
+        # index the successor map ONCE; each level is a vectorized join
+        # against it (non-unique index duplicates rows — every path
+        # emits, as UNION ALL recursion does)
+        e_idx = edges.toPandas().set_index("src")
+        cur = roots.select("id").toPandas().rename(columns={"id": "root"})
+        cur["node"] = cur["root"]
+        levels = [cur.assign(depth=0)]
+        depth = 0
+        while len(cur) and depth < max_depth:
+            depth += 1
+            cur = (
+                cur.join(e_idx, on="node", how="inner")
+                .loc[:, ["root", "dst"]]
+                .rename(columns={"dst": "node"})
+                .reset_index(drop=True)
+            )
+            if len(cur):
+                levels.append(cur.assign(depth=depth))
+        out = pd.concat(levels, ignore_index=True)
+        out["depth"] = out["depth"].astype("int32")
+        schema = T.StructType(
+            [
+                T.StructField("root", roots.schema["id"].dataType, True),
+                T.StructField("node", edges.schema["dst"].dataType, True),
+                T.StructField("depth", T.IntegerType(), False),
+            ]
+        )
+        return spark.createDataFrame(out, schema)
+
     frontier = roots.select(
         F.col("id").alias("root"), F.col("id").alias("node")
     ).localCheckpoint(eager=True, storageLevel=CKPT_DESER)
@@ -194,9 +269,9 @@ def descendants(
             .select("root", F.col("dst").alias("node"))
             .localCheckpoint(eager=True, storageLevel=CKPT_DESER)
         )
-        if frontier.isEmpty():
-            break
         levels.append(frontier.withColumn("depth", F.lit(depth)))
+        if depth % probe_every == 0 and frontier.isEmpty():
+            break
     return reduce(lambda a, b: a.unionByName(b), levels)
 
 

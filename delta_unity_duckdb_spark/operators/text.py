@@ -55,7 +55,10 @@ def space_tokens(text: Column | str, lower: bool = True) -> Column:
     ``lower=False`` skips the per-char lowercasing for consumers that
     only take ``size()`` — token COUNT is case-invariant, so dropping
     ``lower`` keeps value-identity while saving a full string rewrite
-    per document."""
+    per document. INVARIANT: the token VALUES returned under
+    ``lower=False`` differ from every lowercasing oracle's tokens —
+    never compare them by value against an oracle that spells
+    ``lower()``; size-only consumption is the only sanctioned use."""
     col = F.col(text) if isinstance(text, str) else text
     base = F.lower(col) if lower else col
     return F.array_remove(F.split(base, " "), "")

@@ -642,11 +642,14 @@ def udf_pandas_grouped_agg(spark, sf_dir):
         # the round-8 adversarial-values sweep measured -1.8e11 from it.
         num_m = ~(np.isnan(p) | np.isnan(q0))
         den_m = ~np.isnan(q0)
+        den = float(np.rint(q0[den_m]).astype(np.int64).sum())
+        # SUM over an all-NULL (or zero-weight) group divides by 0 in
+        # SQL and yields NULL, not a ZeroDivisionError.
+        if den == 0.0:
+            return None
         cents = np.rint(p[num_m] * 100.0).astype(np.int64)
         q = np.rint(q0[num_m]).astype(np.int64)
-        return float((cents * q).sum()) / (
-            100.0 * float(np.rint(q0[den_m]).astype(np.int64).sum())
-        )
+        return float((cents * q).sum()) / (100.0 * den)
 
     wp = pandas_udf(weighted_price, "double")
     l = load_table(spark, sf_dir, "lineitem")

@@ -595,7 +595,39 @@ def test_tokenize_family_has_no_interpreted_lambdas(plans):
         assert "array_remove" in p, name
     # nowhere in the registry does a filter-lambda tokenize survive
     for name, p in plans.items():
-        assert "lambdafunction((not (namedlambdavariable() = )" not in p.lower(), name
+        assert not HOF_FILTER_NEEDLE.search(p.lower()), name
+
+
+# Matches this Spark's printer for a filter(..., t -> t != '') lambda:
+#   lambdafunction(not (lambda x_1#2 = ), ...)
+# (round-8 note: an earlier exact-literal needle used the
+# namedlambdavariable() spelling, which THIS printer never emits — the
+# registry sweep was vacuously green; the control test below keeps it real.)
+HOF_FILTER_NEEDLE = __import__("re").compile(
+    r"lambdafunction\(\(?not \((?:lambda )?[a-z0-9_#]+\(?\)? = \)"
+)
+
+
+def test_hof_filter_needle_matches_real_plans(spark):
+    """Self-test the needle: the registry-wide 'no filter-lambda tokenize'
+    assertion above greps plans for Spark's plan-printer rendering of an
+    HOF not-equals filter. If a Spark upgrade reformats HOF filters, that
+    grep would go vacuously true — so build a control plan that IS the
+    banned shape (filter(split(lower(txt),' '), t -> t != '')) and require
+    the needle to hit it. A printer change fails HERE, loudly."""
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([("a b  c",)], "txt string").select(
+        F.filter(
+            F.split(F.lower("txt"), " "), lambda t: t != F.lit("")
+        ).alias("toks")
+    )
+    control = plan_of(df).lower()
+    assert "lambdafunction" in control
+    assert HOF_FILTER_NEEDLE.search(control), (
+        "plan printer changed; update HOF_FILTER_NEEDLE so the registry "
+        "sweep keeps teeth: " + control
+    )
 
 
 def test_sliding_window_preaggregates_fine_grain(plans):
