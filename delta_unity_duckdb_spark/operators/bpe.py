@@ -40,6 +40,61 @@ from delta_unity_duckdb_spark.functions.frames import CKPT_DESER
 
 MERGE_SCHEMA = "step bigint, lhs string, rhs string, merged string, pair_count bigint"
 
+# Driver-regime bound (same class of decision as graph.SMALL_GRAPH_EDGES
+# and AQE's broadcast threshold): the merge loop's state is the CAPPED
+# word-frequency table — vocab_cap rows by construction, a model-sized
+# artifact independent of corpus size — so when the cap itself is at or
+# below this bound the rounds run driver-side over the collected table.
+# The round-9 measurement that motivates it: each distributed round costs
+# two sequential driver actions (argmax collect + rewrite checkpoint) of
+# pure scheduling floor, ~2.1 s for 6 rounds over a table whose arithmetic
+# takes milliseconds (blind re-bench: 4.89x over the DuckDB oracle). The
+# corpus-scale stage (word_frequencies' keyed shuffle) stays distributed
+# in BOTH regimes.
+BPE_DRIVER_MAX_VOCAB = 200_000
+
+
+def _merge_rounds_driver(
+    words: list[str], cnts: list[int], iters: int
+) -> tuple[list[tuple[int, str, str, str, int]], list[list[str]]]:
+    """The merge rounds on the collected (word, cnt) table: per round, a
+    weighted adjacent-pair census, the (count DESC, lhs, rhs) argmax, and
+    the greedy left-to-right non-overlapping rewrite — exactly the
+    semantics of the distributed loop (``_adjacent_pairs`` census +
+    ``merge_pair`` fold), which tests assert stays value-identical.
+    Returns (merge records, final symbol state)."""
+    syms = [list(w) for w in words]
+    records: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, iters + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for s, c in zip(syms, cnts):
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + c
+        if not counts:
+            break
+        (lhs, rhs), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        records.append((step, lhs, rhs, lhs + rhs, int(cnt)))
+        merged = lhs + rhs
+        for idx, s in enumerate(syms):
+            out: list[str] = []
+            for x in s:
+                if out and out[-1] == lhs and x == rhs:
+                    out[-1] = merged
+                else:
+                    out.append(x)
+            syms[idx] = out
+    return records, syms
+
+
+def _collect_word_frequencies(
+    df: DataFrame, text_col: str, vocab_cap: int
+) -> tuple[list[str], list[int]]:
+    """One TakeOrdered job: the capped (word, cnt) table to the driver."""
+    pdf = word_frequencies(df, text_col, vocab_cap).toPandas()
+    return pdf["word"].tolist(), [int(c) for c in pdf["cnt"]]
+
 
 def _char_syms(word: Column) -> Column:
     """word → array of single-character symbols (ASCII by construction:
@@ -104,8 +159,18 @@ def bpe_merge_table(
 ) -> DataFrame:
     """Learn ``iters`` BPE merges from the corpus; returns the ordered
     merge table (step, lhs, rhs, merged, pair_count). Stops early when no
-    adjacent pair remains (every word fully merged)."""
+    adjacent pair remains (every word fully merged).
+
+    Two regimes keyed on ``vocab_cap`` (known without a probe job):
+    at or below ``BPE_DRIVER_MAX_VOCAB`` the capped table is collected
+    once and the rounds run driver-side (~1 Spark job total instead of
+    2 sequential jobs per round); above it, the original distributed
+    per-round loop."""
     spark = df.sparkSession
+    if vocab_cap <= BPE_DRIVER_MAX_VOCAB:
+        words, cnts = _collect_word_frequencies(df, text_col, vocab_cap)
+        records, _ = _merge_rounds_driver(words, cnts, iters)
+        return spark.createDataFrame(records, MERGE_SCHEMA)
     state = (
         word_frequencies(df, text_col, vocab_cap)
         .select("word", "cnt", _char_syms(F.col("word")).alias("syms"))
@@ -143,8 +208,29 @@ def bpe_encode_stats(
     from the FINAL symbol state of the (word, cnt) table alone — no
     second pass over the corpus: tokens = Σ cnt·len(syms), chars =
     Σ cnt·len(word). One row: words/chars/tokens + exact tokens-per-kchar
-    ppm (integer DIV — no float division crosses the engine boundary)."""
+    ppm (integer DIV — no float division crosses the engine boundary).
+
+    Same two regimes as ``bpe_merge_table``; the driver path computes the
+    final-state aggregate in exact Python ints (all operands non-negative,
+    so Python ``//`` ≡ Spark ``DIV`` ≡ DuckDB ``//``), with the SQL
+    SUM-over-empty NULL contract preserved for an empty capped vocab."""
     spark = df.sparkSession
+    if vocab_cap <= BPE_DRIVER_MAX_VOCAB:
+        words, cnts = _collect_word_frequencies(df, text_col, vocab_cap)
+        _, syms = _merge_rounds_driver(words, cnts, iters)
+        stats_schema = (
+            "n_words bigint, n_chars bigint, n_tokens bigint,"
+            " tokens_per_char_ppm bigint"
+        )
+        if not words:
+            return spark.createDataFrame([(None, None, None, None)], stats_schema)
+        n_words = sum(cnts)
+        n_chars = sum(c * len(w) for w, c in zip(words, cnts))
+        n_tokens = sum(c * len(s) for s, c in zip(syms, cnts))
+        return spark.createDataFrame(
+            [(n_words, n_chars, n_tokens, (n_tokens * 1_000_000) // n_chars)],
+            stats_schema,
+        )
     state = (
         word_frequencies(df, text_col, vocab_cap)
         .select("word", "cnt", _char_syms(F.col("word")).alias("syms"))

@@ -616,6 +616,96 @@ def embedding_cosine_pairs(
     )
 
 
+# Driver-tile regime bound for the EXACT all-pairs cosine path (same
+# decision class as graph.SMALL_GRAPH_EDGES): 100k vectors × 64 dims ×
+# 8 B ≈ 51 MB — broadcast-threshold order. Above it the exact form is the
+# caller's contract (quadratic by construction) and stays distributed.
+EMB_DRIVER_MAX_VECTORS = 100_000
+
+# Candidate margin for the tile kernel: BLAS dot products differ from the
+# sequential-fold expression by ≤ ~1e-12 relative, and the downstream
+# ROUND(sim, 4) ≥ threshold test needs 5e-5 of slack around the boundary;
+# 1e-3 dominates both by orders of magnitude, so the candidate set is a
+# strict superset of every pair the exact expression can accept.
+_EMB_CAND_MARGIN = 1e-3
+
+
+def _cosine_candidates_driver(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame | None:
+    """Candidate (id_a < id_b) pairs with BLAS-approximate cosine ≥
+    threshold − margin, computed driver-side over the collected vectors
+    (guide §8 shape: decide with a lightweight proxy, then verify with
+    the exact engine expression so the VALUES are still produced by the
+    same code path the oracle mirrors). Returns None when the input
+    exceeds the driver regime or is ragged/NULL-poisoned — the caller
+    falls back to the distributed quadratic join unchanged.
+
+    Why: the JVM expression form evaluates the 64-term fold per pair —
+    measured >120 s on 8k vectors at sf0.1 (round-9 full-registry sweep,
+    DuckDB oracle 6.2 s) — while a blocked matmul over the same pairs is
+    sub-second. False candidates only cost the verify join a few rows;
+    false NEGATIVES cannot occur by the margin argument above.
+    """
+    import numpy as np
+
+    probe = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .limit(EMB_DRIVER_MAX_VECTORS + 1)
+        .toPandas()
+    )
+    if len(probe) > EMB_DRIVER_MAX_VECTORS:
+        return None
+    spark = df.sparkSession
+    id_type = df.schema[id_col].dataType
+    from pyspark.sql import types as T
+
+    cand_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type, True),
+            T.StructField("id_b", id_type, True),
+        ]
+    )
+    probe = probe[probe["v"].notna()]
+    if len(probe) < 2:
+        return spark.createDataFrame([], cand_schema)
+    try:
+        # None elements inside a vector become NaN (dtype=float), which
+        # propagates to NaN similarity — never a candidate, matching the
+        # expression's NULL-element → NULL → filtered semantics. Ragged
+        # dims raise here → distributed fallback.
+        x = np.array([np.asarray(v, dtype=np.float64) for v in probe["v"]])
+        if x.ndim != 2:
+            return None
+    except (ValueError, TypeError):
+        return None
+    ids = probe["id"].to_numpy()
+    with np.errstate(divide="ignore", invalid="ignore"):
+        norms = np.sqrt((x * x).sum(axis=1))
+        cut = threshold - _EMB_CAND_MARGIN
+        pairs_a, pairs_b = [], []
+        step = 2048
+        n = len(ids)
+        for i0 in range(0, n, step):
+            xi = x[i0 : i0 + step]
+            ni = norms[i0 : i0 + step]
+            for j0 in range(i0, n, step):
+                sim = (xi @ x[j0 : j0 + step].T) / np.outer(
+                    ni, norms[j0 : j0 + step]
+                )
+                ii, jj = np.where(sim >= cut)
+                gi, gj = ii + i0, jj + j0
+                keep = gi < gj
+                pairs_a.append(gi[keep])
+                pairs_b.append(gj[keep])
+    ga = np.concatenate(pairs_a) if pairs_a else np.array([], dtype=int)
+    gb = np.concatenate(pairs_b) if pairs_b else np.array([], dtype=int)
+    import pandas as pd
+
+    out = pd.DataFrame({"id_a": ids[ga], "id_b": ids[gb]})
+    return spark.createDataFrame(out, cand_schema)
+
+
 def dedup_embedding_cosine(
     df: DataFrame,
     id_col: str,
@@ -635,6 +725,12 @@ def dedup_embedding_cosine(
     LSH); when given, only those pairs are similarity-checked — the 100 TB
     path. When None, exact all-pairs (small inputs / oracle checks only).
     """
+    if candidates is None:
+        # Small-input regime: generate candidates driver-side (blocked
+        # matmul, strict superset by margin) and verify below with the
+        # SAME exact expression — values unchanged, quadratic JVM fold
+        # avoided. None → too big / ragged → original distributed join.
+        candidates = _cosine_candidates_driver(df, id_col, vec_col, threshold)
     if candidates is None:
         dups = embedding_cosine_pairs(df, id_col, vec_col, threshold)
     else:

@@ -523,7 +523,65 @@ def pagerank_int(
     Same distributed shape as ``pagerank``: per iteration one
     edges⋈ranks join + grouped sum, one 1-row dangling-mass broadcast,
     lineage truncated per round (localCheckpoint).
+
+    Small-graph fast path (same contract and threshold as ``kcore`` /
+    ``connected_components``): each distributed round is a checkpoint job
+    over a state that, on a graph under ``SMALL_GRAPH_EDGES``, takes
+    microseconds of arithmetic — ~12 sequential scheduling-floor jobs for
+    4 rounds (measured 5.9 s warm at sf0.1, round 9). The collected edge
+    list runs the IDENTICAL recurrence vectorized in int64 numpy: floor
+    division on non-negative int64 matches Spark's ``div`` exactly, sums
+    stay int64 (``np.add.at``, never float-weighted bincount), and the
+    85·(contrib + dmass÷n) intermediate is ≤ ~8.5·10¹⁶ — inside int64
+    exactly as in the distributed plan. NULL endpoints fall back to the
+    distributed path (a NULL node changes n_total there; the fast path
+    must not guess).
     """
+    from pyspark.sql.types import IntegralType
+
+    if SMALL_GRAPH_EDGES > 0 and isinstance(
+        edges.schema["src"].dataType, IntegralType
+    ):
+        probe = edges.select("src", "dst").limit(SMALL_GRAPH_EDGES + 1).toPandas()
+        if len(probe) <= SMALL_GRAPH_EDGES and not (
+            probe["src"].isna().any() or probe["dst"].isna().any()
+        ):
+            import numpy as np
+            import pandas as pd
+
+            from pyspark.sql import types as T
+
+            spark = edges.sparkSession
+            node_type = edges.schema["src"].dataType
+            schema = T.StructType(
+                [
+                    T.StructField("node", node_type, True),
+                    T.StructField("rank_scaled", T.LongType(), True),
+                ]
+            )
+            if len(probe) == 0:
+                return spark.createDataFrame([], schema)
+            s_raw = probe["src"].to_numpy(np.int64)
+            d_raw = probe["dst"].to_numpy(np.int64)
+            nodes = np.unique(np.concatenate([s_raw, d_raw]))
+            n_total = len(nodes)
+            s_i = np.searchsorted(nodes, s_raw)
+            d_i = np.searchsorted(nodes, d_raw)
+            out_deg = np.bincount(s_i, minlength=n_total)  # int64 counts
+            dangling_mask = out_deg == 0
+            tele = (damping_den - damping_num) * scale // (damping_den * n_total)
+            rank = np.full(n_total, scale // n_total, dtype=np.int64)
+            for _ in range(iterations):
+                dmass = int(rank[dangling_mask].sum())
+                per_edge = rank[s_i] // out_deg[s_i]
+                contrib = np.zeros(n_total, dtype=np.int64)
+                np.add.at(contrib, d_i, per_edge)
+                rank = tele + (
+                    damping_num * (contrib + dmass // n_total)
+                ) // damping_den
+            out = pd.DataFrame({"node": nodes, "rank_scaled": rank})
+            return spark.createDataFrame(out, schema)
+
     e = edges.select("src", "dst").persist()
     nodes = (
         e.select(F.col("src").alias("node"))

@@ -118,3 +118,46 @@ def test_embedding_dedup_with_candidate_blocking(spark):
         ).collect()
     )
     assert kept == [1]
+
+
+def test_embedding_dedup_driver_regime_matches_distributed(spark):
+    """Round-9 regime split: the exact all-pairs path generates candidates
+    driver-side (blocked matmul + margin) and verifies with the same
+    expression. Must be value-identical to the distributed quadratic join,
+    including NULL vectors and NULL elements (never dup'able)."""
+    import delta_unity_duckdb_spark.operators.dedup as D
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),
+        (3, [0.999, 0.01, 0.0]),
+        (4, [0.0, 1.0, 0.0]),
+        (5, None),
+        (6, [1.0, None, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def kept(frame):
+        return sorted(
+            r["vec_id"]
+            for r in D.dedup_embedding_cosine(
+                frame, "vec_id", "embedding", 0.99
+            ).collect()
+        )
+
+    fast = kept(df)
+    orig = D.EMB_DRIVER_MAX_VECTORS
+    D.EMB_DRIVER_MAX_VECTORS = 0  # force the distributed quadratic join
+    try:
+        dist = kept(df)
+    finally:
+        D.EMB_DRIVER_MAX_VECTORS = orig
+    assert fast == dist == [1, 4, 5, 6]
+    # Zero-norm vectors: NaN similarity is never a candidate, the row is
+    # kept. (Asserted on the driver regime only: the distributed quadratic
+    # join raises ANSI DIVIDE_BY_ZERO on a zero norm — a pre-existing
+    # crash on inputs the fixtures never contain, not a parity target.)
+    dfz = spark.createDataFrame(
+        rows + [(7, [0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    assert kept(dfz) == [1, 4, 5, 6, 7]

@@ -156,6 +156,36 @@ def test_fuzz_cross_engine_and_reference(spark, words):
     assert got == duck == want
 
 
+def test_driver_and_distributed_regimes_identical(spark, monkeypatch):
+    """Round-9 regime split: vocab_cap <= BPE_DRIVER_MAX_VOCAB runs the
+    merge rounds driver-side over the collected capped table (one Spark
+    job instead of two per round). Both regimes must be value-identical
+    on a corpus that exercises greedy overlap ('aaaa'), merged symbols
+    feeding later rounds, tie-breaks, and early stop."""
+    words = (
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+        + ["aaaa"] * 4 + ["ab", "ba", "ba"]
+    )
+    df = spark.createDataFrame([(w,) for w in words], "text string")
+
+    def merges():
+        return [
+            (r["step"], r["lhs"], r["rhs"], r["merged"], r["pair_count"])
+            for r in B.bpe_merge_table(df, "text", iters=8).orderBy("step").collect()
+        ]
+
+    def stats():
+        r = B.bpe_encode_stats(df, "text", iters=8).collect()[0]
+        return (r["n_words"], r["n_chars"], r["n_tokens"], r["tokens_per_char_ppm"])
+
+    assert B.BPE_DRIVER_MAX_VOCAB >= 50_000  # default caps take the driver path
+    fast_m, fast_s = merges(), stats()
+    monkeypatch.setattr(B, "BPE_DRIVER_MAX_VOCAB", -1)  # force distributed loop
+    assert merges() == fast_m == _ref_bpe(_counts(words), 8)
+    assert stats() == fast_s
+    assert _duck_merges(words, iters=8) == fast_m
+
+
 @pytest.mark.parametrize("iters", [1, 6])
 def test_workload_query_shapes(spark, sf_dir, iters):
     from delta_unity_duckdb_spark.sources.tables import load_table

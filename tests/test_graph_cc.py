@@ -151,6 +151,36 @@ def test_fast_paths_match_distributed_paths(spark):
     assert {s for s, _ in fast_core} == {10, 11, 12, 13}
 
 
+def test_pagerank_int_fast_path_matches_distributed(spark):
+    """Round-9 regime split: pagerank_int runs the power iteration
+    driver-side (vectorized int64 numpy) under SMALL_GRAPH_EDGES. Must be
+    VALUE-identical to the distributed loop — dangling nodes (4 has no
+    out-edge), duplicate edges (1→2 twice weights out-degree and
+    contribution), and a multi-component shape all exercised."""
+    import delta_unity_duckdb_spark.operators.graph as G
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 3), (3, 1), (3, 4), (10, 11), (11, 10)],
+        "src long, dst long",
+    )
+
+    def ranks(df):
+        return {(r["node"], r["rank_scaled"]) for r in df.collect()}
+
+    fast = ranks(G.pagerank_int(edges, iterations=4))
+    orig = G.SMALL_GRAPH_EDGES
+    G.SMALL_GRAPH_EDGES = 0
+    try:
+        dist = ranks(G.pagerank_int(edges, iterations=4))
+    finally:
+        G.SMALL_GRAPH_EDGES = orig
+    assert fast == dist
+    assert len(fast) == 6
+    # fixed-point mass stays ≈ scale (floor leaks only a few units/node)
+    total = sum(r for _, r in fast)
+    assert abs(total - G.PAGERANK_SCALE) < 100 * len(fast)
+
+
 def test_fast_paths_tolerate_null_endpoints(spark):
     """NULL endpoints cannot form edges: both fast paths must drop them
     (the distributed equi-joins do) instead of NaN-poisoning the driver
