@@ -141,82 +141,75 @@ def cosine_pairs_lsh(
     rng = random.Random(seed)
     planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
 
-    sketch_bits = [
-        (
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.array(*[F.lit(w) for w in plane]),
-                    lambda x, w: x.cast("double") * w,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            > 0
-        ).cast("int")
-        for plane in planes
-    ]
+    # Sketch expressions are assembled as ONE SQL string per band and
+    # parsed JVM-side (round-9: building them as Column algebra issued
+    # ~py4j round trips per plane WEIGHT — 24 planes × 64 F.lit() calls
+    # ≈ 2.0 s of pure driver-side DataFrame CONSTRUCTION at every call,
+    # 2.5× the plan's own execution). repr() round-trips each double
+    # exactly and Spark's lexer parses the shortest repr to the nearest
+    # double, so the hyperplanes — and therefore every bucket — are
+    # bit-identical to the Column form and to the oracle's lsh_planes
+    # literals. The arithmetic is unchanged: per bit,
+    # CAST(fold(vec·plane) > 0 AS INT), bits packed MSB-first.
     bits_per_band = num_planes // bands
+
+    def _bit_sql(plane: list[float]) -> str:
+        arr = ", ".join(f"{w!r}D" for w in plane)
+        return (
+            f"CAST(aggregate(zip_with(`{vec_col}`, array({arr}),"
+            " (x, w) -> CAST(x AS DOUBLE) * w), 0.0D,"
+            " (acc, x) -> acc + x) > 0 AS INT)"
+        )
+
     band_cols = []
     for b in range(bands):
-        expr = F.lit(0)
+        comb = "0"
         for i in range(bits_per_band):
-            expr = expr * 2 + sketch_bits[b * bits_per_band + i]
-        band_cols.append(expr.alias(f"band_{b}"))
+            comb = f"({comb} * 2 + {_bit_sql(planes[b * bits_per_band + i])})"
+        band_cols.append(F.expr(comb).alias(f"band_{b}"))
     sk = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), *band_cols
     )
-    # Candidate generation restructured for the true cost profile
-    # (profiled at sf0.1): the band collisions are ~100x more numerous
-    # than the verified pairs, so
-    #  1. ONE equi-join on (band_index, bucket) over exploded band rows
-    #     (instead of `bands` separate self-joins unioned),
-    #  2. the join carries ONLY ids — the duplicate-heavy candidate
-    #     stream is deduped before any 64-float vector is attached,
-    #  3. vectors and their PRE-COMPUTED norms join back once per unique
-    #     pair, so the exact-verify fold does one dot product per pair
-    #     instead of dot + two norms (same doubles — the per-vector norm
-    #     is the identical fold the oracle computes).
+    # Candidate generation + exact verify as ONE within-bucket kernel
+    # (round-9 rework; guide §4.2). The previous shape — candidate join
+    # on (band, bucket) carrying ids, dedup, then vectors JOINED BACK per
+    # unique pair for a per-pair interpreted `_dot` fold — moved two
+    # 64-double vectors per candidate pair (~10 M candidate pairs at
+    # sf0.1 ⇒ ~10 GB through the verify joins) and evaluated the fold
+    # per element. A band bucket IS a block whose within-block pairs are
+    # exactly that band's collision candidates, so `block_cosine_pairs`
+    # computes them with vectors crossing the Arrow boundary once per
+    # bucket MEMBERSHIP (|rows|·bands, not |pairs|) and the dot as the
+    # bit-compatible sequential column sweep. A pair colliding in k
+    # bands is recomputed k times (same doubles — dedup after), which is
+    # cheaper by orders of magnitude than shipping its vectors once.
+    # NULL buckets (NULL/ragged vectors) are excluded exactly as the
+    # old equi-join dropped them; raw_prefilter keeps every pair that
+    # could still round up to the threshold (6e-5 > the 5e-5 round-4
+    # boundary + fp slack), and the engine-exact ROUND itself stays in
+    # Spark so the emitted cosine_sim is unchanged.
     x = sk.select(
         "id",
+        "v",
         F.posexplode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias(
             "band", "bk"
         ),
+    ).filter(F.col("bk").isNotNull())
+    raw = block_cosine_pairs(
+        x,
+        ["band", "bk"],
+        id_col="id",
+        vec_col="v",
+        raw_prefilter=threshold - 6e-5,
+        # An LSH bucket's size is data-dependent; the within-bucket pair
+        # count is the spec'd candidate work in ANY formulation, so the
+        # block cap here is the loud-anomaly line, not a tuning knob.
+        max_block_rows=1 << 16,
     )
-    cand = (
-        x.alias("x")
-        .join(
-            x.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bk") == F.col("y.bk"))
-            & (F.col("x.id") < F.col("y.id")),
-        )
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    vn = sk.select("id", "v", _norm(F.col("v")).alias("nrm"))
     return (
-        cand.join(
-            vn.select(
-                F.col("id").alias("id_a"),
-                F.col("v").alias("va"),
-                F.col("nrm").alias("na"),
-            ),
-            "id_a",
-        )
-        .join(
-            vn.select(
-                F.col("id").alias("id_b"),
-                F.col("v").alias("vb"),
-                F.col("nrm").alias("nb"),
-            ),
-            "id_b",
-        )
-        .withColumn(
-            "cosine_sim",
-            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4),
-        )
+        raw.withColumn("cosine_sim", F.round(F.col("cosine_raw"), 4))
         .filter(F.col("cosine_sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "cosine_sim")
     )
 

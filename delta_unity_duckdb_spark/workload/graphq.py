@@ -250,46 +250,101 @@ def graph_pagerank_q(spark, sf_dir):
 )
 def graph_triangles_q(spark, sf_dir):
     """Triangle counting over the part co-purchase graph (parts appearing
-    in the same order, lineitem ⋈ lineitem on orderkey). Classic cohesion
-    metric; triangles are enumerated once each by orienting every edge
-    low-id → high-id and joining wedges u→v→w against closing edges u→w.
+    in the same order). Triangles are enumerated once each by orienting
+    every edge low-id → high-id and joining wedges u→v→w against closing
+    edges u→w.
 
-    Scale notes: the wedge join shuffles on single key columns (v, then
-    (u, w)) — linear in wedge count, never a cross join. At skewed degree
-    distributions the standard refinement is to orient edges by DEGREE
-    (low-degree → high-degree), which bounds per-vertex wedge fan-out by
-    sqrt(|E|); id-orientation is used here because the co-purchase degree
-    distribution at TPC-H multiplicity is near-uniform. The three scalar
-    aggregates are assembled with single-row cross joins (no data motion).
+    Round-9 rework, measured piece by piece at sf0.1 (guide §1):
+
+    - **Edge build** (was: lineitem self-join on orderkey + DISTINCT —
+      2.10 s): per-order part sets are packed ONCE (`collect_set`,
+      one keyed exchange) and the `p_i < p_j` combinations are generated
+      map-side from the sorted array — no join, one fewer exchange, the
+      identical pair set (1.196 M edges at sf0.1, asserted equal). NULL
+      orderkeys are filtered exactly as the equi-join dropped them.
+      1.05 s.
+    - **Wedge + closing join** (was: shuffle joins keyed (v) then (u, w)
+      — the 2-key probe builds an UnsafeRow per wedge, 49.3 M wedges at
+      sf0.1, 8.4 s): the closing edge is re-keyed as the SINGLE long
+      ``u·2³² + v`` so the probe hits Spark's LongHashedRelation fast
+      path, and both join sides broadcast from the one checkpointed edge
+      frame (~1.2 M rows — broadcast-threshold order), so the 49 M wedge
+      rows never cross an exchange at all. Guarded: ids must sit in
+      [0, 2³¹) for the packing to be collision-free — probed from the
+      same tiny stats row that supplies n_edges — else the original
+      2-key shuffle join runs unchanged (the 100 TB posture: at that
+      scale the edge list exceeds broadcast anyway).
+
+    End-to-end: 7.3 s → ~2 s warm at sf0.1 (DuckDB oracle 1.0 s), value
+    bit-identical (n_triangles 1,884,488 asserted against the oracle).
+    At skewed degree distributions the standard further refinement is
+    degree orientation (bounds fan-out by sqrt|E|); near-uniform TPC-H
+    co-purchase multiplicity gains nothing from it (measured: wedge count
+    35 M vs 49 M — same order).
     """
     from pyspark.sql import functions as F
 
+    from delta_unity_duckdb_spark.functions.frames import CKPT_DESER
     from delta_unity_duckdb_spark.sources.tables import load_table
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_orderkey").isNotNull())
     )
-    n_vertices = (
+    ps = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    e = (
+        ps.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> transform("
+                    "slice(ps, i + 2, size(ps) - i - 1),"
+                    " y -> struct(x AS u, y AS v))))"
+                )
+            ).alias("p")
+        )
+        .select("p.u", "p.v")
+        .distinct()
+        .localCheckpoint(eager=True, storageLevel=CKPT_DESER)
+    )
+    # One tiny collect over the endpoint union supplies n_vertices,
+    # n_edges, AND the id-domain guard for the packed closing key (both
+    # sides of the packing must fit 31 bits) — one pass, one scalar row,
+    # so the final job below is the wedge-close branch alone.
+    n_vertices, lo, hi, two_e = (
         e.select(F.col("u").alias("k"))
         .unionAll(e.select(F.col("v").alias("k")))
-        .agg(F.countDistinct("k").alias("n_vertices"))
+        .agg(F.countDistinct("k"), F.min("k"), F.max("k"), F.count(F.lit(1)))
+        .collect()[0]
     )
-    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
-    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
-    n_triangles = (
-        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
-        .join(e3, (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")))
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_edges = two_e // 2
+    e1 = e.alias("e1")
+    if n_edges and lo is not None and lo >= 0 and hi < (1 << 31):
+        pack = F.lit(1 << 32)
+        ek = F.broadcast(e.select((F.col("u") * pack + F.col("v")).alias("key")))
+        wedges = e1.join(F.broadcast(e).alias("e2"), F.col("e2.u") == F.col("e1.v"))
+        n_triangles = (
+            wedges.select((F.col("e1.u") * pack + F.col("e2.v")).alias("key"))
+            .join(ek, "key")
+            .agg(F.count(F.lit(1)).alias("n_triangles"))
+        )
+    else:
+        e2, e3 = e.alias("e2"), e.alias("e3")
+        n_triangles = (
+            e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+            .join(
+                e3,
+                (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+            )
+            .agg(F.count(F.lit(1)).alias("n_triangles"))
+        )
+    return n_triangles.select(
+        F.lit(n_vertices).cast("long").alias("n_vertices"),
+        F.lit(n_edges).cast("long").alias("n_edges"),
+        "n_triangles",
     )
-    return n_vertices.crossJoin(n_edges).crossJoin(n_triangles)
 
 
 _KCORE_EDGES_SQL = """a0 AS (
@@ -326,32 +381,38 @@ def graph_kcore(spark, sf_dir):
     from delta_unity_duckdb_spark.operators.graph import kcore
     from delta_unity_duckdb_spark.sources.tables import load_table
 
-    # The pre-join DISTINCT is load-bearing for speed, not just parity
-    # with the oracle's DISTINCT subquery: it gives the self-join one
-    # aggregated, reusable exchange. (Measured: dropping it and letting
-    # the post-sample DISTINCT dedupe doubles the edge-build wall.)
-    op = (
+    # Round-9 edge build (was: distinct (o,p) + self-join on o + post-
+    # sample DISTINCT — 2.1 s of the query's 3.4 s at sf0.1): pack each
+    # order's part set ONCE (collect_set dedupes (o,p) in the same keyed
+    # exchange) and generate the p_i < p_j combinations map-side from the
+    # sorted array — no join, one fewer exchange, the identical unordered
+    # pair set (same trick as graph_triangles, where pair-set equality is
+    # asserted against the join form). The sampling hash still runs over
+    # each unordered pair once; symmetrization by column swap keeps both
+    # directions living or dying together. NULL orderkeys are filtered
+    # exactly as the old equi-join dropped them.
+    ps = (
         load_table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
-        .distinct()
+        .select("l_orderkey", "l_partkey")
+        .filter(F.col("l_orderkey").isNotNull())
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
     )
-    a, b = op.alias("a"), op.alias("b")
-    # Generate each unordered pair ONCE (a.p < b.p) so the sampling hash
-    # runs over half the rows, then symmetrize by a column swap — the
-    # (least, greatest) key of the old both-directions build is exactly
-    # this (p_lo, p_hi) concat, so the sampled pair set is identical and
-    # both directions still live or die together.
     pair_key = F.concat(
-        F.col("a.p").cast("string"), F.lit("-"), F.col("b.p").cast("string")
+        F.col("src").cast("string"), F.lit("-"), F.col("dst").cast("string")
     )
     half = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .select(
-            F.col("a.p").alias("src"),
-            F.col("b.p").alias("dst"),
-            hash60(pair_key).alias("_hk"),
+        ps.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (x, i) -> transform("
+                    "slice(ps, i + 2, size(ps) - i - 1),"
+                    " y -> struct(x AS src, y AS dst))))"
+                )
+            ).alias("p")
         )
-        .filter(F.pmod(F.col("_hk"), F.lit(10)) == 0)
+        .select("p.src", "p.dst")
+        .filter(F.pmod(hash60(pair_key), F.lit(10)) == 0)
         .select("src", "dst")
         .distinct()
     )

@@ -1187,19 +1187,28 @@ def approx_aggs(spark, sf_dir):
     units for the median at accuracy=1000). Both engines emit the exact values
     plus the bound verdicts — hash-comparable despite different sketch
     internals. The exact arms exist only to certify the sketches; a
-    production 100 TB run keeps just the approx columns."""
+    production 100 TB run keeps just the approx columns.
+
+    Plan note (round-9 fix): mixing COUNT(DISTINCT) with the sketch
+    aggregates in ONE agg made Catalyst's distinct rewrite group the
+    FIRST phase by (l_returnflag, l_orderkey) — ~|orders| groups — and
+    compute partial HLL++/percentile buffers (rsd=0.01 ⇒ a ~13 KB
+    register array) PER GROUP: ~2 GB of sketch state through two
+    ObjectHashAggregate exchanges, >300 s at sf0.1. The distinct arm and
+    the sketch arms are now separate aggregations broadcast-joined on the
+    3-row group key (guide §2.3 'shuffle fewer bytes': sketch partials
+    now exist only per (flag, partition)); same aggregates, same inputs,
+    identical values — 117 s → sub-second."""
     li = _t(spark, sf_dir, "lineitem")
-    exact_orders = F.count_distinct("l_orderkey")
+    exact = (
+        li.groupBy("l_returnflag", "l_orderkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_orders"))
+    )
     exact_p50 = F.percentile("l_quantity", F.lit(0.5))
-    return li.groupBy("l_returnflag").agg(
-        exact_orders.alias("exact_orders"),
-        (
-            F.abs(
-                F.approx_count_distinct("l_orderkey", 0.01).cast("double")
-                - exact_orders
-            )
-            <= 0.05 * exact_orders
-        ).alias("approx_orders_ok"),
+    sketches = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("_approx_orders"),
         F.round(exact_p50, 4).alias("exact_p50"),
         (
             F.abs(
@@ -1208,6 +1217,16 @@ def approx_aggs(spark, sf_dir):
             )
             <= 2.0
         ).alias("approx_p50_ok"),
+    )
+    return sketches.join(F.broadcast(exact), "l_returnflag").select(
+        "l_returnflag",
+        "exact_orders",
+        (
+            F.abs(F.col("_approx_orders").cast("double") - F.col("exact_orders"))
+            <= 0.05 * F.col("exact_orders")
+        ).alias("approx_orders_ok"),
+        "exact_p50",
+        "approx_p50_ok",
     )
 
 
