@@ -289,3 +289,86 @@ def fx_sums(
         *[f"n_{a}" for a in specs],
         *out,
     )
+
+
+# ------------------------------------------------------- exact percentiles
+def group_percentiles_exact(
+    df,
+    group_cols: list[str],
+    value_col: str,
+    percentages: list[float],
+    out_names: list[str],
+):
+    """Exact PERCENTILE_CONT per group, as codegen-able relational ops.
+
+    Spark's built-in ``percentile`` is an ImperativeAggregate: every task
+    accumulates an OpenHashMap of (value -> count) with interpreted
+    per-row eval, maps merge on the driver-side of the exchange, and the
+    final sort happens per group in one thread — measured 1.9 s of
+    winsorized_stats' 2.3 s at sf0.1 (round 9). This helper computes the
+    IDENTICAL doubles from a value-count histogram: one codegen'd
+    groupBy(group, value) count, one in-group cumulative-sum window over
+    the (far smaller) distinct-value rows, then the boundary rows picked
+    by conditional aggregates. Interpolation replicates
+    ``Percentile.getPercentile`` exactly — ``position = p · (n − 1)``,
+    and ``(higher − position) · lowerKey + (position − lower) ·
+    higherKey`` with the ``higher == lower`` short-circuit — so outputs
+    are bit-identical to the built-in (and to DuckDB's quantile_cont
+    wherever the built-in already matched it). NULL values are excluded
+    exactly as the built-in ignores them; a group with only NULLs
+    disappears (callers LEFT-join and treat missing as NULL bounds,
+    matching the built-in's NULL output).
+
+    Scale: the heavy input collapses at the first map-side-combined
+    count; the window runs over distinct values per group — the same
+    state the built-in buffers per task, but spilled/sorted by the
+    engine instead of held in one hash map.
+
+    Returns one row per group: ``group_cols + out_names``.
+    """
+    from pyspark.sql import Window
+
+    vc = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, value_col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w = Window.partitionBy(*group_cols).orderBy(value_col)
+    wt = Window.partitionBy(*group_cols)
+    h = vc.select(
+        *group_cols,
+        F.col(value_col).alias("_v"),
+        (F.sum("_c").over(w) - F.col("_c")).alias("_lo"),
+        F.sum("_c").over(w).alias("_hi"),
+        F.sum("_c").over(wt).alias("_n"),
+    )
+    aggs = []
+    for p, name in zip(percentages, out_names):
+        pos = F.lit(float(p)) * (F.col("_n") - 1).cast("double")
+        lower, higher = F.floor(pos), F.ceil(pos)
+        aggs += [
+            F.max(
+                F.when((F.col("_lo") <= lower) & (lower < F.col("_hi")), F.col("_v"))
+            ).alias(f"_lk_{name}"),
+            F.max(
+                F.when(
+                    (F.col("_lo") <= higher) & (higher < F.col("_hi")), F.col("_v")
+                )
+            ).alias(f"_hk_{name}"),
+            F.max(pos).alias(f"_pos_{name}"),
+        ]
+    g = h.groupBy(*group_cols).agg(*aggs)
+    outs = []
+    for name in out_names:
+        pos = F.col(f"_pos_{name}")
+        lower, higher = F.floor(pos), F.ceil(pos)
+        lk, hk = F.col(f"_lk_{name}"), F.col(f"_hk_{name}")
+        outs.append(
+            F.when(lower == higher, lk)
+            .otherwise(
+                (higher.cast("double") - pos) * lk
+                + (pos - lower.cast("double")) * hk
+            )
+            .alias(name)
+        )
+    return g.select(*group_cols, *outs)

@@ -1774,10 +1774,14 @@ def quality_retention_sweep(spark, sf_dir):
     quality cutoff: for each candidate threshold over the floor-quantized
     [0,1]·10⁴ quality score, how many documents and tokens survive
     (absolute + exact ppm of the corpus). Each doc is scored ONCE
-    (narrow map); the six threshold literals broadcast through a tiny
-    cross join and one aggregate produces the whole curve — the corpus
-    is never re-scanned per threshold, which is the difference between
-    one pass and six at 100 TB."""
+    (narrow map); the six thresholds are LITERALS, so the whole curve is
+    one global aggregate of 6×2 conditional sums unpivoted with
+    ``stack`` — the corpus is never re-scanned (or row-replicated) per
+    threshold. Round 9: the previous broadcast-cross-join ×6 + grouped
+    aggregate cost ~1.0 s beyond the 0.35 s scoring pass at sf0.1 (row
+    replication through the join and a 2-exchange grouped agg for sums
+    a single scalar row already determines); same sums, same DIV ppm,
+    2.4 s → ~0.5 s."""
     from delta_unity_duckdb_spark.operators.text import quality_score_raw, tokens
 
     d = load_table(spark, sf_dir, "documents")
@@ -1787,27 +1791,38 @@ def quality_retention_sweep(spark, sf_dir):
         .cast("bigint")
         .alias("q_e4"),
     )
-    th = spark.createDataFrame(
-        [(t,) for t in (5000, 6000, 6500, 7000, 7500, 8000)], "threshold long"
-    )
-    kept = F.when(F.col("q_e4") >= F.col("threshold"), 1).otherwise(0)
-    kept_tok = F.when(F.col("q_e4") >= F.col("threshold"), F.col("n_tok")).otherwise(
-        0
+    ths = (5000, 6000, 6500, 7000, 7500, 8000)
+    aggs = [
+        F.count(F.lit(1)).alias("_n_all"),
+        F.sum("n_tok").alias("_tok_all"),
+    ]
+    for th in ths:
+        kept = F.when(F.col("q_e4") >= th, 1).otherwise(0)
+        kept_tok = F.when(F.col("q_e4") >= th, F.col("n_tok")).otherwise(0)
+        aggs += [
+            F.sum(kept).cast("bigint").alias(f"_d{th}"),
+            F.sum(kept_tok).cast("bigint").alias(f"_t{th}"),
+        ]
+    one = scored.agg(*aggs)
+    stacked = ", ".join(
+        f"CAST({th} AS BIGINT), _d{th}, _t{th}" for th in ths
     )
     return (
-        scored.crossJoin(F.broadcast(th))
-        .groupBy("threshold")
-        .agg(
-            F.sum(kept).cast("bigint").alias("docs_kept"),
-            F.sum(kept_tok).cast("bigint").alias("tokens_kept"),
-            F.expr(
-                "CAST((SUM(CASE WHEN q_e4 >= threshold THEN 1 ELSE 0 END)"
-                " * 1000000) DIV COUNT(*) AS BIGINT)"
-            ).alias("docs_ppm"),
-            F.expr(
-                "CAST((SUM(CASE WHEN q_e4 >= threshold THEN n_tok ELSE 0 END)"
-                " * 1000000) DIV SUM(n_tok) AS BIGINT)"
-            ).alias("tokens_ppm"),
+        one.selectExpr(
+            f"stack({len(ths)}, {stacked}) AS (threshold, docs_kept, tokens_kept)",
+            "_n_all",
+            "_tok_all",
+        )
+        .select(
+            "threshold",
+            "docs_kept",
+            "tokens_kept",
+            F.expr("CAST((docs_kept * 1000000) DIV _n_all AS BIGINT)").alias(
+                "docs_ppm"
+            ),
+            F.expr("CAST((tokens_kept * 1000000) DIV _tok_all AS BIGINT)").alias(
+                "tokens_ppm"
+            ),
         )
         .orderBy("threshold")
     )

@@ -266,18 +266,17 @@ def test_contamination_bench_set_broadcasts(plans):
 
 
 def test_triangles_wedge_joins_keyed(plans):
-    """Wedge enumeration must stay keyed (hash/sort-merge on edge
-    endpoints) — no CartesianProduct over data-sized inputs. The only
-    nested-loop joins allowed are the 1-row x 1-row crossJoins that
-    assemble the three scalar aggregates into the result row."""
+    """Wedge enumeration must stay keyed — no CartesianProduct over
+    data-sized inputs. Round-9 shape: both the wedge join and the
+    closing join are BroadcastHashJoins off one checkpointed edge frame,
+    and the closing probe key is the PACKED single long (u·2³² + v) so
+    the 49 M-wedge stream probes a LongHashedRelation instead of
+    building an UnsafeRow per wedge (2-key fallback only when ids
+    escape [0, 2³¹))."""
     p = plans["graph_triangles"]
     assert "CartesianProduct" not in p
-    keyed = [
-        ln
-        for ln in p.splitlines()
-        if ("SortMergeJoin" in ln or "ShuffledHashJoin" in ln) and "[v#" in ln
-    ]
-    assert keyed, "wedge join is not a keyed join"
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "4294967296" in p  # the packed closing key is in the plan
 
 
 def test_table_profile_pruned_scans(plans):
@@ -640,3 +639,17 @@ def test_sliding_window_preaggregates_fine_grain(plans):
     scan_side = p.rsplit("Exchange", 1)[1]
     assert "Scan" in scan_side
     assert "Generate" not in scan_side, "Generate must stay above the fine aggregate"
+
+
+def test_tumbling_window_single_pass_no_expand(plans):
+    """Round-9 closure pin (SCALE_BENCH_sf500_tumbling_r09.json): the
+    ~2.2x sf500 asymptote vs DuckDB is the composite (timestamp, string)
+    group key — three measured alternatives all lost (hash-surrogate
+    keys, type-pivoted aggregates, broadcast dictionary-encode, which
+    costs a second full scan). What must never regress is the single
+    pass: one parquet scan, no Generate/Expand row multiplication, and
+    map-side partial aggregation before the exchange."""
+    p = plans["tumbling_window"]
+    assert p.count("Scan parquet") == 1
+    assert "Generate" not in p and "Expand" not in p
+    assert "partial_" in p
