@@ -138,10 +138,12 @@ def fx_sums(
 
     The caller finishes the job: cast to the oracle's output type
     (DECIMAL(38,6), DOUBLE, …) and compute any ratios — this helper only
-    guarantees the exact sums. Note spark_partition_id() in a grouping
-    key disables whole-stage codegen for the aggregate; measured at sf10
-    the interpreted agg is noise against the saved per-row BigDecimal
-    work (pricing_summary: 27.6 s → 1.9 s).
+    guarantees the exact sums. (Round-9 re-measurement: on Spark 4.1.2
+    PullOutNondeterministic hoists spark_partition_id() into a Project
+    below the aggregate and BOTH phases whole-stage-codegen — an
+    explicit pre-projected pid column planned and timed identically, so
+    there is no interpreted-agg tax left to remove; the historical sf10
+    win over per-row BigDecimal stands: pricing_summary 27.6 s → 1.9 s.)
 
     ``bounds`` (optional) maps ``alias -> (lo, hi)``: the admissible
     per-row range of the int64 long expression. The preconditions above
