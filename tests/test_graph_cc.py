@@ -181,6 +181,83 @@ def test_pagerank_int_fast_path_matches_distributed(spark):
     assert abs(total - G.PAGERANK_SCALE) < 100 * len(fast)
 
 
+def test_triangle_regimes_identical(spark, sf_dir):
+    """graph_triangles' three regimes (driver numpy kernel / packed-key
+    broadcast joins / packed-key shuffle joins) must be VALUE-identical
+    on the real fixture."""
+    import delta_unity_duckdb_spark.workload.graphq as GQ
+    from delta_unity_duckdb_spark.workload import QUERIES
+
+    def row(df):
+        r = df.collect()[0]
+        return (r["n_vertices"], r["n_edges"], r["n_triangles"])
+
+    driver = row(QUERIES["graph_triangles"](spark, sf_dir))
+    orig_rows, orig_bcast = GQ.TRI_DRIVER_MAX_ROWS, GQ.TRI_BCAST_MAX_EDGES
+    try:
+        GQ.TRI_DRIVER_MAX_ROWS = 0
+        bcast = row(QUERIES["graph_triangles"](spark, sf_dir))
+        GQ.TRI_BCAST_MAX_EDGES = 0
+        shuffle = row(QUERIES["graph_triangles"](spark, sf_dir))
+    finally:
+        GQ.TRI_DRIVER_MAX_ROWS, GQ.TRI_BCAST_MAX_EDGES = orig_rows, orig_bcast
+    assert driver == bcast == shuffle
+    assert driver[2] > 0  # the fixture graph has triangles — non-vacuous
+
+
+def test_triangle_kernel_matches_bruteforce():
+    """copurchase_triangle_stats vs a brute-force reference on random
+    (order, part) multisets — duplicates, singleton orders, chunked wedge
+    enumeration, and the bitmap/searchsorted membership variants."""
+    from itertools import combinations
+
+    import numpy as np
+
+    from delta_unity_duckdb_spark.operators.graph import (
+        copurchase_triangle_stats,
+    )
+
+    def brute(o, p):
+        orders: dict[int, set[int]] = {}
+        for oo, pp in set(zip(o, p)):
+            orders.setdefault(oo, set()).add(pp)
+        E = set()
+        for s in orders.values():
+            E.update(combinations(sorted(s), 2))
+        V = {x for e in E for x in e}
+        adj: dict[int, set[int]] = {}
+        for u, v in E:
+            adj.setdefault(u, set()).add(v)
+        tri = sum(
+            len(adj.get(u, set()) & adj.get(v, set())) for u, v in E
+        )
+        return (len(V), len(E), tri)
+
+    rng = np.random.default_rng(17)
+    for _ in range(15):
+        n = int(rng.integers(1, 300))
+        o = rng.integers(0, 25, n).astype(np.int64)
+        p = rng.integers(0, 20, n).astype(np.int64)
+        exp = brute(o.tolist(), p.tolist())
+        assert copurchase_triangle_stats(o, p) == exp
+        # chunked wedges and searchsorted membership: same values
+        assert copurchase_triangle_stats(o, p, max_wedge_chunk=64) == exp
+        assert copurchase_triangle_stats(o, p, max_bitmap_bytes=0) == exp
+    # domain guards: fall through to the distributed path, never wrong
+    one = np.array([1], dtype=np.int64)
+    assert copurchase_triangle_stats(-one, one) is None
+    assert copurchase_triangle_stats(one, np.array([1 << 31], dtype=np.int64)) is None
+    assert (
+        copurchase_triangle_stats(
+            np.array([1, 1, 1], dtype=np.int64),
+            np.array([1, 2, 3], dtype=np.int64),
+            max_pairs=2,
+        )
+        is None
+    )
+    assert copurchase_triangle_stats(one[:0], one[:0]) == (0, 0, 0)
+
+
 def test_fast_paths_tolerate_null_endpoints(spark):
     """NULL endpoints cannot form edges: both fast paths must drop them
     (the distributed equi-joins do) instead of NaN-poisoning the driver

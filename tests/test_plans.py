@@ -265,18 +265,51 @@ def test_contamination_bench_set_broadcasts(plans):
     assert "SortMergeJoin" not in p
 
 
-def test_triangles_wedge_joins_keyed(plans):
-    """Wedge enumeration must stay keyed — no CartesianProduct over
-    data-sized inputs. Round-9 shape: both the wedge join and the
-    closing join are BroadcastHashJoins off one checkpointed edge frame,
-    and the closing probe key is the PACKED single long (u·2³² + v) so
-    the 49 M-wedge stream probes a LongHashedRelation instead of
-    building an UnsafeRow per wedge (2-key fallback only when ids
-    escape [0, 2³¹))."""
+def test_triangles_regime_plans(plans, spark, sf_dir):
+    """The round-10 triangle regime ladder, pinned plan by plan:
+
+    - default at fixture scale: DRIVER regime — the returned frame is a
+      local one-row relation, zero joins/exchanges (the numpy kernel did
+      the work);
+    - driver regime off: both the wedge join and the closing join are
+      BroadcastHashJoins off one checkpointed edge frame, closing probe
+      on the PACKED single long (u·2³² + v → LongHashedRelation);
+    - broadcast bound of 0 (the round-9 scale-safety fix: an id-domain
+      check alone would force a ~100 M-edge broadcast at sf10+): the
+      SAME packed-key joins run as shuffle joins — no broadcast of the
+      edge frame anywhere, no CartesianProduct."""
+    import delta_unity_duckdb_spark.workload.graphq as GQ
+
     p = plans["graph_triangles"]
-    assert "CartesianProduct" not in p
-    assert p.count("BroadcastHashJoin") >= 2
-    assert "4294967296" in p  # the packed closing key is in the plan
+    assert "Join" not in p and "Exchange" not in p, p
+    assert "LocalTableScan" in p or "Scan ExistingRDD" in p, p
+
+    orig_rows, orig_bcast = GQ.TRI_DRIVER_MAX_ROWS, GQ.TRI_BCAST_MAX_EDGES
+    try:
+        GQ.TRI_DRIVER_MAX_ROWS = 0
+        pb = plan_of(QUERIES["graph_triangles"](spark, sf_dir))
+        assert "CartesianProduct" not in pb
+        assert pb.count("BroadcastHashJoin") >= 2
+        assert "4294967296" in pb  # the packed closing key is in the plan
+
+        GQ.TRI_BCAST_MAX_EDGES = 0
+        # Above the bound there must be NO FORCED broadcast hint: with
+        # auto-broadcast off (as a big edge frame's size estimate would
+        # turn it off at scale), the plan must fall back to shuffle
+        # joins. The old id-domain-only guard F.broadcast()-forced the
+        # edge frame regardless — exactly what this pins against.
+        thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            ps = plan_of(QUERIES["graph_triangles"](spark, sf_dir))
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        assert "CartesianProduct" not in ps
+        assert "BroadcastHashJoin" not in ps, ps  # the fallback must engage
+        assert "SortMergeJoin" in ps or "ShuffledHashJoin" in ps, ps
+        assert "4294967296" in ps  # still the packed long key, just shuffled
+    finally:
+        GQ.TRI_DRIVER_MAX_ROWS, GQ.TRI_BCAST_MAX_EDGES = orig_rows, orig_bcast
 
 
 def test_table_profile_pruned_scans(plans):
