@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from delta_unity_duckdb_spark.functions.frames import CKPT_DESER
+from delta_unity_duckdb_spark.functions.frames import CKPT_DESER, local_rows_df
 
 MERGE_SCHEMA = "step bigint, lhs string, rhs string, merged string, pair_count bigint"
 
@@ -170,7 +170,7 @@ def bpe_merge_table(
     if vocab_cap <= BPE_DRIVER_MAX_VOCAB:
         words, cnts = _collect_word_frequencies(df, text_col, vocab_cap)
         records, _ = _merge_rounds_driver(words, cnts, iters)
-        return spark.createDataFrame(records, MERGE_SCHEMA)
+        return local_rows_df(spark, records, MERGE_SCHEMA)
     state = (
         word_frequencies(df, text_col, vocab_cap)
         .select("word", "cnt", _char_syms(F.col("word")).alias("syms"))
@@ -193,7 +193,7 @@ def bpe_merge_table(
         state = state.withColumn(
             "syms", merge_pair(F.col("syms"), lhs, rhs)
         ).localCheckpoint(eager=True, storageLevel=CKPT_DESER)
-    return spark.createDataFrame(records, MERGE_SCHEMA)
+    return local_rows_df(spark, records, MERGE_SCHEMA)
 
 
 def bpe_encode_stats(
@@ -227,7 +227,8 @@ def bpe_encode_stats(
         n_words = sum(cnts)
         n_chars = sum(c * len(w) for w, c in zip(words, cnts))
         n_tokens = sum(c * len(s) for s, c in zip(syms, cnts))
-        return spark.createDataFrame(
+        return local_rows_df(
+            spark,
             [(n_words, n_chars, n_tokens, (n_tokens * 1_000_000) // n_chars)],
             stats_schema,
         )

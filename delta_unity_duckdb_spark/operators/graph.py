@@ -520,8 +520,17 @@ def connected_components(edges: DataFrame, max_iter: int = 32) -> DataFrame:
                     F.col("src").alias("node"), F.col("src").alias("component")
                 ).schema
             )
+            items = [(n_, comp_min[find(n_)]) for n_ in parent]
+            if not items:
+                return spark.createDataFrame([], schema=out_schema)
+            # pandas/Arrow local relation: the Row-list pickle path costs
+            # 0.4+ s per call and scales badly with node count (measured
+            # ~0.5 s of graph_components' exec at sf0.1 was exactly this)
+            import pandas as pd
+
             return spark.createDataFrame(
-                [(n_, comp_min[find(n_)]) for n_ in parent], schema=out_schema
+                pd.DataFrame(items, columns=["node", "component"]),
+                schema=out_schema,
             )
     sym = sym.persist()
     labels = (

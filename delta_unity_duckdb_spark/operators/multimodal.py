@@ -71,6 +71,55 @@ MEDIA_SCHEMA = StructType(
     ]
 )
 
+def media_arrow_table(rows):
+    """(asset_id, modality, content, meta) tuples → pyarrow Table in the
+    exact MEDIA_SCHEMA layout (for Arrow-local frames and direct feed
+    writes)."""
+    import pyarrow as pa
+
+    pa_schema = pa.schema(
+        [
+            ("asset_id", pa.string()),
+            ("modality", pa.string()),
+            ("content", pa.binary()),
+            (
+                "meta",
+                pa.struct(
+                    [
+                        ("mime", pa.string()),
+                        ("width", pa.int32()),
+                        ("height", pa.int32()),
+                        ("duration_ms", pa.int64()),
+                        ("sample_rate", pa.int32()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    return pa.Table.from_pylist(
+        [
+            {
+                "asset_id": a,
+                "modality": m,
+                "content": bytes(c) if c is not None else None,
+                "meta": meta,
+            }
+            for a, m, c, meta in rows
+        ],
+        schema=pa_schema,
+    )
+
+
+def media_df(spark, rows) -> "DataFrame":
+    """MEDIA_SCHEMA frame from driver-built (asset_id, modality, content,
+    meta) tuples, shipped as ONE pyarrow Table. The Row-list path pickles
+    every binary payload through the RDD machinery — measured ~0.4-1.7 s
+    per ACTION for a 24-asset frame (and the fixture frame is re-planned
+    by every action that touches it); the Arrow local relation is
+    ~0.02 s + ~0.14 s and carries the identical schema/values."""
+    return spark.createDataFrame(media_arrow_table(rows))
+
+
 FEATURES_SCHEMA = StructType(
     [
         StructField("asset_id", StringType()),
@@ -221,7 +270,7 @@ def make_fake_media(spark, n: int = 24) -> DataFrame:
             "sample_rate": 16000 if modality == "audio" else None,
         }
         rows.append((f"a{i:04d}", modality, bytearray(content), meta))
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    return media_df(spark, rows)
 
 
 def write_media_fixture_dir(
@@ -767,13 +816,10 @@ def audio_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
 
 
-def make_wav_media(spark, n: int = 24) -> DataFrame:
-    """Deterministic REAL-WAV audio fixture: asset i carries an actual
-    RIFF/PCM16 payload of the integer sawtooth
-    ``s(t) = ((t * (13 + i%7)) mod 2048) - 1024`` over
-    ``4000 + 250*(i%8)`` samples at 8 kHz — a closed-form waveform both
-    a SQL oracle and a Python referee can regenerate without touching
-    the bytes."""
+def make_wav_rows(n: int = 24) -> list:
+    """The driver-side rows behind ``make_wav_media`` — exposed so feed
+    stagers (stream_media_decode) can write parquet slices directly with
+    pyarrow instead of running one Spark write job per feed file."""
     rows: list[tuple[Any, ...]] = []
     for i in range(n):
         n_samples = 4000 + 250 * (i % 8)
@@ -788,7 +834,17 @@ def make_wav_media(spark, n: int = 24) -> DataFrame:
             "sample_rate": 8000,
         }
         rows.append((f"w{i:04d}", "audio", bytearray(content), meta))
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    return rows
+
+
+def make_wav_media(spark, n: int = 24) -> DataFrame:
+    """Deterministic REAL-WAV audio fixture: asset i carries an actual
+    RIFF/PCM16 payload of the integer sawtooth
+    ``s(t) = ((t * (13 + i%7)) mod 2048) - 1024`` over
+    ``4000 + 250*(i%8)`` samples at 8 kHz — a closed-form waveform both
+    a SQL oracle and a Python referee can regenerate without touching
+    the bytes."""
+    return media_df(spark, make_wav_rows(n))
 
 
 # --------------------------------------------------------------------------
@@ -898,7 +954,7 @@ def make_png_media(spark, n: int = 16) -> DataFrame:
             "sample_rate": None,
         }
         rows.append((f"p{i:04d}", "image", bytearray(content), meta))
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    return media_df(spark, rows)
 
 
 def resize_png_images(media: DataFrame, width: int, height: int) -> DataFrame:
@@ -1044,7 +1100,7 @@ def make_pngv_media(spark, n: int = 8) -> DataFrame:
             "sample_rate": None,
         }
         rows.append((f"v{i:04d}", "video", bytearray(content), meta))
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    return media_df(spark, rows)
 
 
 FRAME_FEATURES_SCHEMA = StructType(
@@ -1123,7 +1179,7 @@ def make_png_media_mixed_encodings(spark, n: int = 16) -> DataFrame:
             "sample_rate": None,
         }
         rows.append((f"d{j:04d}", "image", bytearray(content), meta))
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    return media_df(spark, rows)
 
 
 def image_pixel_dedup(media: DataFrame) -> DataFrame:
@@ -1202,7 +1258,7 @@ def make_png_media_perceptual(spark, n: int = 16) -> DataFrame:
             "sample_rate": None,
         }
         rows.append((f"h{j:04d}", "image", bytearray(content), meta))
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    return media_df(spark, rows)
 
 
 def image_dhash_groups(media: DataFrame) -> DataFrame:
@@ -1281,7 +1337,7 @@ def make_wav_media_gated(spark, n: int = 8) -> DataFrame:
             "sample_rate": 8000,
         }
         rows.append((f"g{i:04d}", "audio", bytearray(content), meta))
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    return media_df(spark, rows)
 
 
 def audio_window_energy(media: DataFrame, window: int = 250) -> DataFrame:
@@ -1832,4 +1888,4 @@ def make_jpeg_media(spark, n: int = 16) -> DataFrame:
             "sample_rate": None,
         }
         rows.append((f"j{i:04d}", "image", bytearray(content), meta))
-    return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    return media_df(spark, rows)

@@ -170,8 +170,10 @@ def pca_top_component(
 
     dims, loadings, lam = _power_iterate(g, s, n, d, iters)
     rows = [(int(dims[t]), loadings[t], lam) for t in range(d)]
-    return spark.createDataFrame(
-        rows, "dim bigint, loading double, eigenvalue double"
+    from delta_unity_duckdb_spark.functions.frames import local_rows_df
+
+    return local_rows_df(
+        spark, rows, "dim bigint, loading double, eigenvalue double"
     ).orderBy("dim")
 
 

@@ -324,9 +324,20 @@ def group_aggs(spark, sf_dir):
     """,
 )
 def rollup_agg(spark, sf_dir):
+    """Pre-aggregate to the (flag, status) base (≤ a few rows per
+    partition after partial agg), THEN roll up the 6-row base — round
+    10: Expand replicated every fact row ×3 through the decimal
+    aggregate (0.74 s vs a 0.06 s oracle at sf0.1); replicating the base
+    grid instead is free. Decimal addition is associative/exact, so
+    sums-of-sums are value-identical; COALESCE keeps the grand-total
+    row's COUNT(*) = 0 on an empty table (SUM over no rows is NULL)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty")
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum(dec("l_quantity")).alias("_s")
+    )
+    return base.rollup("l_returnflag", "l_linestatus").agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).alias("n"),
+        F.sum("_s").cast(DEC38).alias("sum_qty"),
     )
 
 
@@ -339,9 +350,18 @@ def rollup_agg(spark, sf_dir):
     """,
 )
 def cube_agg(spark, sf_dir):
+    """Same pre-aggregate-then-expand shape as rollup_agg (round 10):
+    CUBE's Expand replicated every fact row ×4 through the decimal
+    aggregate — 1.36 s vs a 0.07 s oracle at sf0.1; cubing the 6-row
+    base grid is free and value-identical (exact decimal addition)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n"), dsum("l_extendedprice", "sum_price")
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(dec("l_extendedprice")).alias("_s"),
+    )
+    return base.cube("l_returnflag", "l_linestatus").agg(
+        F.coalesce(F.sum("_n"), F.lit(0)).alias("n"),
+        F.sum("_s").cast(DEC38).alias("sum_price"),
     )
 
 
@@ -1106,13 +1126,23 @@ def join_cross(spark, sf_dir):
 )
 def grouping_sets(spark, sf_dir):
     """Explicit GROUPING SETS (distinct from rollup/cube): per-flag,
-    per-status, and grand-total groups in one pass."""
-    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__li_gs")
+    per-status, and grand-total groups in one pass. Round 10: the sets
+    are computed over the pre-aggregated (flag, status) base instead of
+    Expand-replicating every fact row ×3 through the decimal aggregate
+    (0.87 s vs a 0.05 s oracle) — exact decimal sums-of-sums, COALESCE
+    keeps the grand-total COUNT(*) = 0 on empty input."""
+    _t(spark, sf_dir, "lineitem").groupBy(
+        "l_returnflag", "l_linestatus"
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(dec("l_quantity")).alias("_s"),
+    ).createOrReplaceTempView("__li_gs_base")
     return spark.sql(
         """
-        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(38,6)) AS sum_qty
-        FROM __li_gs
+        SELECT l_returnflag, l_linestatus,
+               CAST(COALESCE(SUM(_n), 0) AS BIGINT) AS n,
+               CAST(SUM(_s) AS DECIMAL(38,6)) AS sum_qty
+        FROM __li_gs_base
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )

@@ -723,31 +723,32 @@ def stream_media_decode(spark, sf_dir):
     and the featurized table appends downstream."""
     import os
     import shutil
-    import tempfile
+
+    import pyarrow.parquet as pq
 
     from delta_unity_duckdb_spark.operators.multimodal import (
         MEDIA_SCHEMA,
         audio_features,
-        make_wav_media,
+        make_wav_rows,
+        media_arrow_table,
     )
 
-    media = make_wav_media(spark, 24)
+    # Feed staging is DRIVER-side pyarrow writes (round 10): the fixture
+    # rows are driver-built to begin with, and the previous
+    # filter → coalesce(1) → Spark write → copy chain re-planned the
+    # pickle local relation per feed file — measured 17.6 s of this
+    # query's ~15-22 s wall for THREE 8-row files vs ~0.05 s total for
+    # direct pq.write_table. The streaming path under test (file-source
+    # micro-batches → Arrow decode → memory sink) is unchanged.
+    rows = make_wav_rows(24)
     feed_dir = stream_scratch_dir("media_feed_")
     try:
         base_mtime = 1_700_000_000
         for b in range(3):
-            part = media.filter(F.col("asset_id").substr(2, 4).cast("int") % 3 == b)
-            stage = stream_scratch_dir(f"media_stage_{b}_")
-            part.coalesce(1).write.mode("overwrite").parquet(stage)
-            src = next(
-                f
-                for f in os.listdir(stage)
-                if f.endswith(".parquet") and f.startswith("part-")
-            )
+            part = [r for r in rows if int(r[0][1:5]) % 3 == b]
             dst = os.path.join(feed_dir, f"feed-{b}.parquet")
-            shutil.copy(os.path.join(stage, src), dst)
+            pq.write_table(media_arrow_table(part), dst)
             os.utime(dst, (base_mtime + b * 100, base_mtime + b * 100))
-            shutil.rmtree(stage)
 
         stream = (
             spark.readStream.schema(MEDIA_SCHEMA)
@@ -759,9 +760,10 @@ def stream_media_decode(spark, sf_dir):
         )
         # materialize BEFORE the feed dir is removed — the memory sink
         # already holds the rows, but the returned plan must not point
-        # at deleted input files
+        # at deleted input files (pandas round-trip: Arrow local relation
+        # instead of the Row-list pickle path)
         return spark.createDataFrame(
-            out.orderBy("asset_id").collect(), out.schema
+            out.orderBy("asset_id").toPandas(), out.schema
         )
     finally:
         shutil.rmtree(feed_dir, ignore_errors=True)
