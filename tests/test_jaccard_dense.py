@@ -190,6 +190,28 @@ def test_block_cosine_pairs_block_cap_is_loud(spark):
         block_cosine_pairs(df_bad, ["blk"], max_block_rows=8).collect()
 
 
+def test_block_cosine_pairs_oversize_process_completes(spark):
+    """oversize="process" (the cosine_pairs_lsh posture, round 10): a
+    block past 2x the cap — expected growth for LSH band buckets, whose
+    size is data-dependent — must COMPLETE with the full exact pair set,
+    not raise; the "raise" posture stays for sharding-contract callers
+    (previous test)."""
+    from delta_unity_duckdb_spark.operators.similarity import (
+        block_cosine_pairs,
+    )
+
+    n = 17  # > 2 * max_block_rows=8
+    df_bad = spark.createDataFrame(
+        [(0, i, [1.0 + i, 2.0]) for i in range(n)],
+        "blk int, vec_id long, embedding array<double>",
+    )
+    rows = block_cosine_pairs(
+        df_bad, ["blk"], max_block_rows=8, oversize="process"
+    ).collect()
+    assert len(rows) == n * (n - 1) // 2
+    assert all(r.id_a < r.id_b for r in rows)
+
+
 def test_knn_join_zero_norm_candidate_is_null_not_nan(spark):
     """Regression: the Arrow scoring kernel must emit NULL (like the
     expression path's Divide) for zero-norm vectors — numpy's NaN would

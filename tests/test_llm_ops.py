@@ -89,6 +89,45 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert len(exact & approx) >= 3, f"IVF recall {len(exact & approx)}/10"
 
 
+def test_ivf_kernel_matches_expression_path(spark, sf_dir):
+    """Round-10 regime split: ivf_topk's Arrow-kernel path must be
+    VALUE-identical to the expression form — fixture corpus plus
+    degenerate vectors (NULL vector, NULL element, ragged length), which
+    exercise the NULL-cdist assignment (NULLS FIRST → cid 1) and NULL
+    score emission."""
+    from pyspark.sql import Row
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qvec"))
+    base = e.filter(F.col("vec_id") != 0)
+    dim = len(e.first()["embedding"])
+    weird = spark.createDataFrame(
+        [
+            Row(vec_id=900001, embedding=None),
+            Row(vec_id=900002, embedding=[1.0] * (dim - 3)),
+            Row(vec_id=900003, embedding=[None] + [0.5] * (dim - 1)),
+        ],
+        base.select("vec_id", "embedding").schema,
+    )
+    corpus = base.select("vec_id", "embedding").unionByName(weird)
+
+    def rows(df):
+        return [(r["vec_id"], r["cosine_sim"]) for r in df.collect()]
+
+    got = rows(S.ivf_topk(corpus, q, k=10, nlist=16, nprobe=4))
+    ref = rows(S._ivf_topk_expr(corpus, q, 10, 16, 4, "vec_id", "embedding"))
+    assert got == ref
+    # k larger than the probed partitions' clean rows → the NULL-score
+    # degenerates become reachable; both paths must still agree
+    big_k = corpus.count()
+    got_all = rows(S.ivf_topk(corpus, q, k=big_k, nlist=16, nprobe=16))
+    ref_all = rows(
+        S._ivf_topk_expr(corpus, q, big_k, 16, 16, "vec_id", "embedding")
+    )
+    assert got_all == ref_all
+    assert any(s is None for _, s in got_all)  # degenerates actually emitted
+
+
 def test_near_dup_clusters_transitive_single_survivor(spark):
     from delta_unity_duckdb_spark.operators.dedup import near_dup_clusters
 
