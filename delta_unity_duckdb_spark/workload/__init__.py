@@ -35,65 +35,72 @@ from delta_unity_duckdb_spark.workload.registry import ORACLE, QUERIES
 # nation_revenue_share — single-shape TPC-H variants) roll to round 9.
 # `salted_hot_key_agg` and `sequence_packing` — reworked this round
 # for the skew-regime findings — get driver rows on the new code.
+# Round-10 window: (a) the round-9 rewrites that had NO driver-green row
+# on the new code (the r09 verdict's item 2 — graph_triangles/pagerank/
+# kcore, the LSH/embedding kernels, simhash lane-packing, descendants),
+# (b) everything reworked THIS round (expand pre-aggregation, the IVF
+# Arrow kernel, BPE/PCA/CC Arrow local relations, the approx_aggs /
+# retention-sweep semantics fixes, and the media fixture path — one
+# representative per decode family where all 12 consumers share the
+# changed media_df materialization; the full 212-query strict sweep
+# still covers the rest locally), then (c) the 21 round-4 single-shape
+# TPC-H variants — the stalest rows in the registry, scheduled since the
+# r08 verdict.
 _PRIORITY = [
-    # --- new in round 8, never driver-checked ---
-    "delta_optimize_compaction",
-    # --- last green: round 3 (stalest) ---
-    "hll_distinct_groups",
-    "kmv_distinct_merge",
-    "cms_heavy_hitters",
-    "bloom_join_stats",
-    "kmv_set_ops",
-    "hll_incremental_refresh",
-    "hist_quantile_sketch",
-    "stream_hll_distinct",
-    "stream_cms_top_users",
-    "window_ntile_stats",
-    "window_first_last",
-    "stratified_sample",
-    # --- last green: round 4, registry order (first 38 of 50) ---
-    "curation_verdicts",
-    "incremental_near_dup_ingest",
-    "bigram_surprisal",
-    "sequence_packing",
-    "shard_manifest",
-    "dedup_signal_agreement",
-    "boilerplate_ngram_flags",
-    "quality_retention_sweep",
+    # --- r09 rewrites, driver-unseen on the new code ---
+    "graph_triangles",
+    "graph_pagerank",
+    "graph_kcore",
+    "embedding_pairs_lsh",
+    "embedding_dedup_cosine",
+    "simhash_near_dups",
+    "graph_descendants",
+    # --- reworked in round 10 ---
+    "cube_agg",
+    "rollup_agg",
+    "grouping_sets",
+    "similarity_topk_ivf",
+    "ann_recall_eval",
     "bpe_vocab_merges",
     "bpe_encode_stats",
-    "winnow_fingerprint_pairs",
-    "exact_span_dedup",
-    "embedding_quantization",
-    "embedding_dim_stats",
-    "embedding_centroid_outliers",
     "pca_top_component",
-    "ann_recall_eval",
     "pca_projection_scores",
+    "graph_components",
     "approx_aggs",
-    "regional_revenue",
-    "cohort_retention",
-    "basket_pairs",
-    "skyline_pareto",
-    "incremental_agg_refresh",
-    "winsorized_stats",
-    "salted_hot_key_agg",
-    "key_skew_profile",
-    "stream_incremental_dedup",
-    "stream_late_data_drop",
-    # --- reworked THIS round (r05/r06 cohort pulled forward: fresh
-    # driver rows on new code beat staleness order — the rule that put
-    # dedup_pipeline_exact_first first in round 7). Displaced r04 tail
-    # (order_priority_check .. forecast_revenue_change) rolls to round 9
-    # with the other single-shape TPC-H variants. ---
-    "tumbling_window",
-    "sliding_window",
-    "timeseries_gapfill",
-    "hypertable_rollup",
-    "equi_depth_histogram",
-    "user_jaccard_pairs",
-    "source_mixture_weights",
-    "token_budget_mixture",
+    "quality_retention_sweep",
+    "dedup_signal_agreement",
+    # --- media fixture path (media_df/pyarrow staging) consumers ---
+    "stream_media_decode",
+    "media_ingest_decode",
+    "audio_wav_features",
+    "audio_energy_segments",
+    "image_png_features",
+    "image_jpeg_features",
+    "image_jpeg_color_features",
+    "video_frame_features",
+    "multimodal_features",
+    # --- last green: round 4 (stalest cohort, registry order) ---
+    "customer_order_distribution",
+    "disjunctive_band_revenue",
+    "forecast_revenue_change",
+    "idle_rich_customers",
+    "important_part_value",
+    "interval_join_events",
+    "large_volume_orders",
+    "late_shipment_priority",
+    "min_cost_supplier",
+    "nation_market_share",
+    "nation_revenue_share",
+    "nation_volume_shipping",
+    "order_priority_check",
+    "price_outliers",
+    "product_profit_by_nation",
+    "promo_part_suppliers",
+    "promo_revenue_share",
+    "returned_item_customers",
+    "sole_late_supplier",
+    "supplier_count_by_part",
+    "top_supplier_revenue",
 ]
 
 
