@@ -619,9 +619,13 @@ def dense_jaccard_pairs(
     eff_block = min(eff_block, max(block_rows, (64 << 20) // (4 * K)))
     n_blocks = (n_users_row + eff_block - 1) // eff_block
 
+    from delta_unity_duckdb_spark.functions.frames import local_rows_df
+
     uni_df = F.broadcast(
-        uk.sparkSession.createDataFrame(
-            [(int(k), i) for i, k in enumerate(universe)], "kk long, idx int"
+        local_rows_df(
+            uk.sparkSession,
+            [(int(k), i) for i, k in enumerate(universe)],
+            "kk long, idx int",
         )
     )
     with_idx = uk.join(

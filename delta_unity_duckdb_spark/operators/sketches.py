@@ -468,9 +468,11 @@ def hist_quantiles(
         F.sum("cnt").over(w_cum).alias("cum"),
         F.sum("cnt").over(w_all).alias("n"),
     )
+    from delta_unity_duckdb_spark.functions.frames import local_rows_df
+
     qdf = c.crossJoin(
         F.broadcast(
-            c.sparkSession.createDataFrame([(q,) for q in qs], "q double")
+            local_rows_df(c.sparkSession, [(q,) for q in qs], "q double")
         )
     )
     rnk = F.floor(F.col("q") * (F.col("n") - 1).cast("double")).cast("long")

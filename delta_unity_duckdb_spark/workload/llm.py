@@ -2759,8 +2759,10 @@ def context_length_sweep(spark, sf_dir):
         .cast("bigint")
         .alias("n_tok")
     )
-    ctxs = spark.createDataFrame(
-        [(512,), (1024,), (2048,), (4096,)], "ctx bigint"
+    from delta_unity_duckdb_spark.functions.frames import local_rows_df
+
+    ctxs = local_rows_df(
+        spark, [(512,), (1024,), (2048,), (4096,)], "ctx bigint"
     )
     sweep = (
         toks.crossJoin(F.broadcast(ctxs))

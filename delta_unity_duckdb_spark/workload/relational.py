@@ -829,12 +829,14 @@ _SPARK_TO_DUCK = {
 def describe_schema(spark, sf_dir):
     """Schema-as-rows (reference LIMIT-0 view + DESCRIBE trick,
     delta-unity-duckdb.js:496-501). Reads only Parquet footers — no data scan."""
+    from delta_unity_duckdb_spark.functions.frames import local_rows_df
+
     li = _t(spark, sf_dir, "lineitem")
     rows = [
         (f.name, _SPARK_TO_DUCK.get(f.dataType.simpleString(), f.dataType.simpleString().upper()))
         for f in li.schema.fields
     ]
-    return spark.createDataFrame(rows, "column_name string, column_type string")
+    return local_rows_df(spark, rows, "column_name string, column_type string")
 
 
 # ---------------------------------------------------------------- deterministic sample
